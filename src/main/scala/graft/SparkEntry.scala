@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each module contributes (queries, oracle) pairs; keys and output
+  * column names are kept identical between the Spark plan and the
+  * DuckDB oracle SQL (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  private def modules = Seq(
+    operators.CoreQueries.queries -> operators.CoreQueries.oracle
+  ) ++ extraModules
+
+  /** Filled in as further modules land (etl / dedup / text / sim). */
+  private def extraModules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      etl.WodEtl.queries -> etl.WodEtl.oracle,
+      operators.DedupOps.queries -> operators.DedupOps.oracle,
+      operators.TextOps.queries -> operators.TextOps.oracle,
+      operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,
+      operators.MultimodalOps.queries -> operators.MultimodalOps.oracle
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    etl.WodEtl.pipelineE2E(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

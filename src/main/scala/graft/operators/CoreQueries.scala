@@ -1,0 +1,380 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational surface of the engine: scan / filter / project /
+  * aggregate / join / window / set ops / top-k.
+  *
+  * Portability rules (see SURVEY.md §6): money-ish sums are cast to
+  * DECIMAL before aggregation (exact arithmetic — identical in any
+  * engine regardless of partial-aggregation order); ratio metrics are
+  * rounded; every top-k has a deterministic tiebreak.
+  *
+  * Scale posture: dims (`region`,`nation`,`supplier`,`part`,`customer`
+  * at TPC-H ratios) are broadcast — the fact side never shuffles for
+  * them. GroupBys rely on partial (map-side) aggregation; top-k uses
+  * orderBy+limit which Spark plans as TakeOrderedAndProject (no global
+  * sort materialization).
+  */
+object CoreQueries {
+
+  private val dec182 = DecimalType(18, 2)
+  private val dec184 = DecimalType(18, 4)
+
+  /** TPC-H Q1 shape: single-pass multi-aggregate over the fact table.
+    * At 100 TB this is map-side partial agg into 6 groups — network
+    * traffic is O(partitions), not O(rows). */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec182)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec182)).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc")
+      )
+
+  /** Predicate + projection pushdown: the parquet scan must read only
+    * 3 columns and skip row groups via the pushed filter. */
+  def qFilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(dec182).as("qty")
+      )
+
+  /** TPC-H Q3 shape: selective dim filters, 3-way join, agg, top-k. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    // orders/customer are fact-scale at 100 TB — no forced broadcast;
+    // AQE auto-broadcasts them at small SF (post-filter size < threshold).
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: snowflake join through region→nation→customer→
+    * orders→lineitem→supplier. Everything except orders/lineitem is
+    * broadcast; the only shuffle is the final 1-key-per-nation agg. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    val sup = supplier(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(c,
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("revenue"))
+
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  def qGroupByHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_count"),
+           sum(col("o_totalprice").cast(dec182)).as("total_spent"))
+      .filter(col("order_count") >= 15)
+
+  /** Global top-k — plans as TakeOrderedAndProject: each partition
+    * keeps k rows, driver merges; no full sort at 100 TB. */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast(dec182).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Distinct projection (shuffle on the projected key only). */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+
+  /** Semi-join: customers with at least one urgent order. Spark plans
+    * a LeftSemi (broadcast when the right side is small). */
+  def qInSubquery(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val c = customer(s, d)
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Anti-join: customers with no large (>300k) order. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    val c = customer(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+  }
+
+  /** Union + dedup across two projections. */
+  def qUnion(s: SparkSession, d: String): DataFrame = {
+    val buyers = orders(s, d).select(col("o_custkey").as("custkey"))
+    val highBal = customer(s, d).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey").as("custkey"))
+    buyers.union(highBal).distinct()
+  }
+
+  /** Hierarchical aggregate (ROLLUP) — grouping sets in one pass. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(dec182)).as("sum_price"))
+
+  /** Partitioned ranking: top-3 orders per customer-nation by price.
+    * One shuffle on the window partition key; rank filter applied
+    * before any further join → rows drop early. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val o = orders(s, d)
+    val c = customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("o_orderkey"),
+              col("o_totalprice").cast(dec182).as("totalprice"), col("rk"))
+  }
+
+  /** Running (cumulative) sum per user over the event stream. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+              col("value").cast(dec182).as("value"))
+      .withColumn("running_total", sum(col("value")).over(w))
+  }
+
+  /** Conditional-aggregation pivot: event counts per user × type. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error")
+      )
+
+  /** Gap-based sessionization of the event stream (30-min inactivity
+    * boundary): lag → boundary flag → cumulative sum = session id.
+    * This is the reference's `group_source_by` (transforms.py:115)
+    * re-expressed for time series: one shuffle, partitioned by user. */
+  def qSessionizeEvents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    // ts arrives as long nanos (nanosAsLong); integer div is exact —
+    // no double rounding at 1e18 magnitudes.
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"),
+              expr("ts div 1000000000").as("ts_s"),
+              col("value"))
+    ev.withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min("ts_s").as("session_start"),
+           max("ts_s").as("session_end"),
+           sum(col("value").cast(dec182)).as("session_value"))
+  }
+
+  /** JSON field extraction from the events.props payload. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum("k").as("sum_k"),
+           max("k").as("max_k"))
+
+  /** Scalar subquery: orders above the global average price. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap") * 1.5)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec182).as("totalprice"))
+  }
+
+  /** CASE-based conditional metrics over the fact table. */
+  def qCaseAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_discount") >= 0.05,
+          (col("l_extendedprice") * col("l_discount")).cast(dec184)).otherwise(lit(0).cast(dec184))).as("high_disc_revenue"),
+        sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("bulk_lines"),
+        count(lit(1)).as("n_lines")
+      )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_project" -> (qFilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q_groupby_having" -> (qGroupByHaving _),
+    "q_topk" -> (qTopK _),
+    "q_distinct" -> (qDistinct _),
+    "q_in_subquery" -> (qInSubquery _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_union" -> (qUnion _),
+    "q_rollup" -> (qRollup _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_pivot" -> (qPivot _),
+    "q_sessionize_events" -> (qSessionizeEvents _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_case_agg" -> (qCaseAgg _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_groupby_having" ->
+      """SELECT o_custkey, count(*) AS order_count,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_union" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rk <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_sessionize_events" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |    CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+        |           OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_s) AS session_start, max(ts_s) AS session_end,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5""".stripMargin,
+    "q_case_agg" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_discount >= 0.05
+        |      THEN CAST(l_extendedprice * l_discount AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS high_disc_revenue,
+        |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

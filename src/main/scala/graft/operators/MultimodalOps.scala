@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads are opaque `binary`
+  * columns with typed metadata travelling alongside. The decode step is
+  * STUBBED (no image/audio libs in this container) behind
+  * [[FakeDecoder]] — a deterministic stand-in with the same shape a real
+  * decoder would have — while the Spark-side plumbing (schema, per-
+  * partition batching, feature schema) is real and tested.
+  *
+  * At 100 TB: payload bytes never shuffle — metadata extraction and
+  * feature extraction are map-side; only the (small) feature vectors
+  * ever move. Partitioning stays whatever the scan gave us.
+  */
+object MultimodalOps {
+
+  /** Deterministic stand-in for an image/audio decoder: 16-bin byte
+    * histogram normalized to [0,1] — the shape (bytes → fixed-size
+    * float feature vector + dims) of a real decode+featurize. */
+  object FakeDecoder {
+    val FeatureDim = 16
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val hist = new Array[Int](FeatureDim)
+      payload.foreach(b => hist((b & 0xff) % FeatureDim) += 1)
+      val n = math.max(payload.length, 1)
+      val feats = hist.map(c => c.toFloat / n)
+      // fake "decoded dimensions" derived from content, deterministically
+      val w = 16 + (payload.length % 64)
+      val h = 16 + ((payload.length / 64) % 64)
+      (w, h, feats)
+    }
+  }
+
+  /** Opaque binary payload + typed metadata, fully oracle-checkable:
+    * byte length, content md5, and a media-kind tag. */
+  def mmBinaryStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        when(length(col("payload")) % 3 === 0, "image")
+          .when(length(col("payload")) % 3 === 1, "audio")
+          .otherwise("video").as("media_kind"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Per-partition decode → feature extraction over the binary column.
+    * `mapPartitions` keeps the (stubbed) decoder's init cost per
+    * partition, the way a real codec/model handle would be reused. */
+  def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, f) = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("doc_id"), w, h, f.toSeq)
+        }
+      }(enc)
+      .select(col("doc_id"), col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_stats" -> (mmBinaryStats _),
+    "mm_decode_features" -> (mmDecodeFeatures _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+        |       WHEN strlen(text) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_kind
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: the query set is
+  * broadcast, dot products run map-side inside codegen
+  * (`zip_with` + `aggregate`), and only k rows per query survive the
+  * ranking — the big side is scanned once, never shuffled in full.
+  *
+  * The scale path is LSH (random-hyperplane) bucketing: signatures are
+  * computed map-side from deterministic md5-derived hyperplanes, and the
+  * search joins only same-bucket pairs — candidate count drops by ~2^bits.
+  * An IVF variant would assign via broadcast centroids the same way.
+  */
+object SimilarityOps {
+
+  private val K = 5
+  private val NQ = 5 // query vectors: vec_id < NQ
+
+  /** Fold-based dot product of two float vectors, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Exact brute-force cosine top-k: queries broadcast, ranking on the
+    * rounded similarity with vec_id tiebreak (deterministic). */
+  def simCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    cands.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+  }
+
+  /** Deterministic ±1 hyperplanes from md5 nibble parity — no RNG, same
+    * plane set on every executor with zero coordination. */
+  private def hyperplane(j: Int, dim: Int): Array[Double] = {
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { k =>
+      val h = mdAlg.digest(s"$j:$k".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }.toArray
+  }
+
+  /** LSH-bucketed ANN (scale path; rows-only check — not expressible in
+    * portable SQL without the same md5-hyperplane preprocessing). */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val bits = 8
+    val planes = (0 until bits).map(j => hyperplane(j, dim))
+    def sig(v: Column): Column =
+      concat((0 until bits).map { j =>
+        val pl = array(planes(j).map(lit): _*)
+        when(dot(v, pl) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    val emb = embeddings(s, d).withColumn("bucket", sig(col("embedding")))
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+    val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+      col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    cands.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (simCosineTopK _),
+    "sim_ann_lsh" -> (simAnnLsh _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
+         |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve
+         |  FROM q, embeddings WHERE vec_id <> qid),
+         |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM flat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $K""".stripMargin
+  )
+}

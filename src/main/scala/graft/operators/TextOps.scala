@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline: token counting, quality
+  * scoring, heuristic language ID, content fingerprinting.
+  *
+  * All per-document (no shuffle at all — narrow map-only plans; the
+  * only wide op is an optional final aggregate). Hash family is md5
+  * (codegen'd, engine-portable). At 100 TB these run at scan speed.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** 3-token shingles; empty when the document has <3 tokens.
+    * (Spark's `sequence(1,0)` counts DOWN, so guard explicitly.) */
+  private def shingles: Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words.map(lit): _*))).cast("long")
+
+  /** Whitespace tokens + BPE-ish regex tokens (runs of letters, runs of
+    * digits, single other non-space chars). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"))
+
+  private val stopwords = Seq("the", "a", "r", "s")
+
+  /** Length / stopword-ratio quality score (the standard pre-training
+    * corpus filters, deterministic formula). */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"), countIn(stopwords).as("n_stop"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        round(col("n_chars_m").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4).as("quality_score"))
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("key", "value"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "row"),
+    "fr" -> Seq("table", "column"),
+    "zh" -> Seq("query", "join"))
+
+  /** Heuristic language ID: stopword-profile hit counts, argmax with
+    * alphabetical tiebreak (the classic n-gram-profile classifier shape;
+    * profiles here are fitted to the synthetic vocabulary). */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val counted = documents(s, d).select(
+      (Seq(col("doc_id"), col("lang")) ++
+        langProfiles.map { case (l, ws) => countIn(ws).as(s"c_$l") }): _*)
+    // CASE chain in alphabetical order: first lang whose count >= all
+    // others wins (deterministic argmax with alphabetical tiebreak).
+    val chain = langProfiles.map(_._1).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, l) =>
+        val isMax = langProfiles.map(_._1).filter(_ != l)
+          .map(o => col(s"c_$l") >= col(s"c_$o")).reduce(_ && _)
+        when(isMax, lit(l)).otherwise(acc)
+    }
+    counted.select(
+      (Seq(col("doc_id"), col("lang"), chain.as("pred_lang")) ++
+        Seq("de", "en", "es", "fr", "zh").map(l => col(s"c_$l"))): _*)
+  }
+
+  /** Content fingerprints: full-text md5 + min-shingle (winnowing-style)
+    * fingerprint robust to local edits. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      md5(lower(col("text"))).as("fp_md5"),
+      coalesce(array_min(transform(shingles, x => md5(x))), lit("")).as("fp_min_shingle"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','r','s'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens,
+        |  round(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+        |    (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality_score
+        |FROM base""".stripMargin,
+    "text_langid" ->
+      """WITH counted AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('key','value'))) AS BIGINT) AS c_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS c_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('data','row'))) AS BIGINT) AS c_es,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('table','column'))) AS BIGINT) AS c_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('query','join'))) AS BIGINT) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_en AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_de AND c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  c_de, c_en, c_es, c_fr, c_zh
+        |FROM counted""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id, md5(lower(text)) AS fp_md5,
+        |  coalesce(list_min(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |    i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))), '') AS fp_min_shingle
+        |FROM toks""".stripMargin
+  )
+}

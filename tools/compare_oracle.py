@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+runs each oracle SQL in DuckDB over the sf tables and compares with the
+Spark result parquet dumped by graft.Verify.
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except Exception:
+        pass
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort()
+    return sorted(c for c in cols), out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(glob.glob(f"{out_dir}/*/")):
+        qname = name.rstrip("/").split("/")[-1]
+        spark_files = glob.glob(f"{name}/*.parquet")
+        if not spark_files:
+            results[qname] = "NO_SPARK_OUTPUT"
+            continue
+        srel = con.sql(f"SELECT * FROM read_parquet('{name}/*.parquet')")
+        scols, srows = srel.columns, srel.fetchall()
+        if qname not in oracle:
+            results[qname] = f"ROWS_ONLY({len(srows)})" + ("" if len(srows) else " EMPTY!")
+            continue
+        try:
+            orel = con.sql(oracle[qname])
+            ocols, orows = orel.columns, orel.fetchall()
+        except Exception as e:
+            results[qname] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        sc, sr = canon(srows, scols)
+        oc, orr = canon(orows, ocols)
+        if sc != oc:
+            results[qname] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+        elif len(sr) != len(orr):
+            results[qname] = f"ROWCOUNT_MISMATCH spark={len(sr)} oracle={len(orr)}"
+        elif sr != orr:
+            diffs = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b][:3]
+            detail = "; ".join(f"row{i}: spark={sr[i]} oracle={orr[i]}" for i in diffs)
+            results[qname] = f"VALUE_MISMATCH ({sum(1 for a,b in zip(sr,orr) if a!=b)} rows) {detail}"
+        else:
+            results[qname] = f"OK ({len(sr)} rows)" + (" EMPTY!" if not sr else "")
+    bad = 0
+    for k in sorted(results):
+        status = results[k]
+        flag = "PASS" if status.startswith("OK") or status.startswith("ROWS_ONLY(") and "EMPTY" not in status else "FAIL"
+        if flag == "FAIL":
+            bad += 1
+        print(f"{flag:4} {k:24} {status}")
+    print(f"\n{len(results) - bad}/{len(results)} pass")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
