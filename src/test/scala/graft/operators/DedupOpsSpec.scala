@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkTestBase {
+
+  test("exact dedup: content hash is sha256 and keeper is min doc_id") {
+    val rows = DedupOps.dedupExact(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == total)
+    assert(rows.forall(_.getAs[String]("content_hash").matches("[0-9a-f]{64}")))
+  }
+
+  test("minhash-lsh finds the planted near-duplicates found by brute force") {
+    val lsh = DedupOps.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(lsh.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(lsh.forall(_._3 >= 0.6))
+    // very-high-similarity pairs must not be missed by the banding
+    // (4 bands × 2 rows: P(miss | jac≈0.99) ≈ 0)
+    val brute = DedupOps.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .filter(_._3 >= 0.95).map(t => (t._1, t._2)).toSet
+    val lshPairs = lsh.map(t => (t._1, t._2)).toSet
+    assert(brute.subsetOf(lshPairs),
+      s"LSH missed high-sim pairs: ${brute -- lshPairs}")
+  }
+
+  test("simhash: 16-bit signatures, near-dups land within small hamming distance") {
+    val sigs = DedupOps.dedupSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sigs.values.forall(_.matches("[01]{16}")))
+    val pair = DedupOps.dedupMinhashLsh(spark, sf)
+      .orderBy(col("jaccard").desc).head()
+    val (a, b) = (pair.getAs[Long]("doc_a"), pair.getAs[Long]("doc_b"))
+    val ham = sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+    assert(ham <= 4, s"docs $a/$b jac=${pair.getAs[Double]("jaccard")} hamming=$ham")
+  }
+
+  test("lsh candidate generation is an equi-join, not a cross join") {
+    val plan = DedupOps.dedupMinhashLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must never cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must never nested-loop-join")
+  }
+}

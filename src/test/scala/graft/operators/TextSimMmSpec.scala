@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkTestBase {
+
+  test("token counts: ws and bpe-ish counts positive, bpe >= ws for word text") {
+    val rows = TextOps.textTokens(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("n_ws_tokens") > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_ws_tokens")))
+  }
+
+  test("quality ratios live in [0,1] and score formula holds for a sample row") {
+    val r = TextOps.textQuality(spark, sf).filter(col("doc_id") === 0).head()
+    val ratio = r.getAs[Double]("stopword_ratio")
+    assert(ratio >= 0 && ratio <= 1)
+    val score = r.getAs[Double]("quality_score")
+    val n = r.getAs[Long]("n_tokens").toDouble
+    val stop = ratio
+    val expected = math.rint(math.min(1.0, n / 100.0) * (1 - stop) * 1e4) / 1e4
+    assert(math.abs(score - expected) < 2e-4)
+  }
+
+  test("langid predicts a known language with deterministic tiebreak") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val rows = TextOps.textLangId(spark, sf).collect()
+    assert(rows.forall(r => langs(r.getAs[String]("pred_lang"))))
+  }
+
+  test("fingerprint md5 matches MessageDigest on raw text") {
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(doc.toLowerCase.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextOps.textFingerprint(spark, sf).filter(col("doc_id") === 0)
+      .head().getAs[String]("fp_md5")
+    assert(got == expected)
+  }
+}
+
+class SimilarityOpsSpec extends SparkTestBase {
+
+  test("brute-force top-k: k rows per query, sims in [-1,1], self excluded") {
+    val rows = SimilarityOps.simCosineTopK(spark, sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.size == 5 && perQ.values.forall(_.length == 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.000001))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vid")))
+  }
+
+  test("ann-lsh results agree with brute-force similarities") {
+    val brute = SimilarityOps.simCosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")) -> r.getAs[Double]("cos_sim")).toMap
+    val ann = SimilarityOps.simAnnLsh(spark, sf).collect()
+    // any ann hit that brute-force also ranked must carry the same sim
+    val overlapping = ann.flatMap { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+        .map(b => (b, r.getAs[Double]("cos_sim")))
+    }
+    assert(overlapping.nonEmpty, "ann should overlap brute-force top-k on this data")
+    assert(overlapping.forall { case (b, a) => math.abs(b - a) < 1e-9 })
+  }
+
+  test("queries are broadcast in brute-force search (big side never shuffles)") {
+    val plan = SimilarityOps.simCosineTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+}
+
+class MultimodalOpsSpec extends SparkTestBase {
+
+  test("FakeDecoder is deterministic and produces a normalized histogram") {
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val (w1, h1, f1) = MultimodalOps.FakeDecoder.decode(bytes)
+    val (w2, h2, f2) = MultimodalOps.FakeDecoder.decode(bytes)
+    assert(w1 == w2 && h1 == h2 && f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+    assert(f1.length == MultimodalOps.FakeDecoder.FeatureDim)
+  }
+
+  test("binary stats: byte lengths and md5 over the payload column") {
+    val rows = MultimodalOps.mmBinaryStats(spark, sf).collect()
+    assert(rows.forall(_.getAs[String]("content_md5").matches("[0-9a-f]{32}")))
+    assert(rows.forall(r => Set("image", "audio", "video")(r.getAs[String]("media_kind"))))
+  }
+
+  test("decode-features plumbing yields one feature row per document") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val feats = MultimodalOps.mmDecodeFeatures(spark, sf).collect()
+    assert(feats.length == n)
+    assert(feats.forall { r =>
+      val f0 = r.getAs[Double]("f0"); f0 >= 0.0 && f0 <= 1.0
+    })
+  }
+}
