@@ -20,7 +20,8 @@ object SparkEntry {
       operators.DedupOps.queries -> operators.DedupOps.oracle,
       operators.TextOps.queries -> operators.TextOps.oracle,
       operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,
-      operators.MultimodalOps.queries -> operators.MultimodalOps.oracle
+      operators.MultimodalOps.queries -> operators.MultimodalOps.oracle,
+      streaming.StreamOps.queries -> streaming.StreamOps.oracle
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Event record for the streaming sessionizer (top-level: encoders and
+  * state-store codegen want plainly constructible classes). */
+case class Ev(user_id: Long, ts_s: Long, value: Double)
+
+case class SessionOut(user_id: Long, sess_start: Long, sess_end: Long,
+                      n_events: Long)
+
+case class SessState(firstTs: Long, lastTs: Long, n: Long)
+
+/** Structured Streaming surface: the same sessionization/aggregation
+  * semantics as the batch operators, expressed over `readStream`.
+  *
+  * At scale this is the standard continuous-ingest path: file/queue
+  * source → event-time windows with watermark → stateful sessionization
+  * via flatMapGroupsWithState, state partitioned by user key (scales
+  * with executors; the state store is per-partition and checkpointed on
+  * a real cluster).
+  */
+object StreamOps {
+
+  /** The file stream source requires a directory; expose the single
+    * parquet file through a temp dir (symlink, copy as fallback). */
+  private def streamDir(d: String, table: String): String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory(s"graft_stream_$table")
+    dir.toFile.deleteOnExit()
+    val target = Paths.get(s"$d/$table.parquet")
+    val link = dir.resolve(s"$table.parquet")
+    try Files.createSymbolicLink(link, target)
+    catch { case _: Exception => Files.copy(target, link) }
+    dir.toString
+  }
+
+  /** Tumbling 1-hour event-time window aggregation over the events
+    * stream, driven to completion with Trigger.AvailableNow so the
+    * result is a finite DataFrame (the driver's batch contract).
+    * Semantics are identical to the batch hourly rollup — that is the
+    * oracle. */
+  def streamWindowedAgg(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(d, "events"))
+      // ts is long nanos (nanosAsLong): exact µs conversion for event time
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val name = s"win_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Gap-based (30-min) sessionization with explicit state per user via
+    * flatMapGroupsWithState — the streaming twin of
+    * CoreQueries.qSessionizeEvents. Events inside a batch are sorted by
+    * event time; sessions closed by a gap are emitted, the trailing
+    * session stays in state across batches. */
+  def sessionize(ds: Dataset[Ev]): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(_.ts_s)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          evs.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_s - st.lastTs <= 1800 =>
+                cur = Some(st.copy(lastTs = e.ts_s, n = st.n + 1))
+              case Some(st) =>
+                closed += SessionOut(user, st.firstTs, st.lastTs, st.n)
+                cur = Some(SessState(e.ts_s, e.ts_s, 1))
+              case None =>
+                cur = Some(SessState(e.ts_s, e.ts_s, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_agg" -> (streamWindowedAgg _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_windowed_agg" ->
+      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamOpsSpec extends SparkTestBase {
+
+  test("windowed agg over the stream equals the batch hourly rollup") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamWindowedAgg(spark, sf).collect()
+      .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value").toPlainString))
+      .toMap
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy((expr("ts div 1000 div 3600000000") * 3600).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv").toPlainString))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization closes sessions on gaps and keeps state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionize(input.toDS())
+    val name = "sess_test"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: two events 10s apart, then a 1h gap, then one more
+    input.addData(Ev(1, 1000, 1.0), Ev(1, 1010, 1.0),
+      Ev(1, 9000, 1.0))
+    q.processAllAvailable()
+    val afterB1 = spark.table(name).as[SessionOut].collect()
+    assert(afterB1.length == 1) // first session closed by the gap
+    assert(afterB1.head.sess_start == 1000 && afterB1.head.sess_end == 1010
+      && afterB1.head.n_events == 2)
+
+    // batch 2: event continuing the open session (gap < 30 min), then a far one
+    input.addData(Ev(1, 9500, 1.0), Ev(1, 99999, 1.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table(name).as[SessionOut].collect()
+    assert(afterB2.length == 2) // open session (9000..9500) closed by the far event
+    val second = afterB2.map(s => (s.sess_start, s.sess_end, s.n_events)).toSet
+    assert(second.contains((9000L, 9500L, 2L)), s"got $second")
+    q.stop()
+  }
+}
