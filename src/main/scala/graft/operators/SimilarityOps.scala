@@ -22,13 +22,19 @@ object SimilarityOps {
   private val K = 5
   private val NQ = 5 // query vectors: vec_id < NQ
 
-  /** Fold-based dot product of two float vectors, in double. */
+  /** Fold-based dot product of two float vectors, in double. (Kept for
+    * the LSH signature path, where one side is a literal ±1 plane.) */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+  /** Cosine via the native codegen'd expression (graft.plans
+    * .CosineSimilarity) — one fused loop per row, no intermediate
+    * arrays; accumulation order identical to the fold form. */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.plans.CosineSimilarity.register(s)
+    round(call_function("graft_cosine", a, b), 6)
+  }
 
   /** Exact brute-force cosine top-k: queries broadcast, ranking on the
     * rounded similarity with vec_id tiebreak (deterministic). */
@@ -39,7 +45,7 @@ object SimilarityOps {
     val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
     cands.join(broadcast(q), col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("cos_sim"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
   }
@@ -74,7 +80,7 @@ object SimilarityOps {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
     cands.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("cos_sim"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
   }
