@@ -237,7 +237,46 @@ object CoreQueries {
         count(lit(1)).as("n_lines")
       )
 
+  /** Point-in-time (as-of) join: each purchase is matched with the
+    * user's latest prior-or-equal signup — expressed as a running
+    * conditional max, which scales as one window shuffle instead of a
+    * range join. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
+        col("event_type"))
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts_s"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"), col("last_signup_ts"),
+        (col("ts_s") - col("last_signup_ts")).as("secs_since_signup"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def qMedian(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+
+  /** Statistical aggregates: correlation and sample stddev per group. */
+  def qCorrStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_discount")), 6).as("disc_stddev"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_median" -> (qMedian _),
+    "q_corr_stats" -> (qCorrStats _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -259,6 +298,32 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts_s, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN ts_s END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM ev
+        |)
+        |SELECT user_id, event_id, ts_s, last_signup_ts,
+        |  ts_s - last_signup_ts AS secs_since_signup
+        |FROM marked WHERE event_type = 'purchase'""".stripMargin,
+    "q_median" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(stddev_samp(l_discount), 6) AS disc_stddev,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -33,7 +33,7 @@ object DedupOps {
     * re-evaluating it per element — O(tokens²) per row per consumer.
     * The window form computes each token once, costs one shuffle on
     * doc_id, and every downstream consumer shares plain rows. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     documents(s, d)

@@ -85,9 +85,25 @@ object SimilarityOps {
       .filter(col("rk") <= K)
   }
 
+  /** Embedding-cosine near-dup detection: pairwise cosine inside label
+    * blocks (the blocking key a real pipeline gets from a coarse cluster
+    * assignment / IVF list), native fused-loop cosine, threshold on the
+    * rounded value. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        cosine(s, col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopK _),
-    "sim_ann_lsh" -> (simAnnLsh _)
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "dedup_embedding" -> (dedupEmbedding _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -104,6 +120,19 @@ object SimilarityOps {
          |SELECT qid, vid, cos_sim, rk FROM (
          |  SELECT qid, vid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
-         |  FROM sims) WHERE rk <= $K""".stripMargin
+         |  FROM sims) WHERE rk <= $K""".stripMargin,
+    "dedup_embedding" ->
+      """WITH pairs AS (
+        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |flat AS (SELECT label, vec_a, vec_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs),
+        |sims AS (SELECT label, vec_a, vec_b,
+        |  round(sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) /
+        |    (sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) *
+        |     sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)))), 6) AS cos_sim
+        |  FROM flat GROUP BY label, vec_a, vec_b)
+        |SELECT label, vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.4""".stripMargin
   )
 }

@@ -87,7 +87,17 @@ object TextOps {
         md5(lower(col("text"))).as("fp_md5"),
         coalesce(array_min(transform(shingles(col("tk")), x => md5(x))), lit("")).as("fp_min_shingle"))
 
+  /** Corpus-wide top-20 trigram shingles by document frequency
+    * (deterministic tiebreak on the shingle itself). */
+  def textNgramsTop(s: SparkSession, d: String): DataFrame =
+    DedupOps.shingleRows(s, d)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngrams_top" -> (textNgramsTop _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -95,6 +105,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_ngrams_top" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sets AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh_set FROM toks),
+        |inv AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sets)
+        |SELECT shingle, count(*) AS doc_freq FROM inv
+        |GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
