@@ -12,6 +12,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: run every query once at the smallest SF so the timed pass
+    // below measures steady-state throughput (whole-stage codegen classes
+    // compiled, JIT warm) instead of one-time JVM costs — which otherwise
+    // dominate and add multi-x run-to-run noise at these data sizes.
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
