@@ -142,6 +142,32 @@ object WodEtl {
     withDateRange(withSlug(documents(s, d)))
       .select(col("doc_id"), col("slug"), col("start_date"), col("end_date"))
 
+  /** Date-range extraction from the TITLE format ("April 1-7, 2024
+    * &#8211; ..."), the reference's fallback path (transforms.py:55-57,
+    * 74-79): decode the &#8211;/&ndash; entities, then parse
+    * `Month d1-d2, yyyy` — mirrored here including the entity cleanup. */
+  def titleDateExtract(s: SparkSession, d: String): DataFrame = {
+    val month = element_at(
+      array(monthNames.map(lit): _*), (col("doc_id") % 12 + 1).cast("int"))
+    val cap = concat(upper(substring(month, 1, 1)), substring(month, 2, 20))
+    val d1 = col("doc_id") % 20 + 1
+    val year = col("doc_id") % 5 + 2020
+    val titled = documents(s, d).withColumn("title",
+      concat(cap, lit(" "), d1, lit("-"), d1 + 6, lit(", "), year,
+        lit(" &#8211; 5 Day Weightlifting Program")))
+    val cleaned = regexp_replace(col("title"), "&#8211;|&ndash;", "-")
+    val pat = "([a-zA-Z]+)\\s+(\\d+)-(\\d+)[,\\s]+(\\d{4})"
+    val monthName = lower(regexp_extract(cleaned, pat, 1))
+    val monthNum = monthNames.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, idx)) => when(monthName === name, lit(idx + 1)).otherwise(acc)
+    }
+    titled.select(col("doc_id"), col("title"),
+      make_date(regexp_extract(cleaned, pat, 4).cast("int"), monthNum,
+        regexp_extract(cleaned, pat, 2).cast("int")).as("start_date"),
+      make_date(regexp_extract(cleaned, pat, 4).cast("int"), monthNum,
+        regexp_extract(cleaned, pat, 3).cast("int")).as("end_date"))
+  }
+
   /** Marker-based sessionization of the token stream. */
   def sessionizeText(s: SparkSession, d: String): DataFrame =
     sessionized(s, d)
@@ -272,6 +298,7 @@ object WodEtl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_strip_html" -> (stripHtml _),
     "etl_date_extract" -> (dateExtract _),
+    "etl_title_date_extract" -> (titleDateExtract _),
     "etl_sessionize_text" -> (sessionizeText _),
     "etl_segments" -> (segments _),
     "etl_date_records" -> (dateRecords _),
@@ -294,6 +321,34 @@ object WodEtl {
     "etl_date_extract" ->
       s"""WITH $slugCte
          |SELECT doc_id, slug, start_date, end_date FROM dated""".stripMargin,
+    "etl_title_date_extract" ->
+      """WITH months AS (SELECT ['january','february','march','april','may','june','july','august','september','october','november','december'] AS mn),
+        |titled AS (SELECT doc_id,
+        |  concat(upper(substr(mn[CAST(doc_id % 12 + 1 AS INT)], 1, 1)),
+        |         substr(mn[CAST(doc_id % 12 + 1 AS INT)], 2),
+        |         ' ', doc_id % 20 + 1, '-', doc_id % 20 + 7, ', ', doc_id % 5 + 2020,
+        |         ' &#8211; 5 Day Weightlifting Program') AS title
+        |  FROM documents, months),
+        |cleaned AS (SELECT doc_id, title,
+        |  regexp_replace(title, '&#8211;|&ndash;', '-', 'g') AS ct FROM titled),
+        |parsed AS (SELECT doc_id, title,
+        |  lower(regexp_extract(ct, '([a-zA-Z]+)\s+(\d+)-(\d+)[,\s]+(\d{4})', 1)) AS m,
+        |  CAST(regexp_extract(ct, '([a-zA-Z]+)\s+(\d+)-(\d+)[,\s]+(\d{4})', 2) AS INT) AS d1,
+        |  CAST(regexp_extract(ct, '([a-zA-Z]+)\s+(\d+)-(\d+)[,\s]+(\d{4})', 3) AS INT) AS d2,
+        |  CAST(regexp_extract(ct, '([a-zA-Z]+)\s+(\d+)-(\d+)[,\s]+(\d{4})', 4) AS INT) AS y
+        |  FROM cleaned)
+        |SELECT doc_id, title,
+        |  make_date(y, CASE m WHEN 'january' THEN 1 WHEN 'february' THEN 2
+        |    WHEN 'march' THEN 3 WHEN 'april' THEN 4 WHEN 'may' THEN 5
+        |    WHEN 'june' THEN 6 WHEN 'july' THEN 7 WHEN 'august' THEN 8
+        |    WHEN 'september' THEN 9 WHEN 'october' THEN 10
+        |    WHEN 'november' THEN 11 WHEN 'december' THEN 12 END, d1) AS start_date,
+        |  make_date(y, CASE m WHEN 'january' THEN 1 WHEN 'february' THEN 2
+        |    WHEN 'march' THEN 3 WHEN 'april' THEN 4 WHEN 'may' THEN 5
+        |    WHEN 'june' THEN 6 WHEN 'july' THEN 7 WHEN 'august' THEN 8
+        |    WHEN 'september' THEN 9 WHEN 'october' THEN 10
+        |    WHEN 'november' THEN 11 WHEN 'december' THEN 12 END, d2) AS end_date
+        |FROM parsed""".stripMargin,
     "etl_sessionize_text" ->
       s"""$tokensCte
          |SELECT doc_id, session_id, count(*) AS n_tokens,

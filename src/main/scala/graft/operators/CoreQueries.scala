@@ -273,7 +273,26 @@ object CoreQueries {
         round(stddev_samp(col("l_discount")), 6).as("disc_stddev"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q17 shape: correlated scalar subquery (lineitems below 20%
+    * of their part's average quantity), decorrelated into a per-part
+    * aggregate + join — the plan Catalyst produces for the subquery
+    * form, written explicitly. Quantities are integers, so the avg is
+    * exact in double and the 0.2·avg comparison is engine-portable. */
+  def q17Correlated(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    val p = part(s, d).filter(col("p_brand") === "Brand#23")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(partAvg, li("l_partkey") === partAvg("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        sum(col("l_extendedprice").cast(dec182)).as("total_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_correlated" -> (q17Correlated _),
     "q_asof_join" -> (qAsofJoin _),
     "q_median" -> (qMedian _),
     "q_corr_stats" -> (qCorrStats _),
@@ -298,6 +317,14 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q17_correlated" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT avg(l2.l_quantity) * 0.2 FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
