@@ -226,6 +226,18 @@ object WodEtl {
       .select(col("doc_id"), col("bucket_path"),
         sha2(concat(lit("dump_post_to_bucket:"), col("bucket_path")), 256).as("idem_key"))
 
+  /** Paginated ingestion (get_invictus_post's posts_per_page/page,
+    * handler.py:108-113): a deterministic page slice over the ordered
+    * corpus. At scale the offset would come from a keyset cursor
+    * (doc_id > last_seen) — expressed here as the classic
+    * ORDER BY + OFFSET/LIMIT page for oracle parity. */
+  def paginate(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+      .offset(100)
+      .limit(50)
+
   /** save_sessions_to_bucket path derivation (handler.py:225-229):
     * weekly partition path from min/max record date per document. */
   def weeklyRollup(s: SparkSession, d: String): DataFrame =
@@ -305,6 +317,7 @@ object WodEtl {
     "etl_clean_records" -> (cleanRecords _),
     "etl_idempotency_keys" -> (idempotencyKeys _),
     "etl_weekly_rollup" -> (weeklyRollup _),
+    "etl_paginate" -> (paginate _),
     "etl_pipeline_e2e" -> (pipelineE2E _)
   )
 
@@ -385,6 +398,9 @@ object WodEtl {
          |  coalesce(segment_b, '') AS segment_b
          |FROM names LEFT JOIN pivoted
          |  ON names.doc_id = pivoted.doc_id AND names.session_id = pivoted.session_id""".stripMargin,
+    "etl_paginate" ->
+      """SELECT doc_id, source, lang FROM documents
+        |ORDER BY doc_id LIMIT 50 OFFSET 100""".stripMargin,
     "etl_idempotency_keys" ->
       s"""WITH $slugCte,
          |paths AS (SELECT doc_id,

@@ -52,24 +52,29 @@ object MultimodalOps {
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("byte_len", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
   /** Per-partition decode → feature extraction over the binary column.
     * `mapPartitions` keeps the (stubbed) decoder's init cost per
-    * partition, the way a real codec/model handle would be reused. */
+    * partition, the way a real codec/model handle would be reused.
+    * Output exposes the first two histogram bins as exact integer
+    * counts (float ratio × length rounds back exactly for any document
+    * size < 2^23), which is what makes the decode oracle-checkable. */
   def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .mapPartitions { it =>
         it.map { r =>
-          val (w, h, f) = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
-          Row(r.getAs[Long]("doc_id"), w, h, f.toSeq)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, f) = FakeDecoder.decode(payload)
+          Row(r.getAs[Long]("doc_id"), w, h, payload.length, f.toSeq)
         }
       }(enc)
       .select(col("doc_id"), col("width"), col("height"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-        round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+        round(element_at(col("features"), 1) * col("byte_len")).cast("long").as("bin0_count"),
+        round(element_at(col("features"), 2) * col("byte_len")).cast("long").as("bin1_count"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -78,6 +83,16 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
+        |  unnest(range(1, strlen(text)+1)) AS i FROM documents),
+        |buckets AS (SELECT doc_id, n, ascii(substr(text, i, 1)) % 16 AS b FROM chars)
+        |SELECT doc_id,
+        |  CAST(16 + any_value(n) % 64 AS INT) AS width,
+        |  CAST(16 + (any_value(n) // 64) % 64 AS INT) AS height,
+        |  CAST(count(*) FILTER (WHERE b = 0) AS BIGINT) AS bin0_count,
+        |  CAST(count(*) FILTER (WHERE b = 1) AS BIGINT) AS bin1_count
+        |FROM buckets GROUP BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

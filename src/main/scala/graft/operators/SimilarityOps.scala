@@ -60,8 +60,10 @@ object SimilarityOps {
     }.toArray
   }
 
-  /** LSH-bucketed ANN (scale path; rows-only check — not expressible in
-    * portable SQL without the same md5-hyperplane preprocessing). */
+  /** LSH-bucketed ANN (scale path). The ±1 hyperplanes come from md5
+    * nibble parity, so the oracle reconstructs the identical planes in
+    * SQL from a generated (j, k) grid — the whole pipeline is
+    * oracle-checkable. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64
     val bits = 8
@@ -111,6 +113,34 @@ object SimilarityOps {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
          |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve
          |  FROM q, embeddings WHERE vec_id <> qid),
+         |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM flat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $K""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT j, k,
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(j || ':' || k), 2, 1)) - 1) % 2 = 1
+         |         THEN 1.0 ELSE -1.0 END AS hv
+         |  FROM range(0, 8) t1(j), range(0, 64) t2(k)),
+         |flatv AS (SELECT vec_id, unnest(embedding) AS x,
+         |  unnest(range(0, len(embedding))) AS k FROM embeddings),
+         |dots AS (SELECT vec_id, j, sum(CAST(x AS DOUBLE) * hv) AS dp
+         |  FROM flatv JOIN planes ON flatv.k = planes.k GROUP BY vec_id, j),
+         |sigs AS (SELECT vec_id,
+         |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, g.bucket AS qbucket
+         |  FROM embeddings e JOIN sigs g ON e.vec_id = g.vec_id WHERE e.vec_id < $NQ),
+         |c AS (SELECT e.vec_id AS vid, e.embedding AS ve, g.bucket
+         |  FROM embeddings e JOIN sigs g ON e.vec_id = g.vec_id),
+         |pairs AS (SELECT qid, vid, qe, ve FROM q JOIN c ON bucket = qbucket AND vid <> qid),
          |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
          |sims AS (SELECT qid, vid,
          |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /

@@ -86,11 +86,14 @@ class MultimodalOpsSpec extends SparkTestBase {
   }
 
   test("decode-features plumbing yields one feature row per document") {
-    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
     val feats = MultimodalOps.mmDecodeFeatures(spark, sf).collect()
-    assert(feats.length == n)
+    assert(feats.length == docs.count())
+    // counts recovered from the float histogram are exact and bounded
+    val lens = docs.selectExpr("doc_id", "octet_length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(feats.forall { r =>
-      val f0 = r.getAs[Double]("f0"); f0 >= 0.0 && f0 <= 1.0
+      val c = r.getAs[Long]("bin0_count"); c >= 0 && c <= lens(r.getAs[Long]("doc_id"))
     })
   }
 }
