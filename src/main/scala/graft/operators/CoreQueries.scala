@@ -291,7 +291,29 @@ object CoreQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** CUBE: all grouping-set combinations in one pass. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(dec182)).as("sum_price"))
+
+  /** Value-range window frame: rolling 1-hour sum of purchase value per
+    * user, frame bounded by the ts VALUE (RANGE), not row count. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-3600L, 0L)
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
+        col("value").cast(dec182).as("value"))
+      .withColumn("rolling_1h", sum("value").over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_window_range" -> (qWindowRange _),
     "q17_correlated" -> (q17Correlated _),
     "q_asof_join" -> (qAsofJoin _),
     "q_median" -> (qMedian _),
@@ -317,6 +339,17 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |  CAST(value AS DECIMAL(18,2)) AS value,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q17_correlated" ->
       """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
         |  count(*) AS n_lines
