@@ -102,9 +102,43 @@ object SimilarityOps {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  private val C = 16     // IVF centroid count
+  private val NPROBE = 2 // centroid lists probed per query
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first C
+    * vectors stand in for trained centroids) assigns every vector to
+    * its nearest centroid map-side (centroids broadcast); each query
+    * probes its NPROBE nearest centroid lists and reranks only those
+    * candidates with exact cosine. The index scales as O(n·C) assign +
+    * O(n·nprobe/C) rerank per query — the standard big-corpus ANN
+    * layout (lists = partitions at cluster scale). */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // nearest-centroid assignment for every vector (rank on the rounded
+    // similarity with cid tiebreak — deterministic in any engine)
+    val aw = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("cid"))
+    val assign = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(s, col("embedding"), col("ce")).as("c_sim"))
+      .withColumn("crn", row_number().over(aw))
+    val lists = assign.filter(col("crn") === 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cid"))
+    val probes = assign.filter(col("crn") <= NPROBE && col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -147,6 +181,36 @@ object SimilarityOps {
          |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
          |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
          |  FROM flat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $K""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $C),
+         |apairs AS (SELECT e.vec_id AS avid, c.cid, e.embedding AS ave, c.ce
+         |  FROM embeddings e, cents c),
+         |aflat AS (SELECT avid, cid, unnest(ave) AS x, unnest(ce) AS y FROM apairs),
+         |asim AS (SELECT avid, cid,
+         |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+         |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+         |     sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS c_sim
+         |  FROM aflat GROUP BY avid, cid),
+         |ranked AS (SELECT avid, cid,
+         |  row_number() OVER (PARTITION BY avid ORDER BY c_sim DESC, cid) AS crn
+         |  FROM asim),
+         |lists AS (SELECT avid AS vid, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT avid AS qid, cid FROM ranked WHERE crn <= $NPROBE AND avid < $NQ),
+         |cand AS (SELECT qid, l.vid AS vid FROM probes p JOIN lists l ON p.cid = l.cid
+         |  WHERE l.vid <> p.qid),
+         |cpairs AS (SELECT qid, vid, eq.embedding AS qe, ev.embedding AS ve
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = qid
+         |            JOIN embeddings ev ON ev.vec_id = vid),
+         |cflat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM cpairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cflat GROUP BY qid, vid)
          |SELECT qid, vid, cos_sim, rk FROM (
          |  SELECT qid, vid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
