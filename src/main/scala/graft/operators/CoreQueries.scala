@@ -311,7 +311,52 @@ object CoreQueries {
       .withColumn("rolling_1h", sum("value").over(w))
   }
 
+  /** Left outer join with null-side aggregation: every nation with its
+    * (possibly zero) count of high-balance customers. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val c = customer(s, d).filter(col("c_acctbal") > 7500.0)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_rich"),
+        coalesce(sum(col("c_acctbal").cast(dec182)), lit(0).cast(dec182)).as("rich_balance"))
+  }
+
+  /** Full outer join: statuses seen in orders vs a fixed dimension of
+    * interest — rows survive from either side. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val byStatus = orders(s, d).groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"))
+    val dim = events(s, d).groupBy(col("event_type").as("status"))
+      .agg(count(lit(1)).as("n_events"))
+    byStatus.join(dim, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** TPC-H Q21 shape: one EXISTS and one NOT EXISTS against the same
+    * table — suppliers with a late line on a multi-supplier order where
+    * no other supplier was late. Expressed as semi/anti joins. */
+  def q21MultiExists(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val late = li.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
+    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os")).distinct()
+    val lateOthers = late.select(col("lk").as("ok2"), col("ls").as("os2"))
+    val base = late
+      .join(others, col("lk") === col("ok") && col("ls") =!= col("os"), "left_semi")
+    base
+      .join(lateOthers,
+        col("lk") === col("ok2") && col("ls") =!= col("os2"), "left_anti")
+      .groupBy(col("ls").as("suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (qOuterJoin _),
+    "q_full_outer" -> (qFullOuter _),
+    "q21_multi_exists" -> (q21MultiExists _),
     "q_cube" -> (qCube _),
     "q_window_range" -> (qWindowRange _),
     "q17_correlated" -> (q17Correlated _),
@@ -339,6 +384,32 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT n_nationkey, n_name,
+        |  count(c_custkey) AS n_rich,
+        |  coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS rich_balance
+        |FROM nation LEFT JOIN customer
+        |  ON n_nationkey = c_nationkey AND c_acctbal > 7500.0
+        |GROUP BY n_nationkey, n_name""".stripMargin,
+    "q_full_outer" ->
+      """WITH o AS (SELECT o_orderstatus AS status, count(*) AS n_orders
+        |  FROM orders GROUP BY o_orderstatus),
+        |e AS (SELECT event_type AS status, count(*) AS n_events
+        |  FROM events GROUP BY event_type)
+        |SELECT coalesce(o.status, e.status) AS status,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.status = e.status""".stripMargin,
+    "q21_multi_exists" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey AS lk, l_suppkey AS ls
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1999-01-01')
+        |SELECT ls AS suppkey, count(*) AS n_orders
+        |FROM late t
+        |WHERE EXISTS (SELECT 1 FROM lineitem o
+        |        WHERE o.l_orderkey = t.lk AND o.l_suppkey <> t.ls)
+        |  AND NOT EXISTS (SELECT 1 FROM late l2
+        |        WHERE l2.lk = t.lk AND l2.ls <> t.ls)
+        |GROUP BY ls""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price

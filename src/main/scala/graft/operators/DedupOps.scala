@@ -85,10 +85,10 @@ object DedupOps {
   }
 
   /** Full MinHash-LSH near-dup detection: band-bucket candidate join →
-    * exact Jaccard verification (array_intersect over the two set
-    * arrays — candidates only) → threshold. The size-ratio prune
-    * (min/max >= 0.6) is implied by jaccard >= 0.6, so it drops no
-    * qualifying pair. */
+    * size-ratio prune → exact Jaccard verification via the inverted
+    * index (candidates only) → threshold. The ratio prune (min/max >=
+    * 0.6) is implied by jaccard >= 0.6, so it drops no qualifying
+    * pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val b = bands(s, d)
     val ba = b.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
@@ -135,18 +135,14 @@ object DedupOps {
           when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
-  /** Blocked n-gram Jaccard: pairwise only inside (lang) buckets, with
-    * the size-ratio prune (min/max >= 0.5, implied by the threshold —
-    * |A∩B| <= min, |A∪B| >= max) cutting most pairs before any array
-    * work, and a length band (n_sh div 50) in the blocking key so pair
-    * count stays near-linear — classic blocking dedup; boundary-
-    * straddling pairs are the accepted blocking trade-off (the
-    * principled non-blocking path is dedup_minhash_lsh). */
+  /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
+    * inverted index — pairs sharing no shingle never materialize (they
+    * cannot pass the threshold) — then a length-band block (n_sh div
+    * 50) and the size-ratio prune (min/max >= 0.5, implied by the
+    * threshold: |A∩B| <= min, |A∪B| >= max). Boundary-straddling
+    * pairs are the accepted blocking trade-off; the non-blocking path
+    * is dedup_minhash_lsh. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Inverted index: |A∩B| via a (lang, shingle) equi-join — cost is
-    // Σ df(shingle)² per lang, near-linear for diverse shingles (at
-    // real scale, cap df to drop stop-shingles). Pairs that share no
-    // shingle never materialize — they can't pass the threshold anyway.
     // Posting-list formulation: group docs per (lang, shingle), expand
     // each list's ordered pairs MAP-SIDE, count per pair — one
     // computation of the shingle rows, no self-join. (At real scale add
