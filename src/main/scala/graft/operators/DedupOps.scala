@@ -70,7 +70,7 @@ object DedupOps {
     val aggs = (0 until H).map { i =>
       val src = if (i < 4) col("ma") else col("mb")
       min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
-    }
+    } :+ count(lit(1)).as("n_sh") // shingle count rides the same groupBy
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -80,8 +80,8 @@ object DedupOps {
       struct(lit(b).as("band_id"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_hash")))
     signatures(s, d)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_id"), col("bk.band_hash"))
+      .select(col("doc_id"), col("n_sh"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("n_sh"), col("bk.band_id"), col("bk.band_hash"))
   }
 
   /** Full MinHash-LSH near-dup detection: band-bucket candidate join →
@@ -90,20 +90,19 @@ object DedupOps {
     * 0.6) is implied by jaccard >= 0.6, so it drops no qualifying
     * pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // shingle counts ride along with the band keys — the ratio prune
+    // needs no extra join or recomputation of the shingle index
     val b = bands(s, d)
-    val ba = b.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val ba = b.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val bb = b.select(col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"),
-      col("doc_id").as("doc_b"))
-    val cand = ba.join(bb,
+      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    // size-ratio prune (implied by jaccard >= 0.6) inside the band join
+    val pruned = ba.join(bb,
         ba("band_id") === bb("band_id_b") && ba("band_hash") === bb("band_hash_b") &&
-        ba("doc_a") < bb("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val cnt = shingleCounts(s, d)
-    // size-ratio prune (implied by jaccard >= 0.6) before any shingle work
-    val pruned = cand
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .filter(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 3)
+        ba("doc_a") < bb("doc_b") &&
+        least(ba("n_a"), bb("n_b")) * 5 >= greatest(ba("n_a"), bb("n_b")) * 3)
+      .select("doc_a", "doc_b", "n_a", "n_b").distinct()
     // exact |A∩B| via the inverted index, candidates only
     val sh = shingleRows(s, d)
     val shA = sh.select(col("doc_id").as("doc_a2"), col("shingle"))
