@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.DecimalType
   * engine regardless of partial-aggregation order); ratio metrics are
   * rounded; every top-k has a deterministic tiebreak.
   *
-  * Scale posture: dims (`region`,`nation`,`supplier`,`part`,`customer`
-  * at TPC-H ratios) are broadcast — the fact side never shuffles for
-  * them. GroupBys rely on partial (map-side) aggregation; top-k uses
-  * orderBy+limit which Spark plans as TakeOrderedAndProject (no global
-  * sort materialization).
+  * Scale posture: true dims (`region`,`nation`,`supplier`) carry
+  * explicit broadcast hints; fact-scale tables (`orders`,`customer`)
+  * are left to AQE, which broadcasts them at small SF and shuffles at
+  * cluster scale. GroupBys rely on partial (map-side) aggregation;
+  * top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  * (no global sort materialization).
   */
 object CoreQueries {
 
@@ -353,7 +354,26 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Multiple exact COUNT(DISTINCT) in one aggregation (planned via
+    * expand; each distinct column gets its own partial dedup). */
+  def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(expr("ts div 86400000000000")).as("n_days"),
+        count(lit(1)).as("n_events"))
+
+  /** Calendar rollup: revenue per month (date_trunc bucketing). */
+  def qMonthlyRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(col("o_totalprice").cast(dec182)).as("revenue"),
+           count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_monthly_rollup" -> (qMonthlyRollup _),
     "q_outer_join" -> (qOuterJoin _),
     "q_full_outer" -> (qFullOuter _),
     "q21_multi_exists" -> (q21MultiExists _),
@@ -384,6 +404,17 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_count_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT epoch_ns(ts) // 86400000000000) AS BIGINT) AS n_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_monthly_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT n_nationkey, n_name,
         |  count(c_custkey) AS n_rich,
