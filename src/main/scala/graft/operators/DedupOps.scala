@@ -169,7 +169,43 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cluster election over the near-dup pair graph: connected
+    * components with the min doc_id as each cluster's keeper — the
+    * step a production dedup runs after pair generation, so "A≈B,
+    * B≈C" collapses to one keeper even when A and C never paired.
+    *
+    * Iterative label propagation (rep ← min(rep) over neighbors+self)
+    * to a fixpoint: O(diameter) rounds, each a join+groupBy — the
+    * standard distributed CC shape, converging in a handful of rounds
+    * on near-dup graphs whose components are tiny. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var reps = nodes.withColumn("rep", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbor = edges
+        .join(reps, edges("doc_b") === reps("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("rep"))
+      val next = reps.select("doc_id", "rep").union(viaNeighbor)
+        .groupBy("doc_id").agg(min("rep").as("rep"))
+      val changed = next.join(reps.select(col("doc_id").as("d2"), col("rep").as("old_rep")),
+          next("doc_id") === col("d2"))
+        .filter(col("rep") =!= col("old_rep")).count()
+      reps = next
+      converged = changed == 0
+      rounds += 1
+    }
+    reps.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .withColumn("is_keeper", (col("doc_id") === col("cluster_rep")).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -183,13 +219,10 @@ object DedupOps {
       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh_set FROM toks),
       |sized AS (SELECT doc_id, lang, sh_set, CAST(len(sh_set) AS BIGINT) AS n_sh FROM sets)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "dedup_exact" ->
-      """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
-        |  min(doc_id) AS keeper_id
-        |FROM documents GROUP BY sha256(text)""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""$shingleSetsCte,
+  /** Shared oracle CTE chain: shingle sets through scored minhash
+    * candidate pairs (used by both the pair and cluster oracles). */
+  private val minhashCtes: String =
+    s"""$shingleSetsCte,
          |based AS (SELECT doc_id,
          |  list_transform(sh_set, x -> md5('a:' || x)) AS arr_a,
          |  list_transform(sh_set, x -> md5('b:' || x)) AS arr_b
@@ -219,11 +252,34 @@ object DedupOps {
          |  FROM cand JOIN sized sa ON sa.doc_id = doc_a
          |            JOIN sized sb ON sb.doc_id = doc_b
          |  WHERE sa.n_sh > 0 AND sb.n_sh > 0
-         |    AND least(sa.n_sh, sb.n_sh) * 5 >= greatest(sa.n_sh, sb.n_sh) * 3)
+         |    AND least(sa.n_sh, sb.n_sh) * 5 >= greatest(sa.n_sh, sb.n_sh) * 3)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$minhashCtes
          |SELECT doc_a, doc_b,
          |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
          |FROM scored
          |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6""".stripMargin,
+    "dedup_clusters" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT doc_a, doc_b FROM scored
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
+         |edges AS (SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+         |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+         |)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep,
+         |  CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS INT) AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sums AS (SELECT doc_id,

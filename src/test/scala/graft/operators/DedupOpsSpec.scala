@@ -38,6 +38,17 @@ class DedupOpsSpec extends SparkTestBase {
     assert(ham <= 4, s"docs $a/$b jac=${pair.getAs[Double]("jaccard")} hamming=$ham")
   }
 
+  test("cluster election: every near-dup pair shares one keeper, keeper is min") {
+    val reps = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => reps(a) == reps(b) })
+    // the representative is a member of its own cluster and is minimal
+    assert(reps.forall { case (d, r) => r <= d && reps(r) == r })
+  }
+
   test("lsh candidate generation is an equi-join, not a cross join") {
     val plan = DedupOps.dedupMinhashLsh(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "LSH must never cross-join")
