@@ -180,11 +180,16 @@ object DedupOps {
     * on near-dup graphs whose components are tiny. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupMinhashLsh(s, d).select("doc_a", "doc_b")
+    // localCheckpoint truncates the LSH lineage: without it every
+    // iteration (and its convergence count) would re-run the whole
+    // minhash pipeline — O(rounds²) recomputes. On a cluster this is
+    // a reliable-checkpoint (or cached) edge list, same shape.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
+      .localCheckpoint(true)
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var reps = nodes.withColumn("rep", col("doc_id"))
+    var reps = nodes.withColumn("rep", col("doc_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -193,6 +198,7 @@ object DedupOps {
         .select(edges("doc_a").as("doc_id"), col("rep"))
       val next = reps.select("doc_id", "rep").union(viaNeighbor)
         .groupBy("doc_id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
       val changed = next.join(reps.select(col("doc_id").as("d2"), col("rep").as("old_rep")),
           next("doc_id") === col("d2"))
         .filter(col("rep") =!= col("old_rep")).count()
