@@ -218,6 +218,17 @@ object CoreQueries {
            sum("k").as("sum_k"),
            max("k").as("max_k"))
 
+  /** Schema-on-read JSON parse: from_json with an explicit struct
+    * schema (typed struct access, vs path extraction above). */
+  def qJsonSchema(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .filter(col("p.k") >= 50)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_highk"),
+           sum(col("p.k").cast("long")).as("sum_k"))
+
   /** Scalar subquery: orders above the global average price. */
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
@@ -373,6 +384,7 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_distinct" -> (qCountDistinct _),
+    "q_json_schema" -> (qJsonSchema _),
     "q_monthly_rollup" -> (qMonthlyRollup _),
     "q_outer_join" -> (qOuterJoin _),
     "q_full_outer" -> (qFullOuter _),
@@ -404,6 +416,12 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_schema" ->
+      """SELECT user_id, count(*) AS n_highk,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        |GROUP BY user_id""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -96,7 +96,43 @@ object TextOps {
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(20)
 
+  /** PII-style scrubbing: numbers and emails masked with typed
+    * placeholders (the standard pre-training redaction pass, applied
+    * to a deterministic synthetic decoration of the corpus). */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call 555-01"),
+      col("doc_id") % 100)
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(decorated,
+        "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9][0-9-]+", "<NUM>").as("scrubbed"))
+      .withColumn("n_masked",
+        (regexp_count(col("scrubbed"), lit("<EMAIL>")) +
+         regexp_count(col("scrubbed"), lit("<NUM>"))).cast("long"))
+  }
+
+  /** Link extraction from HTML (the reference posts embed <a href>
+    * video links): hrefs pulled with regexp_extract_all, emitted as a
+    * joined string for engine-portable comparison. */
+  def textHtmlLinks(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<p><a href=\"https://videos.example/v"), col("doc_id"),
+      lit("\">demo</a> "), col("text"),
+      lit(" <a href=\"https://docs.example/d"), col("doc_id") % 7,
+      lit("\">ref</a></p>"))
+    documents(s, d).select(
+      col("doc_id"),
+      concat_ws("|",
+        regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))).as("links"))
+      .withColumn("n_links",
+        (size(split(col("links"), "\\|"))).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_html_links" -> (textHtmlLinks _),
     "text_ngrams_top" -> (textNgramsTop _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -105,6 +141,32 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """WITH decorated AS (SELECT doc_id,
+        |  concat(text, ' contact user', doc_id, '@example.com or call 555-01',
+        |         doc_id % 100) AS t
+        |  FROM documents),
+        |scrubbed AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9-]+', '<NUM>', 'g') AS scrubbed
+        |  FROM decorated)
+        |SELECT doc_id, scrubbed,
+        |  CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) +
+        |       len(regexp_extract_all(scrubbed, '<NUM>')) AS BIGINT) AS n_masked
+        |FROM scrubbed""".stripMargin,
+    "text_html_links" ->
+      """WITH html AS (SELECT doc_id,
+        |  concat('<p><a href="https://videos.example/v', doc_id, '">demo</a> ',
+        |         text, ' <a href="https://docs.example/d', doc_id % 7,
+        |         '">ref</a></p>') AS h
+        |  FROM documents),
+        |links AS (SELECT doc_id,
+        |  array_to_string(regexp_extract_all(h, 'href="([^"]+)"', 1), '|') AS links
+        |  FROM html)
+        |SELECT doc_id, links,
+        |  CAST(len(string_split(links, '|')) AS BIGINT) AS n_links
+        |FROM links""".stripMargin,
     "text_ngrams_top" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sets AS (SELECT doc_id,
