@@ -382,7 +382,18 @@ object CoreQueries {
       .agg(sum(col("o_totalprice").cast(dec182)).as("revenue"),
            count(lit(1)).as("n_orders"))
 
+  /** Deterministic hash sampling: keep rows whose key-hash falls under
+    * a fixed hex prefix (10/256 ≈ 3.9%). Reproducible across runs and
+    * engines — the correct way to sample at 100 TB (rand() is neither
+    * repeatable nor oracle-checkable); stratification falls out of
+    * grouping the same predicate. */
+  def qHashSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 2) < "0a")
+      .select(col("doc_id"), col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_sample" -> (qHashSample _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_json_schema" -> (qJsonSchema _),
     "q_monthly_rollup" -> (qMonthlyRollup _),
@@ -416,6 +427,9 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(concat('sample:', doc_id)), 1, 2) < '0a'""".stripMargin,
     "q_json_schema" ->
       """SELECT user_id, count(*) AS n_highk,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
