@@ -354,7 +354,9 @@ object CoreQueries {
     val li = lineitem(s, d)
     val late = li.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
       .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
-    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os")).distinct()
+    // semi/anti-join right sides need no distinct — duplicates are
+    // irrelevant to existence checks, and each distinct is a shuffle
+    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os"))
     val lateOthers = late.select(col("lk").as("ok2"), col("ls").as("os2"))
     val base = late
       .join(others, col("lk") === col("ok") && col("ls") =!= col("os"), "left_semi")
