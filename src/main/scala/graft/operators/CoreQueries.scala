@@ -394,7 +394,23 @@ object CoreQueries {
       .filter(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 2) < "0a")
       .select(col("doc_id"), col("lang"))
 
+  /** Quartile assignment + per-user inter-event deltas: ntile and lag
+    * over a totally-ordered partition (event_id is unique, so both are
+    * deterministic in any engine). */
+  def qWindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("value").cast(dec182).as("value"),
+        expr("ts div 1000000000").as("ts_s"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("gap_s", col("ts_s") - lag("ts_s", 1).over(w))
+      .drop("ts_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funcs" -> (qWindowFuncs _),
     "q_hash_sample" -> (qHashSample _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_json_schema" -> (qJsonSchema _),
@@ -429,6 +445,13 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_funcs" ->
+      """SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile,
+        |  epoch_ns(ts) // 1000000000 -
+        |    lag(epoch_ns(ts) // 1000000000, 1)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
+        |FROM events""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(concat('sample:', doc_id)), 1, 2) < '0a'""".stripMargin,
