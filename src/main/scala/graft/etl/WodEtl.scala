@@ -91,12 +91,24 @@ object WodEtl {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** group_source_by: cumulative count of markers = group id; rows
-    * before the first marker (id 0) are dropped. */
-  private def sessionized(s: SparkSession, d: String): DataFrame =
+    * before the first marker (id 0) are dropped. Docs with exactly ONE
+    * marker yield ZERO groups, replicating the reference's pairwise
+    * index walk (transforms.py:19-30 via 115-128: pairwise of a single
+    * index is empty and the tail-append is guarded), not the "one
+    * session to end-of-doc" a bare cumulative sum would emit. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val isMarker = when(col("tok").isin(sessionMarkers: _*), 1).otherwise(0)
+    // Same partition+order spec as cumWindow, whole-partition frame:
+    // both sums evaluate in ONE WindowExec pass (one shuffle, one sort)
+    // instead of adding a second window stage.
+    val totalWindow = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     tokens(s, d)
-      .withColumn("session_id",
-        sum(when(col("tok").isin(sessionMarkers: _*), 1).otherwise(0)).over(cumWindow))
-      .filter(col("session_id") >= 1)
+      .withColumn("session_id", sum(isMarker).over(cumWindow))
+      .withColumn("n_markers", sum(isMarker).over(totalWindow))
+      .filter(col("session_id") >= 1 && col("n_markers") >= 2)
+      .drop("n_markers")
+  }
 
   /** Ordered string re-assembly after a shuffle: sort collected
     * (pos, tok) structs — deterministic, unlike raw collect_list. */
@@ -105,15 +117,23 @@ object WodEtl {
       transform(array_sort(collect_list(struct(posCol.as("p"), tokCol.as("t")))),
         x => x.getField("t")))
 
-  /** Second-level segmentation inside each session. */
+  /** Second-level segmentation inside each session. The reference runs
+    * the same group_source_by walk per session (transforms.py:176-188),
+    * so the single-marker → zero-groups rule applies here too. */
   private def segmented(s: SparkSession, d: String): DataFrame = {
     val perSession = Window.partitionBy("doc_id", "session_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val segStartW = Window.partitionBy("doc_id", "session_id", "seg_id")
+    val isSeg = when(col("tok").isin(segmentMarkers: _*), 1).otherwise(0)
+    // whole-partition frame on the same spec as perSession → one pass
+    val perSessionTotal = Window.partitionBy("doc_id", "session_id")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     sessionized(s, d)
-      .withColumn("seg_id",
-        sum(when(col("tok").isin(segmentMarkers: _*), 1).otherwise(0)).over(perSession))
-      .filter(col("seg_id") >= 1)
+      .withColumn("seg_id", sum(isSeg).over(perSession))
+      .withColumn("n_seg_markers", sum(isSeg).over(perSessionTotal))
+      .filter(col("seg_id") >= 1 && col("n_seg_markers") >= 2)
+      .drop("n_seg_markers")
       .withColumn("seg_start", min("pos").over(segStartW))
       .groupBy("doc_id", "session_id", "seg_id")
       .agg(
@@ -271,15 +291,21 @@ object WodEtl {
       |tokens AS (SELECT doc_id, unnest(range(1, len(ts)+1)) AS pos, unnest(ts) AS tok FROM toks),
       |marked AS (SELECT doc_id, pos, tok,
       |  CAST(sum(CASE WHEN tok IN ('stream','window') THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+      |  sum(CASE WHEN tok IN ('stream','window') THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id) AS n_markers
       |  FROM tokens),
-      |insess AS (SELECT * FROM marked WHERE session_id >= 1),
+      |insess AS (SELECT doc_id, pos, tok, session_id FROM marked
+      |  WHERE session_id >= 1 AND n_markers >= 2),
       |seg AS (SELECT doc_id, pos, tok, session_id,
       |  CAST(sum(CASE WHEN tok IN ('agg','sort','merge') THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY doc_id, session_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+      |    OVER (PARTITION BY doc_id, session_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id,
+      |  sum(CASE WHEN tok IN ('agg','sort','merge') THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id, session_id) AS n_seg_markers
       |  FROM insess),
-      |segstart AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, session_id, seg_id) AS seg_start
-      |  FROM seg WHERE seg_id >= 1),
+      |segstart AS (SELECT doc_id, pos, tok, session_id, seg_id,
+      |    min(pos) OVER (PARTITION BY doc_id, session_id, seg_id) AS seg_start
+      |  FROM seg WHERE seg_id >= 1 AND n_seg_markers >= 2),
       |segments AS (SELECT doc_id, session_id, seg_id,
       |  arg_min(tok, pos) AS segment_key,
       |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE pos > seg_start), '') AS segment_value

@@ -10,8 +10,16 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Portability rules (see SURVEY.md §6): money-ish sums are cast to
   * DECIMAL before aggregation (exact arithmetic — identical in any
-  * engine regardless of partial-aggregation order); ratio metrics are
-  * rounded; every top-k has a deterministic tiebreak.
+  * engine regardless of partial-aggregation order) and the RESULT is
+  * cast back to DOUBLE — final outputs never carry DECIMAL. A decimal
+  * with trailing zeros stringifies as "46.00" while the same value as
+  * a float stringifies "46.0"; an engine-agnostic consumer comparing
+  * textual/hashed results sees a mismatch even though the values are
+  * equal (round-1 driver gate failed exactly this way). The decimal →
+  * double cast is safe here: the unscaled sum fits in 2^53, so the
+  * division by 10^scale is correctly rounded and bit-identical in any
+  * IEEE engine. Ratio metrics are rounded; every top-k has a
+  * deterministic tiebreak.
   *
   * Scale posture: true dims (`region`,`nation`,`supplier`) carry
   * explicit broadcast hints; fact-scale tables (`orders`,`customer`)
@@ -33,9 +41,9 @@ object CoreQueries {
       .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec182)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec182)).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("sum_disc_price"),
+        sum(col("l_quantity").cast(dec182)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec182)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc")
@@ -49,7 +57,7 @@ object CoreQueries {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        col("l_quantity").cast(dec182).as("qty")
+        col("l_quantity").as("qty")
       )
 
   /** TPC-H Q3 shape: selective dim filters, 3-way join, agg, top-k. */
@@ -62,7 +70,7 @@ object CoreQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -86,7 +94,7 @@ object CoreQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
 
   }
 
@@ -95,7 +103,7 @@ object CoreQueries {
     orders(s, d)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("order_count"),
-           sum(col("o_totalprice").cast(dec182)).as("total_spent"))
+           sum(col("o_totalprice").cast(dec182)).cast("double").as("total_spent"))
       .filter(col("order_count") >= 15)
 
   /** Global top-k — plans as TakeOrderedAndProject: each partition
@@ -103,7 +111,7 @@ object CoreQueries {
   def qTopK(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
-              col("o_totalprice").cast(dec182).as("totalprice"))
+              col("o_totalprice").as("totalprice"))
       .orderBy(col("totalprice").desc, col("o_orderkey"))
       .limit(25)
 
@@ -142,7 +150,7 @@ object CoreQueries {
     orders(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(dec182)).as("sum_price"))
+           sum(col("o_totalprice").cast(dec182)).cast("double").as("sum_price"))
 
   /** Partitioned ranking: top-3 orders per customer-nation by price.
     * One shuffle on the window partition key; rank filter applied
@@ -157,7 +165,7 @@ object CoreQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("c_nationkey"), col("o_orderkey"),
-              col("o_totalprice").cast(dec182).as("totalprice"), col("rk"))
+              col("o_totalprice").as("totalprice"), col("rk"))
   }
 
   /** Running (cumulative) sum per user over the event stream. */
@@ -167,9 +175,9 @@ object CoreQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"),
-              col("value").cast(dec182).as("value"))
-      .withColumn("running_total", sum(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("running_total",
+        sum(col("value").cast(dec182)).over(w).cast("double"))
   }
 
   /** Conditional-aggregation pivot: event counts per user × type. */
@@ -206,7 +214,7 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"),
            min("ts_s").as("session_start"),
            max("ts_s").as("session_end"),
-           sum(col("value").cast(dec182)).as("session_value"))
+           sum(col("value").cast(dec182)).cast("double").as("session_value"))
   }
 
   /** JSON field extraction from the events.props payload. */
@@ -229,13 +237,18 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_highk"),
            sum(col("p.k").cast("long")).as("sum_k"))
 
-  /** Scalar subquery: orders above the global average price. */
+  /** Scalar subquery: orders above 1.5× the global average price.
+    * The threshold comparison is done in exact decimal arithmetic with
+    * the division cleared (price·2·n > sum·3) — a double average is
+    * accumulation-order dependent, so boundary rows could flip between
+    * engines/partitionings. */
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val avgPrice = o.agg(avg("o_totalprice").as("ap"))
-    o.join(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("ap") * 1.5)
-      .select(col("o_orderkey"), col("o_totalprice").cast(dec182).as("totalprice"))
+    val stats = o.agg(sum(col("o_totalprice").cast(dec182)).as("tp_sum"),
+                      count(lit(1)).as("n"))
+    o.join(broadcast(stats))
+      .filter(col("o_totalprice").cast(dec182) * 2 * col("n") > col("tp_sum") * 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
   }
 
   /** CASE-based conditional metrics over the fact table. */
@@ -244,7 +257,7 @@ object CoreQueries {
       .groupBy("l_returnflag")
       .agg(
         sum(when(col("l_discount") >= 0.05,
-          (col("l_extendedprice") * col("l_discount")).cast(dec184)).otherwise(lit(0).cast(dec184))).as("high_disc_revenue"),
+          (col("l_extendedprice") * col("l_discount")).cast(dec184)).otherwise(lit(0).cast(dec184))).cast("double").as("high_disc_revenue"),
         sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("bulk_lines"),
         count(lit(1)).as("n_lines")
       )
@@ -299,7 +312,7 @@ object CoreQueries {
       .join(partAvg, li("l_partkey") === partAvg("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
       .agg(
-        sum(col("l_extendedprice").cast(dec182)).as("total_price"),
+        sum(col("l_extendedprice").cast(dec182)).cast("double").as("total_price"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -308,7 +321,7 @@ object CoreQueries {
     orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(dec182)).as("sum_price"))
+           sum(col("o_totalprice").cast(dec182)).cast("double").as("sum_price"))
 
   /** Value-range window frame: rolling 1-hour sum of purchase value per
     * user, frame bounded by the ts VALUE (RANGE), not row count. */
@@ -319,8 +332,9 @@ object CoreQueries {
     events(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
-        col("value").cast(dec182).as("value"))
-      .withColumn("rolling_1h", sum("value").over(w))
+        col("value"))
+      .withColumn("rolling_1h",
+        sum(col("value").cast(dec182)).over(w).cast("double"))
   }
 
   /** Left outer join with null-side aggregation: every nation with its
@@ -331,7 +345,8 @@ object CoreQueries {
     n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
       .groupBy(col("n_nationkey"), col("n_name"))
       .agg(count(col("c_custkey")).as("n_rich"),
-        coalesce(sum(col("c_acctbal").cast(dec182)), lit(0).cast(dec182)).as("rich_balance"))
+        coalesce(sum(col("c_acctbal").cast(dec182)), lit(0).cast(dec182))
+          .cast("double").as("rich_balance"))
   }
 
   /** Full outer join: statuses seen in orders vs a fixed dimension of
@@ -381,7 +396,7 @@ object CoreQueries {
   def qMonthlyRollup(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-      .agg(sum(col("o_totalprice").cast(dec182)).as("revenue"),
+      .agg(sum(col("o_totalprice").cast(dec182)).cast("double").as("revenue"),
            count(lit(1)).as("n_orders"))
 
   /** Deterministic hash sampling: keep rows whose key-hash falls under
@@ -401,8 +416,7 @@ object CoreQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("event_id")
     events(s, d)
-      .select(col("user_id"), col("event_id"),
-        col("value").cast(dec182).as("value"),
+      .select(col("user_id"), col("event_id"), col("value"),
         expr("ts div 1000000000").as("ts_s"))
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("gap_s", col("ts_s") - lag("ts_s", 1).over(w))
@@ -446,7 +460,7 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "q_window_funcs" ->
-      """SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value,
+      """SELECT user_id, event_id, value,
         |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile,
         |  epoch_ns(ts) // 1000000000 -
         |    lag(epoch_ns(ts) // 1000000000, 1)
@@ -469,13 +483,13 @@ object CoreQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     "q_monthly_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT n_nationkey, n_name,
         |  count(c_custkey) AS n_rich,
-        |  coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS rich_balance
+        |  CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rich_balance
         |FROM nation LEFT JOIN customer
         |  ON n_nationkey = c_nationkey AND c_acctbal > 7500.0
         |GROUP BY n_nationkey, n_name""".stripMargin,
@@ -500,17 +514,16 @@ object CoreQueries {
         |GROUP BY ls""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_window_range" ->
-      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
-        |  CAST(value AS DECIMAL(18,2)) AS value,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
-        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q17_correlated" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#23'
@@ -545,20 +558,20 @@ object CoreQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'""".stripMargin,
     "q3_join_agg" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -569,7 +582,7 @@ object CoreQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multi_join" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -582,10 +595,10 @@ object CoreQueries {
         |GROUP BY n_name""".stripMargin,
     "q_groupby_having" ->
       """SELECT o_custkey, count(*) AS order_count,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
     "q_topk" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
@@ -602,18 +615,18 @@ object CoreQueries {
         |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (
-        |  SELECT c_nationkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |  SELECT c_nationkey, o_orderkey, o_totalprice AS totalprice,
         |    row_number() OVER (PARTITION BY c_nationkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |) WHERE rk <= 3""".stripMargin,
     "q_window_running" ->
-      """SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
@@ -641,7 +654,7 @@ object CoreQueries {
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_s) AS session_start, max(ts_s) AS session_end,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -649,14 +662,15 @@ object CoreQueries {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q_scalar_subquery" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_totalprice AS totalprice
         |FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5""".stripMargin,
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * (SELECT count(*) FROM orders)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) * 3""".stripMargin,
     "q_case_agg" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_discount >= 0.05
+        |  CAST(sum(CASE WHEN l_discount >= 0.05
         |      THEN CAST(l_extendedprice * l_discount AS DECIMAL(18,4))
-        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS high_disc_revenue,
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS high_disc_revenue,
         |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag""".stripMargin

@@ -28,17 +28,29 @@ object IdempotentSink {
       .partitionBy(keyCol).orderBy(col(tiebreak))
     val batch = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // Only a genuinely-absent target means "first write": a transient
+    // read failure (IO, eventual consistency) must propagate, otherwise
+    // the anti-join is skipped and duplicates are appended — silently
+    // breaking the first-writer-wins invariant.
     val targetExists =
-      try { spark.read.parquet(path).take(1); true }
-      catch { case _: Exception => false }
+      try { spark.read.parquet(path).schema; true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition == "PATH_NOT_FOUND" => false
+      }
     val fresh =
       if (!targetExists) batch
       else {
         val existing = spark.read.parquet(path).select(col(keyCol)).distinct()
         batch.join(existing, Seq(keyCol), "left_anti")
       }
-    val written = fresh.count()
-    if (written > 0) fresh.write.mode(SaveMode.Append).parquet(path)
-    (written, incomingTotal - written)
+    // One materialization: count() and write() must see the same rows
+    // (recomputation between them could race a concurrent writer).
+    fresh.persist()
+    try {
+      val written = fresh.count()
+      if (written > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+      (written, incomingTotal - written)
+    } finally fresh.unpersist()
   }
 }

@@ -51,7 +51,9 @@ object StreamOps {
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+           // exact decimal accumulation, double on the way out (outputs
+           // never carry DECIMAL — see CoreQueries portability rules)
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
     val name = s"win_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -102,7 +104,7 @@ object StreamOps {
     "stream_windowed_agg" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  event_type, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin
   )

@@ -16,8 +16,12 @@ class SessionizePropertySpec extends SparkTestBase {
 
   private def referenceGrouping(toks: List[String]): List[List[String]] = {
     val idx = toks.zipWithIndex.collect { case (t, i) if markers(t) => i }
-    if (idx.isEmpty) Nil
-    else idx.zip(idx.tail :+ toks.length).map { case (a, b) => toks.slice(a, b) }
+    // True pairwise walk (transforms.py:19-30): a single marker yields
+    // NO pairs, and the end-capture append is guarded on non-emptiness —
+    // so one-marker docs produce zero groups.
+    val pairs = idx.zip(idx.drop(1))
+    if (pairs.isEmpty) Nil
+    else (pairs :+ ((idx.last, toks.length))).map { case (a, b) => toks.slice(a, b) }
   }
 
   private def sparkGrouping(docs: List[List[String]]): Map[(Int, Long), String] = {
@@ -27,10 +31,12 @@ class SessionizePropertySpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val cum = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isMarker = when(col("tok").isin(markers.toSeq.map(lit): _*), 1).otherwise(0)
     df.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("session_id",
-        sum(when(col("tok").isin(markers.toSeq.map(lit): _*), 1).otherwise(0)).over(cum))
-      .filter(col("session_id") >= 1)
+      .withColumn("session_id", sum(isMarker).over(cum))
+      .withColumn("n_markers",
+        sum(isMarker).over(Window.partitionBy("doc_id")))
+      .filter(col("session_id") >= 1 && col("n_markers") >= 2)
       .groupBy("doc_id", "session_id")
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),

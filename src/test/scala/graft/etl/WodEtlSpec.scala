@@ -15,11 +15,12 @@ class WodEtlSpec extends SparkTestBase {
     * walk) for cross-checking the window-function plan. */
   private def groupSourceBy(markers: Set[String], toks: Vector[String]): Vector[Vector[String]] = {
     val idx = toks.zipWithIndex.collect { case (t, i) if markers(t) => i }
-    if (idx.isEmpty) Vector.empty
-    else {
-      val bounds = idx.zip(idx.tail :+ toks.length)
-      bounds.map { case (a, b) => toks.slice(a, b) }.toVector
-    }
+    // True pairwise walk (transforms.py:19-30): a single marker yields
+    // NO pairs and the end-capture append is guarded — zero groups.
+    val pairs = idx.zip(idx.drop(1))
+    if (pairs.isEmpty) Vector.empty
+    else (pairs :+ ((idx.last, toks.length)))
+      .map { case (a, b) => toks.slice(a, b) }.toVector
   }
 
   private lazy val rawDocs: Map[Long, Vector[String]] =

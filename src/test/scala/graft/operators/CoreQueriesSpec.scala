@@ -8,7 +8,7 @@ class CoreQueriesSpec extends SparkTestBase {
   test("q1 aggregates to the 6 returnflag/linestatus groups") {
     val rows = CoreQueries.q1Agg(spark, sf).collect()
     assert(rows.length == 6)
-    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("sum_qty").signum() > 0))
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
   }
 
   test("filter+projection are pushed into the parquet scan") {

@@ -10,14 +10,15 @@ class StreamOpsSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val streamed = StreamOps.streamWindowedAgg(spark, sf).collect()
       .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("event_type")) ->
-        (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value").toPlainString))
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
       .toMap
     val batch = spark.read.parquet(s"$sf/events.parquet")
       .groupBy((expr("ts div 1000 div 3600000000") * 3600).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
       .collect()
       .map(r => (r.getAs[Long]("w"), r.getAs[String]("event_type")) ->
-        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv").toPlainString))
+        (r.getAs[Long]("n"), r.getAs[Double]("sv")))
       .toMap
     assert(streamed == batch)
   }
