@@ -47,10 +47,6 @@ object DedupOps {
       .distinct()
   }
 
-  /** Distinct-shingle count per document (docs with <3 tokens have no
-    * rows — they can never pair anyway). */
-  private def shingleCounts(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id
     * (first-writer-wins, the reference's idempotent-write semantics). */
@@ -63,8 +59,8 @@ object DedupOps {
     * disjoint 8-hex-char (32-bit) sub-hashes → 8 independent uniform
     * hash functions at 1/4 the hashing cost; lexicographic min over
     * fixed-width hex == numeric min. One partial-aggregating groupBy. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleRows(s, d)
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh
       .withColumn("ma", md5(concat(lit("a:"), col("shingle"))))
       .withColumn("mb", md5(concat(lit("b:"), col("shingle"))))
     val aggs = (0 until H).map { i =>
@@ -75,11 +71,11 @@ object DedupOps {
   }
 
   /** LSH band keys: md5 of each 2-row slice of the signature. */
-  private def bands(s: SparkSession, d: String): DataFrame = {
+  private def bandsFrom(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until BANDS).map(b =>
       struct(lit(b).as("band_id"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_hash")))
-    signatures(s, d)
+    sig
       .select(col("doc_id"), col("n_sh"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("n_sh"), col("bk.band_id"), col("bk.band_hash"))
   }
@@ -90,9 +86,14 @@ object DedupOps {
     * 0.6) is implied by jaccard >= 0.6, so it drops no qualifying
     * pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // The distinct shingle index feeds the signature groupBy AND both
+    // sides of the verification join; materialize it once instead of
+    // recomputing the split/explode/window chain three times. (On a
+    // cluster: a cached/checkpointed intermediate table, same shape.)
+    val sh = shingleRows(s, d).localCheckpoint(true)
     // shingle counts ride along with the band keys — the ratio prune
     // needs no extra join or recomputation of the shingle index
-    val b = bands(s, d)
+    val b = bandsFrom(signaturesFrom(sh))
     val ba = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val bb = b.select(col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"),
@@ -104,7 +105,6 @@ object DedupOps {
         least(ba("n_a"), bb("n_b")) * 5 >= greatest(ba("n_a"), bb("n_b")) * 3)
       .select("doc_a", "doc_b", "n_a", "n_b").distinct()
     // exact |A∩B| via the inverted index, candidates only
-    val sh = shingleRows(s, d)
     val shA = sh.select(col("doc_id").as("doc_a2"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
     pruned
@@ -146,7 +146,8 @@ object DedupOps {
     // each list's ordered pairs MAP-SIDE, count per pair — one
     // computation of the shingle rows, no self-join. (At real scale add
     // a df cap here to drop stop-shingles.)
-    val posting = shingleRows(s, d)
+    val sh = shingleRows(s, d).localCheckpoint(true) // shared: postings + counts
+    val posting = sh
       .groupBy("lang", "shingle")
       .agg(sort_array(collect_list("doc_id")).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -157,7 +158,7 @@ object DedupOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    val cnt = shingleCounts(s, d)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -190,6 +191,16 @@ object DedupOps {
       .localCheckpoint(true)
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
     var reps = nodes.withColumn("rep", col("doc_id")).localCheckpoint(true)
+    // Convergence check without a per-round diff join: reps only ever
+    // DECREASE (min semilattice), so Σrep is strictly monotone until
+    // the fixpoint — equal consecutive sums ⟺ no rep changed. The sum
+    // is one cheap agg over the just-checkpointed (in-memory) table vs
+    // a join + count job per round. Decimal sum: overflow-proof at any
+    // node-id magnitude/count.
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = repSum(reps)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -199,11 +210,10 @@ object DedupOps {
       val next = reps.select("doc_id", "rep").union(viaNeighbor)
         .groupBy("doc_id").agg(min("rep").as("rep"))
         .localCheckpoint(true)
-      val changed = next.join(reps.select(col("doc_id").as("d2"), col("rep").as("old_rep")),
-          next("doc_id") === col("d2"))
-        .filter(col("rep") =!= col("old_rep")).count()
+      val s = repSum(next)
       reps = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     reps.select(col("doc_id"), col("rep").as("cluster_rep"))
