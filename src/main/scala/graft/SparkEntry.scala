@@ -17,6 +17,7 @@ object SparkEntry {
   private def extraModules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       etl.WodEtl.queries -> etl.WodEtl.oracle,
+      operators.ExtendedQueries.queries -> operators.ExtendedQueries.oracle,
       operators.DedupOps.queries -> operators.DedupOps.oracle,
       operators.TextOps.queries -> operators.TextOps.oracle,
       operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ExtendedQueriesSpec extends SparkTestBase {
+
+  test("q2: every returned supplier hits its part's minimum unit cost") {
+    val rows = ExtendedQueries.q2MinCostSupplier(spark, sf)
+    // one minimum per part: every (part, cost) pair agrees on the min
+    val perPart = rows.groupBy("partkey")
+      .agg(countDistinct("min_unit_cost").as("n_costs"))
+    assert(perPart.filter(col("n_costs") =!= 1).count() == 0)
+    assert(rows.count() > 0)
+  }
+
+  test("q20: dominated parts exceed 2x fair share by construction") {
+    val rows = ExtendedQueries.q20HeavySuppliers(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_parts_dominated") >= 1))
+  }
+
+  test("window dist: percent_rank in [0,1], cume_dist in (0,1]") {
+    val bad = ExtendedQueries.qWindowDist(spark, sf)
+      .filter(col("pr") < 0 || col("pr") > 1 || col("cd") <= 0 || col("cd") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("unpivot emits exactly 5 metric rows per user and inverts the pivot") {
+    val un = ExtendedQueries.qUnpivot(spark, sf)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(un.count() == users * 5)
+    // total of melted counts == total events
+    val total = un.agg(sum("n")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("date funcs: month_end is >= date and in the same month") {
+    val bad = ExtendedQueries.qDateFuncs(spark, sf)
+      .filter(month(col("month_end")) =!= col("mth") ||
+        year(col("month_end")) =!= col("yr"))
+    assert(bad.count() == 0)
+  }
+
+  test("arg extremes: top event really has the partition's max value") {
+    val ext = ExtendedQueries.qArgExtremes(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id").as("top_event_id"), col("value").as("v"),
+        col("event_type").as("et"))
+    val joined = ext.join(ev,
+      ext("top_event_id") === ev("top_event_id") && ext("event_type") === ev("et"))
+    assert(joined.filter(col("v") =!= col("max_value")).count() == 0)
+  }
+
+  test("fuzzy pairs: symmetric-free (a<b), bounded distance, blocked join plan") {
+    val fp = ExtendedQueries.textFuzzyPairs(spark, sf)
+    assert(fp.filter(col("doc_a") >= col("doc_b") || col("lev") > 20).count() == 0)
+    // blocked equi-join, never a cartesian product
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
