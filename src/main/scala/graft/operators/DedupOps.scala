@@ -26,6 +26,15 @@ object DedupOps {
   private val H = 8 // minhash functions
   private val BANDS = 4 // 4 bands × 2 rows
 
+  /** Stop-shingle document-frequency cap for the Jaccard posting path:
+    * a shingle shared by df documents expands to df·(df−1)/2 pairs, so
+    * one stop-shingle ("in the of") at corpus scale is a quadratic
+    * blowup. Shingles with df > cap carry no near-dup signal and are
+    * dropped from intersection counting (bounding any posting list's
+    * pair expansion at cap²); the corpus-realistic dfs here (max 14 at
+    * sf0.1) sit far below it, so results are unchanged at test scale. */
+  private val STOP_SHINGLE_DF_CAP = 64
+
   /** Distinct (doc_id, lang, 3-token shingle) rows, built RELATIONALLY:
     * posexplode + lead() windows instead of array lambdas. Lambda-built
     * shingle arrays looked fine but Catalyst's filter pushdown re-inlines
@@ -144,13 +153,14 @@ object DedupOps {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     // Posting-list formulation: group docs per (lang, shingle), expand
     // each list's ordered pairs MAP-SIDE, count per pair — one
-    // computation of the shingle rows, no self-join. (At real scale add
-    // a df cap here to drop stop-shingles.)
+    // computation of the shingle rows, no self-join. The df cap bounds
+    // each list's pair expansion (see STOP_SHINGLE_DF_CAP).
     val sh = shingleRows(s, d).localCheckpoint(true) // shared: postings + counts
     val posting = sh
       .groupBy("lang", "shingle")
       .agg(sort_array(collect_list("doc_id")).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 &&
+        size(col("docs")) <= STOP_SHINGLE_DF_CAP)
     val inter = posting
       .select(explode(flatten(transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + lit(2), size(col("docs"))),
@@ -331,8 +341,12 @@ object DedupOps {
     "dedup_ngram_jaccard" ->
       s"""$shingleSetsCte,
          |inv AS (SELECT doc_id, lang, unnest(sh_set) AS shingle FROM sized),
+         |capped AS (SELECT * FROM (
+         |    SELECT doc_id, lang, shingle,
+         |      count(*) OVER (PARTITION BY lang, shingle) AS df FROM inv)
+         |  WHERE df <= 64),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM inv a JOIN inv b
+         |  FROM capped a JOIN capped b
          |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |scored AS (SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
