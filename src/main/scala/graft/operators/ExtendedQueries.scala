@@ -184,7 +184,65 @@ object ExtendedQueries {
         (col("ts_s") - col("last_signup_ts")).as("secs_since_signup"))
   }
 
+  /** Signup→purchase conversion funnel per user: first event time of
+    * each stage, converted iff the purchase is at-or-after the signup.
+    * One groupBy shuffle on user_id; conditional min is map-side
+    * partial — the standard funnel shape at any scale. */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts_s"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_s"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts_s"))).as("first_purchase"))
+      .withColumn("converted",
+        (col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_signup")).cast("int"))
+
+  /** Week-over-week retention: per user, count of active weeks and of
+    * consecutive-week continuations (distinct weeks → lag → gap=1).
+    * Distinct + window share the user_id partitioning. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    events(s, d)
+      .select(col("user_id"), expr("(ts div 1000000000) div 604800").as("wk"))
+      .distinct()
+      .withColumn("gap", col("wk") - lag("wk", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(when(col("gap") === 1, 1).otherwise(0)).as("n_retained"))
+  }
+
+  /** Corpus term statistics (Zipf head): top-50 tokens by document-
+    * blind corpus frequency, rank with explicit token tiebreak. */
+  def textZipf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Per-document lexical stats: token count, distinct-token count,
+    * type-token ratio (exact long counts; the ratio is one double
+    * division of exact longs — identical bits in any engine). */
+  def textDocStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "text_zipf" -> (textZipf _),
+    "text_doc_stats" -> (textDocStats _),
     "q_asof_custom" -> (qAsofCustom _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q20_heavy_suppliers" -> (q20HeavySuppliers _),
@@ -196,6 +254,43 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END) AS first_signup,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) AS first_purchase,
+        |  CAST(CASE WHEN
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END)
+        |      >= min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END)
+        |    THEN 1 ELSE 0 END AS INT) AS converted
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS wk
+        |  FROM events
+        |), gapped AS (
+        |  SELECT user_id,
+        |    wk - lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS gap
+        |  FROM weeks
+        |)
+        |SELECT user_id, count(*) AS n_weeks,
+        |  CAST(sum(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |FROM gapped GROUP BY user_id""".stripMargin,
+    "text_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counted AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 50)
+        |SELECT tok, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+        |FROM counted""".stripMargin,
+    "text_doc_stats" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ttr
+        |FROM toks GROUP BY doc_id""".stripMargin,
     // identical semantics to the window-composed q_asof_join: the
     // custom physical operator must reproduce the same rows
     "q_asof_custom" -> CoreQueries.oracle("q_asof_join"),

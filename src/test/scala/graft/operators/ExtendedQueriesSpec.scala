@@ -52,6 +52,35 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("v") =!= col("max_value")).count() == 0)
   }
 
+  test("funnel: converted implies both stages present and ordered") {
+    val bad = ExtendedQueries.qFunnel(spark, sf)
+      .filter(col("converted") === 1 &&
+        (col("first_signup").isNull || col("first_purchase").isNull ||
+         col("first_purchase") < col("first_signup")))
+    assert(bad.count() == 0)
+  }
+
+  test("retention: continuations never exceed weeks-1") {
+    val bad = ExtendedQueries.qRetention(spark, sf)
+      .filter(col("n_retained") > col("n_weeks") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("zipf: ranks are 1..n in strictly non-increasing frequency") {
+    val rows = ExtendedQueries.textZipf(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("doc stats: ttr in (0,1], distinct <= tokens") {
+    val bad = ExtendedQueries.textDocStats(spark, sf)
+      .filter(col("n_distinct") > col("n_tokens") ||
+        col("ttr") <= 0 || col("ttr") > 1)
+    assert(bad.count() == 0)
+  }
+
   test("fuzzy pairs: symmetric-free (a<b), bounded distance, blocked join plan") {
     val fp = ExtendedQueries.textFuzzyPairs(spark, sf)
     assert(fp.filter(col("doc_a") >= col("doc_b") || col("lev") > 20).count() == 0)
