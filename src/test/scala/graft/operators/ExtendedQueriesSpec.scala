@@ -19,6 +19,16 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("n_parts_dominated") >= 1))
   }
 
+  test("q2/q20 plans: part dim broadcast, no cartesian, filter pushed to scan") {
+    Seq(ExtendedQueries.q2MinCostSupplier(spark, sf),
+        ExtendedQueries.q20HeavySuppliers(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("PushedFilters: [IsNotNull(p_"), "part filter must reach the scan")
+    }
+  }
+
   test("window dist: percent_rank in [0,1], cume_dist in (0,1]") {
     val bad = ExtendedQueries.qWindowDist(spark, sf)
       .filter(col("pr") < 0 || col("pr") > 1 || col("cd") <= 0 || col("cd") > 1)
