@@ -199,8 +199,14 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .localCheckpoint(true)
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var reps = nodes.withColumn("rep", col("doc_id")).localCheckpoint(true)
+    // Seed with min(self, neighbors) straight from the edge list — the
+    // result identity-init + one propagation round would produce, for
+    // free (edges are symmetric, so every node appears as doc_a).
+    var reps = edges
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
+      .localCheckpoint(true)
     // Convergence check without a per-round diff join: reps only ever
     // DECREASE (min semilattice), so Σrep is strictly monotone until
     // the fixpoint — equal consecutive sums ⟺ no rep changed. The sum
@@ -217,9 +223,11 @@ object DedupOps {
       val viaNeighbor = edges
         .join(reps, edges("doc_b") === reps("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("rep"))
+      // lazy checkpoint: the repSum action below materializes it, so
+      // each round costs ONE job instead of checkpoint-job + agg-job
       val next = reps.select("doc_id", "rep").union(viaNeighbor)
         .groupBy("doc_id").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = repSum(next)
       reps = next
       converged = s == prevSum

@@ -238,6 +238,28 @@ object ExtendedQueries {
       .withColumn("ttr",
         col("n_distinct").cast("double") / col("n_tokens").cast("double"))
 
+  /** Sketch surface — the 100 TB path for distincts/quantiles, where
+    * exact computation means a full shuffle of every key. Deliberately
+    * NOT in the declared `queries` map: sketch internals (HLL++,
+    * approximate-percentile digests) are not engine-portable, so there
+    * is no hash-matchable oracle; the spec instead bounds their
+    * relative error against the exact operators on the same data —
+    * the same ◐ treatment as the sinks. */
+  def qSketchDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
+  def qSketchQuantiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),

@@ -91,6 +91,28 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("sketches: approx distinct within 5% of exact, approx median within exact p40..p60") {
+    val approx = ExtendedQueries.qSketchDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+    val q = ExtendedQueries.qSketchQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounds = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.4)).as("lo"),
+        percentile(col("value"), lit(0.6)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    bounds.foreach { case (k, (lo, hi)) =>
+      assert(q(k) >= lo && q(k) <= hi, s"$k: p50approx ${q(k)} outside [$lo,$hi]")
+    }
+  }
+
   test("fuzzy pairs: symmetric-free (a<b), bounded distance, blocked join plan") {
     val fp = ExtendedQueries.textFuzzyPairs(spark, sf)
     assert(fp.filter(col("doc_a") >= col("doc_b") || col("lev") > 20).count() == 0)
