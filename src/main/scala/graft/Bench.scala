@@ -22,11 +22,20 @@ object Bench {
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two timed passes, keep the per-query minimum: the first pass at
+    // the target SF still pays one-time costs the sf0.001 warm-up can't
+    // cover (page cache for the bigger files, size-specific JIT tiers),
+    // which otherwise adds multi-x run-to-run noise to individual
+    // queries. The min is the steady-state throughput.
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

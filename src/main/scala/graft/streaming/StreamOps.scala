@@ -56,6 +56,11 @@ object StreamOps {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
+    // drop sinks left by earlier invocations in this session (warm-up +
+    // repeated bench passes) so completed-mode tables don't accumulate
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("win_agg_"))
+      .foreach(t => s.catalog.dropTempView(t))
     val name = s"win_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = stream.writeStream
       .format("memory").queryName(name)
