@@ -143,6 +143,50 @@ object DedupOps {
           when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** 32-bit SimHash value per doc (same md5-nibble hyperplanes as the
+    * 16-bit signature, extended to all 32 md5 hex positions), as a
+    * BIGINT for cheap XOR/bit_count Hamming distance. */
+  private[operators] def simhash32(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bitSums = (1 to 32).map { j =>
+      sum(expr(s"2 * ((instr('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) % 2) - 1"))
+        .as(s"s$j")
+    }
+    val value = (1 to 32).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << (32 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), value.as("sh"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance <= 3 over the 32-bit
+    * signatures. Candidates come from 4 bands of 8 bits — with <= 3
+    * differing bits at most 3 bands are dirty, so at least one band
+    * matches exactly (pigeonhole): the banded equi-join is EXHAUSTIVE
+    * for this threshold, never a cross join. Verification is one
+    * bit_count(xor) per candidate. */
+  def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash32(s, d).localCheckpoint(true)
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sh"), 8 * b).bitwiseAND(255).as("band_val"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band_id"), col("bk.band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id").as("band_id_b"), col("band_val").as("band_val_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b,
+        col("band_id") === col("band_id_b") && col("band_val") === col("band_val_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
     * inverted index — pairs sharing no shingle never materialize (they
     * cannot pass the threshold) — then a length-band block (n_sh div
@@ -243,6 +287,7 @@ object DedupOps {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
   )
 
@@ -346,6 +391,29 @@ object DedupOps {
         |    CASE WHEN s15 >= 0 THEN '1' ELSE '0' END, CASE WHEN s16 >= 0 THEN '1' ELSE '0' END
         |  ) AS simhash
         |FROM sums""".stripMargin,
+    "dedup_simhash_pairs" -> {
+      val sums = (1 to 32).map(j =>
+        s"sum(2 * ((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) % 2) - 1) AS s$j")
+        .mkString(",\n  ")
+      val value = (1 to 32).map(j =>
+        s"CASE WHEN s$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sums AS (SELECT doc_id,
+         |  $sums
+         |  FROM tok GROUP BY doc_id),
+         |vals AS (SELECT doc_id, CAST($value AS BIGINT) AS sh FROM sums),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band_id,
+         |    (sh >> (8 * b.band_id)) & 255 AS band_val
+         |  FROM vals, (SELECT unnest([0,1,2,3]) AS band_id) b)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+         |FROM banded a JOIN banded b2
+         |  ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+         | AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.sh, b2.sh)) <= 3""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""$shingleSetsCte,
          |inv AS (SELECT doc_id, lang, unnest(sh_set) AS shingle FROM sized),

@@ -38,6 +38,23 @@ class DedupOpsSpec extends SparkTestBase {
     assert(ham <= 4, s"docs $a/$b jac=${pair.getAs[Double]("jaccard")} hamming=$ham")
   }
 
+  test("simhash pairs: banded retrieval is EXHAUSTIVE for hamming <= 3") {
+    val banded = DedupOps.dedupSimhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    // brute-force ground truth: every doc pair, popcount of the XOR
+    val sigs = DedupOps.simhash32(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh"))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}; " +
+        s"missed=${(brute.keySet -- banded.keySet).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
   test("cluster election: every near-dup pair shares one keeper, keeper is min") {
     val reps = DedupOps.dedupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
