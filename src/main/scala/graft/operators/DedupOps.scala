@@ -130,10 +130,12 @@ object DedupOps {
   /** 16-bit SimHash from md5-nibble hyperplanes: bit j of a doc is the
     * sign of Σ_tokens (2·(nibble_j(md5(tok)) mod 2) − 1). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // hash once per token, slice 16 times (see simhash32)
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("m", md5(col("tok")))
     val bitSums = (1 to 16).map { j =>
-      sum(expr(s"2 * ((instr('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) % 2) - 1"))
+      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, $j, 1)) - 1) % 2) - 1"))
         .as(s"s$j")
     }
     tok.groupBy("doc_id")
@@ -147,10 +149,13 @@ object DedupOps {
     * 16-bit signature, extended to all 32 md5 hex positions), as a
     * BIGINT for cheap XOR/bit_count Hamming distance. */
   private[operators] def simhash32(s: SparkSession, d: String): DataFrame = {
+    // hash once per token; the 32 bit-sums slice the SAME digest (the
+    // inlined form would re-evaluate md5 inside every aggregate)
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("m", md5(col("tok")))
     val bitSums = (1 to 32).map { j =>
-      sum(expr(s"2 * ((instr('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) % 2) - 1"))
+      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, $j, 1)) - 1) % 2) - 1"))
         .as(s"s$j")
     }
     val value = (1 to 32).map(j =>
