@@ -101,11 +101,58 @@ object StreamOps {
       }
   }
 
+  /** The stateful sessionizer driven to completion over the events
+    * table (AvailableNow on the single parquet file = one micro-batch):
+    * emitted rows are the CLOSED sessions — every gap-delimited session
+    * except each user's trailing one, which stays in state awaiting
+    * more data. That closed-set semantics is exactly expressible in
+    * SQL, so the stateful operator is oracle-checked, not just
+    * spec-tested. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = s.readStream
+      .schema(Tables.events(s, d).schema)
+      .parquet(streamDir(d, "events"))
+      .selectExpr("user_id", "ts div 1000000000 AS ts_s", "value")
+      .as[Ev]
+    val name = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessionize(ds).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_windowed_agg" -> (streamWindowedAgg _)
+    "stream_windowed_agg" -> (streamWindowedAgg _),
+    "stream_sessions" -> (streamSessions _)
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+        |           OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, ts_s,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, sid, min(ts_s) AS sess_start, max(ts_s) AS sess_end,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT user_id, sess_start, sess_end, n_events
+        |FROM agg
+        |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  event_type, count(*) AS n_events,
