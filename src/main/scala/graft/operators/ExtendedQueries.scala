@@ -260,7 +260,29 @@ object ExtendedQueries {
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
         count(lit(1)).as("n"))
 
+  /** INTERSECT: users who both clicked and purchased (set semantics —
+    * Spark plans it as a distinct + left-semi join). */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** EXCEPT: (user, day) pairs with a click but no purchase — finer
+    * granularity than whole users (every user in this corpus does
+    * everything eventually, which would make the plain-user EXCEPT
+    * vacuous). */
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"))
+    ev.filter(col("event_type") === "click").select("user_id", "day")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id", "day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "text_zipf" -> (textZipf _),
@@ -276,6 +298,16 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_except" ->
+      """SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_funnel" ->
       """SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000000000 END) AS first_signup,

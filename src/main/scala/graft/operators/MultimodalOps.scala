@@ -77,12 +77,42 @@ object MultimodalOps {
         round(element_at(col("features"), 2) * col("byte_len")).cast("long").as("bin1_count"))
   }
 
+  /** Frame sampling over an opaque media payload: the binary column is
+    * treated as a sequence of fixed 32-byte frames; every 4th frame is
+    * extracted by byte-offset substring and fingerprinted. This is the
+    * video-style access pattern (seek + slice, no full decode) — all
+    * map-side, payload bytes never shuffle; only (doc_id, frame_id,
+    * md5) rows move. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 32
+    val stride = 4
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames", (length(col("payload")) / frameLen).cast("int"))
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        md5(expr(s"substring(payload, frame_id * $frameLen + 1, $frameLen)"))
+          .as("frame_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats _),
-    "mm_decode_features" -> (mmDecodeFeatures _)
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _)
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH framed AS (
+        |  SELECT doc_id, text, CAST(strlen(text) // 32 AS INT) AS n_frames
+        |  FROM documents WHERE strlen(text) >= 32)
+        |SELECT doc_id,
+        |  CAST(f.frame_id AS INT) AS frame_id,
+        |  md5(substr(text, CAST(f.frame_id AS INT) * 32 + 1, 32)) AS frame_md5
+        |FROM framed, LATERAL (
+        |  SELECT unnest(range(0, n_frames, 4)) AS frame_id) f""".stripMargin,
     "mm_decode_features" ->
       """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
         |  unnest(range(1, strlen(text)+1)) AS i FROM documents),
