@@ -103,26 +103,45 @@ case class AsofJoinExec(
       }
       readRight()
       lIter.map { lRow =>
-        val key = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
-        val tie = li.eval(lRow).asInstanceOf[Long]
-        // consume right rows up to and including (key, t, tie)
-        var advance = true
-        while (advance && rRow != null) {
-          val k2 = rk.eval(rRow).asInstanceOf[Long]
-          if (k2 < key) { readRight() }
-          else if (k2 == key) {
-            val t2 = rt.eval(rRow).asInstanceOf[Long]
-            val i2 = ri.eval(rRow).asInstanceOf[Long]
-            if (t2 < t || (t2 == t && i2 <= tie)) {
-              matchKey = key; hasMatch = true; matchTs = t2
-              readRight()
-            } else advance = false
-          } else advance = false
+        val keyV = lk.eval(lRow)
+        val tV = lt.eval(lRow)
+        val tieV = li.eval(lRow)
+        if (keyV == null || tV == null || tieV == null) {
+          // null keys/times never match (documented semantics) — and
+          // they sort first, so the right cursor has not passed them
+          extra.update(0, null)
+          proj(joined(lRow, extra))
+        } else {
+          val key = keyV.asInstanceOf[Long]
+          val t = tV.asInstanceOf[Long]
+          val tie = tieV.asInstanceOf[Long]
+          // consume right rows up to and including (key, t, tie)
+          var advance = true
+          while (advance && rRow != null) {
+            val k2V = rk.eval(rRow)
+            if (k2V == null) { readRight() } // unmatched by definition
+            else {
+              val k2 = k2V.asInstanceOf[Long]
+              if (k2 < key) { readRight() }
+              else if (k2 == key) {
+                val t2V = rt.eval(rRow)
+                val i2V = ri.eval(rRow)
+                if (t2V == null || i2V == null) { readRight() }
+                else {
+                  val t2 = t2V.asInstanceOf[Long]
+                  val i2 = i2V.asInstanceOf[Long]
+                  if (t2 < t || (t2 == t && i2 <= tie)) {
+                    matchKey = key; hasMatch = true; matchTs = t2
+                    readRight()
+                  } else advance = false
+                }
+              } else advance = false
+            }
+          }
+          if (hasMatch && matchKey == key) extra.update(0, matchTs)
+          else extra.update(0, null)
+          proj(joined(lRow, extra))
         }
-        if (hasMatch && matchKey == key) extra.update(0, matchTs)
-        else extra.update(0, null)
-        proj(joined(lRow, extra))
       }
     }
   }

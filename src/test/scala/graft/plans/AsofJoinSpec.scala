@@ -42,4 +42,19 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(12L).contains(200L))   // strictly later left sees both
     assert(out(13L).isEmpty)          // key 2 has no right rows
   }
+
+  test("null keys and times never match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Some(1L), 10L, Some(500L)), (None, 11L, Some(500L)),
+      (Some(1L), 12L, None)).toDF("k", "id", "t")
+    val right = Seq((Some(1L), 90L, Some(100L)), (None, 91L, Some(100L)))
+      .toDF("k", "id", "t")
+    val out = AsofJoin(left, right, key = "k", time = "t", tie = "id",
+        outName = "matched")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(out(10L).contains(100L))   // real match unaffected
+    assert(out(11L).isEmpty)          // null left key
+    assert(out(12L).isEmpty)          // null left time
+  }
 }
