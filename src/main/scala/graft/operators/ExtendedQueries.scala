@@ -260,6 +260,25 @@ object ExtendedQueries {
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
         count(lit(1)).as("n"))
 
+  /** Ordered collect: each user's event-type journey as a string,
+    * deterministic after the shuffle — collect_list alone has no
+    * ordering guarantee, so the list is sorted by a (event_id) sort
+    * key before joining. This is the engine's ordered re-assembly
+    * primitive (same pattern the ETL surface uses internally),
+    * exposed as a query. */
+  def qCollectSorted(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("event_id").as("i"),
+            col("event_type").as("t")))),
+          x => x.getField("t"))).as("journey_head_removed"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        substring(col("journey_head_removed"), 1, 120).as("journey_head"),
+        col("n_events"))
+
   /** INTERSECT: users who both clicked and purchased (set semantics —
     * Spark plans it as a distinct + left-semi join). */
   def qIntersect(s: SparkSession, d: String): DataFrame = {
@@ -281,6 +300,7 @@ object ExtendedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collect_sorted" -> (qCollectSorted _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_funnel" -> (qFunnel _),
@@ -298,6 +318,11 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_collect_sorted" ->
+      """SELECT user_id,
+        |  substr(string_agg(event_type, '>' ORDER BY event_id), 1, 120) AS journey_head,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
