@@ -183,13 +183,21 @@ object DedupOps {
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band_id").as("band_id_b"), col("band_val").as("band_val_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // first-matching-band emission: a pair sharing k bands would appear
+    // k times; keeping only the LOWEST band whose 8-bit block of
+    // sh_a^sh_b is zero makes each pair appear exactly once, so no
+    // dedup shuffle is needed afterwards
+    val firstMatch = expr(
+      """band_id = (CASE WHEN ((sh_a ^ sh_b) & 255) = 0 THEN 0
+        |  WHEN (shiftright(sh_a ^ sh_b, 8) & 255) = 0 THEN 1
+        |  WHEN (shiftright(sh_a ^ sh_b, 16) & 255) = 0 THEN 2
+        |  ELSE 3 END)""".stripMargin)
     a.join(b,
         col("band_id") === col("band_id_b") && col("band_val") === col("band_val_b") &&
-        col("doc_a") < col("doc_b"))
+        col("doc_a") < col("doc_b") && firstMatch)
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct()
   }
 
   /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
