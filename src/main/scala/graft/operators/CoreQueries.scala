@@ -305,11 +305,19 @@ object CoreQueries {
     * exact in double and the 0.2·avg comparison is engine-portable. */
   def q17Correlated(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-    val partAvg = li.groupBy(col("l_partkey").as("pk"))
-      .agg(avg("l_quantity").as("avg_qty"))
     val p = part(s, d).filter(col("p_brand") === "Brand#23")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(partAvg, li("l_partkey") === partAvg("pk"))
+    // Prune the fact table to the brand's parts BEFORE the per-part
+    // aggregate: the avg is only consumed for ~1/25 of parts, so
+    // aggregating all of lineitem first would shuffle the whole fact
+    // table to build groups that are mostly thrown away (the same
+    // broadcast-semi prune q20HeavySuppliers uses). Per-part avg over
+    // the pruned rows is identical — the prune keeps every lineitem of
+    // every surviving part.
+    val liBrand = li.join(broadcast(p.select("p_partkey")),
+      li("l_partkey") === col("p_partkey"), "left_semi")
+    val partAvg = liBrand.groupBy(col("l_partkey").as("pk"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    liBrand.join(partAvg, liBrand("l_partkey") === partAvg("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
       .agg(
         sum(col("l_extendedprice").cast(dec182)).cast("double").as("total_price"),

@@ -35,6 +35,29 @@ object DedupOps {
     * sf0.1) sit far below it, so results are unchanged at test scale. */
   private val STOP_SHINGLE_DF_CAP = 64
 
+  /** Lineage truncation for shared/iterative intermediates. Default is
+    * `localCheckpoint` — executor-local blocks, fast, but an executor
+    * loss on a real cluster kills the job. Set
+    * `spark.graft.checkpointDir` to a fault-tolerant path (HDFS/object
+    * store) and the same sites write reliable `checkpoint()`s instead —
+    * the cluster-grade option, same plans otherwise. */
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame = {
+    val sess = df.sparkSession
+    sess.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        // setCheckpointDir stores dir/<uuid>, so match on the prefix
+        if (!sess.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          sess.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
+  private implicit class TruncOps(df: DataFrame) {
+    def truncEager: DataFrame = truncate(df, eager = true)
+    def truncLazy: DataFrame = truncate(df, eager = false)
+  }
+
   /** Distinct (doc_id, lang, 3-token shingle) rows, built RELATIONALLY:
     * posexplode + lead() windows instead of array lambdas. Lambda-built
     * shingle arrays looked fine but Catalyst's filter pushdown re-inlines
@@ -99,7 +122,7 @@ object DedupOps {
     // sides of the verification join; materialize it once instead of
     // recomputing the split/explode/window chain three times. (On a
     // cluster: a cached/checkpointed intermediate table, same shape.)
-    val sh = shingleRows(s, d).localCheckpoint(true)
+    val sh = shingleRows(s, d).truncEager
     // shingle counts ride along with the band keys — the ratio prune
     // needs no extra join or recomputation of the shingle index
     val b = bandsFrom(signaturesFrom(sh))
@@ -173,7 +196,7 @@ object DedupOps {
     * for this threshold, never a cross join. Verification is one
     * bit_count(xor) per candidate. */
   def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash32(s, d).localCheckpoint(true)
+    val sh = simhash32(s, d).truncEager
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -212,7 +235,7 @@ object DedupOps {
     // each list's ordered pairs MAP-SIDE, count per pair — one
     // computation of the shingle rows, no self-join. The df cap bounds
     // each list's pair expansion (see STOP_SHINGLE_DF_CAP).
-    val sh = shingleRows(s, d).localCheckpoint(true) // shared: postings + counts
+    val sh = shingleRows(s, d).truncEager // shared: postings + counts
     val posting = sh
       .groupBy("lang", "shingle")
       .agg(sort_array(collect_list("doc_id")).as("docs"))
@@ -255,7 +278,7 @@ object DedupOps {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .localCheckpoint(true)
+      .truncEager
     // Seed with min(self, neighbors) straight from the edge list — the
     // result identity-init + one propagation round would produce, for
     // free (edges are symmetric, so every node appears as doc_a).
@@ -263,7 +286,7 @@ object DedupOps {
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("mn"))
       .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
-      .localCheckpoint(true)
+      .truncEager
     // Convergence check without a per-round diff join: reps only ever
     // DECREASE (min semilattice), so Σrep is strictly monotone until
     // the fixpoint — equal consecutive sums ⟺ no rep changed. The sum
@@ -284,7 +307,7 @@ object DedupOps {
       // each round costs ONE job instead of checkpoint-job + agg-job
       val next = reps.select("doc_id", "rep").union(viaNeighbor)
         .groupBy("doc_id").agg(min("rep").as("rep"))
-        .localCheckpoint(false)
+        .truncLazy
       val s = repSum(next)
       reps = next
       converged = s == prevSum
@@ -433,7 +456,7 @@ object DedupOps {
          |capped AS (SELECT * FROM (
          |    SELECT doc_id, lang, shingle,
          |      count(*) OVER (PARTITION BY lang, shingle) AS df FROM inv)
-         |  WHERE df <= 64),
+         |  WHERE df <= $STOP_SHINGLE_DF_CAP),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
          |  FROM capped a JOIN capped b
          |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id

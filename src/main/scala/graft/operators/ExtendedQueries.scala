@@ -124,11 +124,16 @@ object ExtendedQueries {
         add_months(col("od"), 3).as("plus3m"),
         datediff(col("od"), lit("1995-01-01").cast("date")).as("days_since"))
 
-  /** min_by/max_by with a total-order key: fixed-width numeric-string
-    * key makes lexicographic == numeric order and the event_id suffix
-    * breaks value ties — deterministic in any engine. */
+  /** min_by/max_by with a total-order key: one exact BIGINT — cents via
+    * floor(v·100 + 0.5) (the same IEEE op sequence in every engine,
+    * where string formatters disagree on half-up vs half-even at .xx5
+    * midpoints) in the high digits, event_id as the tiebreak in the low
+    * ten. Values are non-negative and bounded (≤ ~1e6 cents), so the
+    * packed key cannot overflow and orders exactly like
+    * (rounded value, event_id). */
   def qArgExtremes(s: SparkSession, d: String): DataFrame = {
-    val key = format_string("%012.2f|%010d", col("value"), col("event_id"))
+    val key = floor(col("value") * 100 + 0.5).cast("long") * 10000000000L +
+      col("event_id")
     events(s, d)
       .groupBy("event_type")
       .agg(
@@ -144,15 +149,37 @@ object ExtendedQueries {
     * Blocking on the crawl source matters quadratically: at sf0.1 it
     * cuts candidates 20× (315k → 16k) and is the semantically-right
     * scope for fuzzy dedup anyway. The prefix cap bounds the per-pair
-    * Levenshtein cost. */
-  def textFuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    * Levenshtein cost, and the block-size cap bounds the pair count:
+    * no block contributes more than cap² candidates. */
+  def textFuzzyPairs(s: SparkSession, d: String): DataFrame =
+    textFuzzyPairsCapped(s, d, FUZZY_BLOCK_CAP)
+
+  /** Block-size cap for the fuzzy join: a (lang, source, len_band)
+    * block hotter than this is excluded wholesale — an explicit recall
+    * trade instead of a silent quadratic job (edit distance admits no
+    * lossless equality sub-key, unlike the LSH-sub-bucketed embedding
+    * path). Test-corpus blocks (max 23 docs at sf0.1) sit far below
+    * it, so results are unchanged at test scale. */
+  private[operators] val FUZZY_BLOCK_CAP = 1000
+
+  private[operators] def textFuzzyPairsCapped(s: SparkSession, d: String, cap: Int): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         expr("n_chars div 50").as("len_band"),
         substring(col("text"), 1, 60).as("prefix"))
-    val a = docs.select(col("lang"), col("source"), col("len_band"),
+    // block sizes are a tiny aggregate over the block keys (bounded by
+    // lang × source × length-band cardinality), broadcast back as a
+    // semi-join — the doc side is never shuffled for the guard
+    val blocks = docs.groupBy(col("lang").as("bl_lang"),
+        col("source").as("bl_source"), col("len_band").as("bl_band"))
+      .agg(count(lit(1)).as("n_block"))
+      .filter(col("n_block") <= cap)
+    val bounded = docs.join(broadcast(blocks),
+      col("lang") === col("bl_lang") && col("source") === col("bl_source") &&
+        col("len_band") === col("bl_band"), "left_semi")
+    val a = bounded.select(col("lang"), col("source"), col("len_band"),
       col("doc_id").as("doc_a"), col("prefix").as("pref_a"))
-    val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
+    val b = bounded.select(col("lang").as("lang_b"), col("source").as("source_b"),
       col("len_band").as("len_band_b"),
       col("doc_id").as("doc_b"), col("prefix").as("pref_b"))
     a.join(b,
@@ -436,21 +463,23 @@ object ExtendedQueries {
         |FROM orders""".stripMargin,
     "q_arg_extremes" ->
       """SELECT event_type,
-        |  arg_max(event_id, printf('%012.2f|%010d', value, event_id)) AS top_event_id,
-        |  arg_min(event_id, printf('%012.2f|%010d', value, event_id)) AS bottom_event_id,
+        |  arg_max(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000000000 + event_id) AS top_event_id,
+        |  arg_min(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000000000 + event_id) AS bottom_event_id,
         |  max(value) AS max_value,
         |  min(value) AS min_value
         |FROM events GROUP BY event_type""".stripMargin,
     "text_fuzzy_pairs" ->
-      """WITH blocked AS (
-        |  SELECT doc_id, lang, source, n_chars // 50 AS len_band,
-        |    substr(text, 1, 60) AS prefix
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev
-        |FROM blocked a JOIN blocked b
-        |  ON a.lang = b.lang AND a.source = b.source
-        |  AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin
+      s"""WITH blocked AS (
+         |  SELECT doc_id, lang, source, n_chars // 50 AS len_band,
+         |    substr(text, 1, 60) AS prefix,
+         |    count(*) OVER (PARTITION BY lang, source, n_chars // 50) AS n_block
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev
+         |FROM blocked a JOIN blocked b
+         |  ON a.lang = b.lang AND a.source = b.source
+         |  AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+         |WHERE a.n_block <= $FUZZY_BLOCK_CAP
+         |  AND levenshtein(a.prefix, b.prefix) <= 20""".stripMargin
   )
 }

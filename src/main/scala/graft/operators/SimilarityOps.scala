@@ -64,16 +64,17 @@ object SimilarityOps {
     * nibble parity, so the oracle reconstructs the identical planes in
     * SQL from a generated (j, k) grid — the whole pipeline is
     * oracle-checkable. */
+  /** Bit-string LSH signature from the md5-derived hyperplanes — shared
+    * by the ANN bucketing and the dedup sub-bucketing. */
+  private def lshSig(v: Column, bits: Int, dim: Int): Column =
+    concat((0 until bits).map { j =>
+      val pl = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(v, pl) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val dim = 64
-    val bits = 8
-    val planes = (0 until bits).map(j => hyperplane(j, dim))
-    def sig(v: Column): Column =
-      concat((0 until bits).map { j =>
-        val pl = array(planes(j).map(lit): _*)
-        when(dot(v, pl) >= 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-    val emb = embeddings(s, d).withColumn("bucket", sig(col("embedding")))
+    val emb = embeddings(s, d)
+      .withColumn("bucket", lshSig(col("embedding"), bits = 8, dim = 64))
     val q = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket").as("qbucket"))
@@ -87,16 +88,67 @@ object SimilarityOps {
       .filter(col("rk") <= K)
   }
 
+  /** Block-size cap for embedding near-dup: label blocks at or below the
+    * cap pair exactly (all pairs); a hotter block degrades to LSH
+    * sub-buckets instead of going quadratic. Test-corpus blocks (≤200
+    * vectors) sit far below it, so results are unchanged at test scale. */
+  private[operators] val EMB_BLOCK_CAP = 1000
+  private val SUB_BITS = 16
+  private val SUB_BANDS = 4 // 4 bands × 4 bits
+  private val SUB_W = SUB_BITS / SUB_BANDS
+
   /** Embedding-cosine near-dup detection: pairwise cosine inside label
     * blocks (the blocking key a real pipeline gets from a coarse cluster
     * assignment / IVF list), native fused-loop cosine, threshold on the
     * rounded value. */
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
-    a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingCapped(s, d, EMB_BLOCK_CAP)
+
+  /** The bounded form: a label block with more than `cap` vectors never
+    * self-joins in full — its pairing key degrades from the constant ''
+    * (all pairs) to 4-bit LSH sub-bands of the md5-hyperplane signature,
+    * so one hot label at corpus scale costs O(Σ bucket²) instead of
+    * O(block²); candidates within a bucket stay an equi-join. Each
+    * qualifying pair is emitted from its FIRST matching band only (the
+    * dedup_simhash_pairs trick) — no post-join distinct shuffle. Both
+    * regimes are one plan: the small-block key '' makes band 0 match
+    * every in-label pair exactly once. */
+  private[operators] def dedupEmbeddingCapped(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val emb0 = embeddings(s, d)
+    // block sizes: a tiny per-label aggregate, broadcast back — the big
+    // side is scanned, never shuffled, before the banded join itself
+    val blockN = emb0.groupBy(col("label").as("label_n"))
+      .agg(count(lit(1)).as("n_label"))
+    val keys = (0 until SUB_BANDS).map { bd =>
+      when(col("n_label") <= cap, lit(""))
+        .otherwise(substring(col("sig"), bd * SUB_W + 1, SUB_W)).as(s"k$bd")
+    }
+    val keyed = emb0
+      .join(broadcast(blockN), col("label") === col("label_n"))
+      .withColumn("sig", lshSig(col("embedding"), SUB_BITS, dim = 64))
+      .select(Seq(col("label"), col("vec_id"), col("embedding")) ++ keys: _*)
+    val banded = keyed.select(col("label"), col("vec_id"), col("embedding"),
+      col("k0"), col("k1"), col("k2"), col("k3"),
+      explode(array((0 until SUB_BANDS).map(bd =>
+        struct(lit(bd).as("band_id"), col(s"k$bd").as("bkey"))): _*)).as("bk"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        col("bk.band_id").as("band_id"), col("bk.bkey").as("bkey"))
+    val a = banded.select(col("label"), col("band_id"), col("bkey"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("k0").as("ka0"), col("k1").as("ka1"),
+      col("k2").as("ka2"), col("k3").as("ka3"))
+    val b = banded.select(col("label").as("label_b"), col("band_id").as("band_id_b"),
+      col("bkey").as("bkey_b"), col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("k0").as("kb0"), col("k1").as("kb1"),
+      col("k2").as("kb2"), col("k3").as("kb3"))
+    val firstMatch = col("band_id") === when(col("ka0") === col("kb0"), 0)
+      .when(col("ka1") === col("kb1"), 1)
+      .when(col("ka2") === col("kb2"), 2)
+      .otherwise(3)
+    a.join(b,
+        col("label") === col("label_b") && col("band_id") === col("band_id_b") &&
+        col("bkey") === col("bkey_b") && col("vec_a") < col("vec_b") && firstMatch)
       .select(col("label"), col("vec_a"), col("vec_b"),
         cosine(s, col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
@@ -215,18 +267,42 @@ object SimilarityOps {
          |  SELECT qid, vid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
          |  FROM sims) WHERE rk <= $K""".stripMargin,
+    // mirrors the capped form: blocks over EMB_BLOCK_CAP pair only
+    // within matching 4-bit LSH sub-bands (ANY band — the Spark side's
+    // first-matching-band emission produces the same pair set)
     "dedup_embedding" ->
-      """WITH pairs AS (
-        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    a.embedding AS ea, b.embedding AS eb
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id),
-        |flat AS (SELECT label, vec_a, vec_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs),
-        |sims AS (SELECT label, vec_a, vec_b,
-        |  round(sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) /
-        |    (sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) *
-        |     sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)))), 6) AS cos_sim
-        |  FROM flat GROUP BY label, vec_a, vec_b)
-        |SELECT label, vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.4""".stripMargin
+      s"""WITH planes AS (
+         |  SELECT j, k,
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(j || ':' || k), 2, 1)) - 1) % 2 = 1
+         |         THEN 1.0 ELSE -1.0 END AS hv
+         |  FROM range(0, $SUB_BITS) t1(j), range(0, 64) t2(k)),
+         |flatv AS (SELECT vec_id, unnest(embedding) AS x,
+         |  unnest(range(0, len(embedding))) AS k FROM embeddings),
+         |dots AS (SELECT vec_id, j, sum(CAST(x AS DOUBLE) * hv) AS dp
+         |  FROM flatv JOIN planes ON flatv.k = planes.k GROUP BY vec_id, j),
+         |sigs AS (SELECT vec_id,
+         |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |nl AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+         |keyed AS (SELECT e.label, e.vec_id, e.embedding,
+         |  CASE WHEN nl.n_label <= $EMB_BLOCK_CAP THEN '' ELSE substr(g.sig, 1, $SUB_W) END AS k0,
+         |  CASE WHEN nl.n_label <= $EMB_BLOCK_CAP THEN '' ELSE substr(g.sig, ${SUB_W + 1}, $SUB_W) END AS k1,
+         |  CASE WHEN nl.n_label <= $EMB_BLOCK_CAP THEN '' ELSE substr(g.sig, ${2 * SUB_W + 1}, $SUB_W) END AS k2,
+         |  CASE WHEN nl.n_label <= $EMB_BLOCK_CAP THEN '' ELSE substr(g.sig, ${3 * SUB_W + 1}, $SUB_W) END AS k3
+         |  FROM embeddings e JOIN sigs g ON e.vec_id = g.vec_id
+         |       JOIN nl ON e.label = nl.label),
+         |pairs AS (
+         |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM keyed a JOIN keyed b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)),
+         |flat AS (SELECT label, vec_a, vec_b, unnest(ea) AS xa, unnest(eb) AS xb FROM pairs),
+         |sims AS (SELECT label, vec_a, vec_b,
+         |  round(sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) /
+         |    (sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) *
+         |     sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)))), 6) AS cos_sim
+         |  FROM flat GROUP BY label, vec_a, vec_b)
+         |SELECT label, vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.4""".stripMargin
   )
 }

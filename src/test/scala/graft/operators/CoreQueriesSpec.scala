@@ -51,6 +51,24 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 3))
   }
 
+  test("q17 per-part average aggregates only the brand-pruned fact rows") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = CoreQueries.q17Correlated(spark, sf).queryExecution
+    val avgAggs = qe.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "avg_qty") => a
+    }
+    assert(avgAggs.nonEmpty, "expected the decorrelated per-part avg aggregate")
+    avgAggs.foreach { a =>
+      val semis = a.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.nonEmpty,
+        "the avg aggregate must sit ABOVE the Brand#23 semi-join prune " +
+          "(otherwise the whole fact table shuffles into discarded groups)")
+    }
+  }
+
   test("rollup emits detail, subtotal and grand-total levels") {
     val rows = CoreQueries.qRollup(spark, sf).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

@@ -71,4 +71,19 @@ class DedupOpsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "LSH must never cross-join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must never nested-loop-join")
   }
+
+  test("reliable checkpoint dir config: same clusters, checkpoints land on the configured path") {
+    val base = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = DedupOps.dedupClusters(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"))).toSet
+      assert(reliable == base)
+      val landed = new java.io.File(dir).listFiles()
+      assert(landed != null && landed.nonEmpty,
+        "reliable checkpoints must be written under spark.graft.checkpointDir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

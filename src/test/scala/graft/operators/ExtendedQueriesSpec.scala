@@ -120,4 +120,24 @@ class ExtendedQueriesSpec extends SparkTestBase {
     val plan = fp.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("fuzzy pairs block cap bounds the candidate count; default cap is inert here") {
+    // no test-corpus block reaches the default cap → capped == uncapped
+    val default = ExtendedQueries.textFuzzyPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val huge = ExtendedQueries.textFuzzyPairsCapped(spark, sf, Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(default == huge)
+    // cap=1: no block can pair at all
+    assert(ExtendedQueries.textFuzzyPairsCapped(spark, sf, 1).count() == 0)
+    // cap=c: pair count can never exceed n_blocks · c(c−1)/2 — the bound
+    // that keeps one hot block from going quadratic at corpus scale
+    val c = 3
+    val nBlocks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("source"), expr("n_chars div 50")).distinct().count()
+    val capped = ExtendedQueries.textFuzzyPairsCapped(spark, sf, c).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.size <= nBlocks * c * (c - 1) / 2)
+    assert(capped.subsetOf(huge), "capping must only remove pairs, never invent them")
+  }
 }

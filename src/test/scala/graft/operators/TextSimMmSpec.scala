@@ -66,6 +66,23 @@ class SimilarityOpsSpec extends SparkTestBase {
     val plan = SimilarityOps.simCosineTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("dedup-embedding: small blocks pair exactly; over-cap blocks degrade to LSH sub-buckets") {
+    def pairs(cap: Int) =
+      SimilarityOps.dedupEmbeddingCapped(spark, sf, cap).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    // the default cap never binds at test scale: identical to all-pairs
+    val exact = pairs(SimilarityOps.EMB_BLOCK_CAP)
+    val allPairs = pairs(Int.MaxValue)
+    assert(exact.toSet == allPairs.toSet)
+    // cap=0 forces every label block onto the LSH sub-bucket path: the
+    // result must be a SUBSET of the exact pairs (candidates only shrink)
+    // emitted exactly once each (first-matching-band, no dup rows)
+    val lsh = pairs(0)
+    assert(lsh.length == lsh.toSet.size, "each pair must be emitted exactly once")
+    assert(lsh.toSet.subsetOf(allPairs.toSet),
+      "LSH sub-bucketing must only prune candidates, never invent pairs")
+  }
 }
 
 class MultimodalOpsSpec extends SparkTestBase {
