@@ -22,7 +22,8 @@ object SparkEntry {
       operators.TextOps.queries -> operators.TextOps.oracle,
       operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,
       operators.MultimodalOps.queries -> operators.MultimodalOps.oracle,
-      streaming.StreamOps.queries -> streaming.StreamOps.oracle
+      streaming.StreamOps.queries -> streaming.StreamOps.oracle,
+      streaming.StreamIngest.queries -> streaming.StreamIngest.oracle
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,15 +22,24 @@ import org.apache.spark.sql.functions._
 object MergeSink {
 
   /** Upsert `batch` into the parquet at `path`: per key, the row with
-    * the highest (version, is-incoming) wins — incoming beats existing
-    * at equal version. Returns the merged row count. `numFiles` bounds
-    * the rewritten file count (compaction). */
+    * the highest (version, is-incoming, content-hash) wins — incoming
+    * beats existing at equal version, and the xxhash64 of the full row
+    * makes the ordering total even for duplicate (key, version) rows
+    * inside one batch (identical rows tie, but then either is the same
+    * row). Returns the merged row count. `numFiles` bounds the
+    * rewritten file count (compaction). */
   def mergeKeyed(batch: DataFrame, keyCol: String, versionCol: String,
                  path: String, numFiles: Int = 1): Long = {
     val spark = batch.sparkSession
-    val incoming = batch.withColumn("__src", lit(1))
+    val dataCols = batch.columns.toSeq
+    def tagged(df: DataFrame, src: Int): DataFrame = df
+      .withColumn("__src", lit(src))
+      // deterministic content tiebreak: no row_number coin-flip when a
+      // batch carries two rows with the same key and version
+      .withColumn("__h", xxhash64(struct(dataCols.map(col): _*)))
+    val incoming = tagged(batch, 1)
     val existing =
-      try spark.read.parquet(path).withColumn("__src", lit(0))
+      try tagged(spark.read.parquet(path), 0)
       catch {
         case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null && e.getCondition == "PATH_NOT_FOUND" => null
@@ -37,34 +47,34 @@ object MergeSink {
     val all = if (existing == null) incoming
               else existing.unionByName(incoming)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc, col("__h").desc)
     val merged = all
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
+      .drop("__rn", "__src", "__h")
       .repartition(numFiles)
       .persist()
     try {
       val n = merged.count()
-      // write beside, then swap — never a partial in-place overwrite
-      val tmp = path + ".__merge_tmp"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = new java.io.File(path)
-      if (fs.exists()) {
-        val old = new java.io.File(path + ".__merge_old")
-        if (old.exists()) delete(old)
-        require(fs.renameTo(old), s"could not stage old $path")
-        require(new java.io.File(tmp).renameTo(fs), s"could not swap $tmp")
-        delete(old)
+      // write beside, then swap through the path's OWN filesystem
+      // (file:, hdfs:, s3a:, ...) — never a partial in-place overwrite,
+      // and never java.io.File, which silently breaks off the local FS.
+      // (Object stores fake rename with copy+delete; a real deployment
+      // swaps via a table format's atomic commit instead.)
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new Path(path + ".__merge_tmp")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (fs.exists(target)) {
+        val old = new Path(path + ".__merge_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(target, old), s"could not stage old $path")
+        require(fs.rename(tmp, target), s"could not swap $tmp")
+        fs.delete(old, true)
       } else {
-        require(new java.io.File(tmp).renameTo(fs), s"could not move $tmp")
+        require(fs.rename(tmp, target), s"could not move $tmp")
       }
       n
     } finally merged.unpersist()
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
   }
 }

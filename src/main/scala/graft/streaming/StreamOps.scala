@@ -6,8 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Event record for the streaming sessionizer (top-level: encoders and
-  * state-store codegen want plainly constructible classes). */
-case class Ev(user_id: Long, ts_s: Long, value: Double)
+  * state-store codegen want plainly constructible classes).
+  * `event_time` duplicates ts_s as a TIMESTAMP because the watermark
+  * (and therefore event-time state eviction) is declared on a
+  * timestamp column. */
+case class Ev(user_id: Long, ts_s: Long, value: Double,
+              event_time: java.sql.Timestamp)
+
+object Ev {
+  def apply(user_id: Long, ts_s: Long, value: Double): Ev =
+    Ev(user_id, ts_s, value, new java.sql.Timestamp(ts_s * 1000L))
+}
 
 case class SessionOut(user_id: Long, sess_start: Long, sess_end: Long,
                       n_events: Long)
@@ -27,7 +36,7 @@ object StreamOps {
 
   /** The file stream source requires a directory; expose the single
     * parquet file through a temp dir (symlink, copy as fallback). */
-  private def streamDir(d: String, table: String): String = {
+  private[streaming] def streamDir(d: String, table: String): String = {
     import java.nio.file._
     val dir = Files.createTempDirectory(s"graft_stream_$table")
     dir.toFile.deleteOnExit()
@@ -74,47 +83,76 @@ object StreamOps {
   /** Gap-based (30-min) sessionization with explicit state per user via
     * flatMapGroupsWithState — the streaming twin of
     * CoreQueries.qSessionizeEvents. Events inside a batch are sorted by
-    * event time; sessions closed by a gap are emitted, the trailing
-    * session stays in state across batches. */
+    * event time; sessions closed by a gap are emitted immediately, and
+    * the trailing session is EVICTED by an event-time timeout once the
+    * watermark passes its last event + gap: emitted, state removed. A
+    * NoTimeout trailing state would grow without bound on a continuous
+    * stream — per-user state that never evicts is a real 100 TB killer.
+    * Requires a watermark on `event_time` upstream. */
   def sessionize(ds: Dataset[Ev]): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.toSeq.sortBy(_.ts_s)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          evs.foreach { e =>
-            cur match {
-              case Some(st) if e.ts_s - st.lastTs <= 1800 =>
-                cur = Some(st.copy(lastTs = e.ts_s, n = st.n + 1))
-              case Some(st) =>
-                closed += SessionOut(user, st.firstTs, st.lastTs, st.n)
-                cur = Some(SessState(e.ts_s, e.ts_s, 1))
-              case None =>
-                cur = Some(SessState(e.ts_s, e.ts_s, 1))
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: no in-order event can
+            // extend this session any more — close and free the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.firstTs, st.lastTs, st.n))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts_s)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_s - st.lastTs <= 1800 =>
+                  cur = Some(st.copy(lastTs = e.ts_s, n = st.n + 1))
+                case Some(st) =>
+                  closed += SessionOut(user, st.firstTs, st.lastTs, st.n)
+                  cur = Some(SessState(e.ts_s, e.ts_s, 1))
+                case None =>
+                  cur = Some(SessState(e.ts_s, e.ts_s, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark moves beyond last event + gap;
+              // clamp above the current watermark (required by the API
+              // when this batch's events are already older than it)
+              state.setTimeoutTimestamp(
+                math.max((st.lastTs + 1800L) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 
   /** The stateful sessionizer driven to completion over the events
-    * table (AvailableNow on the single parquet file = one micro-batch):
-    * emitted rows are the CLOSED sessions — every gap-delimited session
-    * except each user's trailing one, which stays in state awaiting
-    * more data. That closed-set semantics is exactly expressible in
-    * SQL, so the stateful operator is oracle-checked, not just
-    * spec-tested. */
+    * table: the data lands in one micro-batch (gap-closed sessions
+    * emitted), then AvailableNow runs the follow-up batch the advanced
+    * watermark requires, firing event-time timeouts — trailing sessions
+    * whose last event + gap fell behind the final watermark
+    * (max event − 30 min delay) are evicted and emitted too. Both the
+    * gap-closed set and the watermark-evicted set are exactly
+    * expressible in SQL, so the stateful operator (including eviction)
+    * is oracle-checked, not just spec-tested. */
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = s.readStream
       .schema(Tables.events(s, d).schema)
       .parquet(streamDir(d, "events"))
-      .selectExpr("user_id", "ts div 1000000000 AS ts_s", "value")
+      .selectExpr("user_id", "ts div 1000000000 AS ts_s", "value",
+        "timestamp_seconds(ts div 1000000000) AS event_time")
+      .withWatermark("event_time", "30 minutes")
       .as[Ev]
+    // drop memory sinks left by earlier invocations in this session
+    // (warm-up + repeated bench passes accumulate full result copies)
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("sess_"))
+      .foreach(t => s.catalog.dropTempView(t))
     val name = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = sessionize(ds).writeStream
       .format("memory").queryName(name)
@@ -152,7 +190,11 @@ object StreamOps {
         |)
         |SELECT user_id, sess_start, sess_end, n_events
         |FROM agg
-        |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""".stripMargin,
+        |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |   -- plus watermark-evicted trailing sessions: the final
+        |   -- watermark is max(event) - 30 min delay, and a timeout
+        |   -- fires when it passes last event + 30 min gap
+        |   OR sess_end + 1800 < (SELECT max(ts_s) - 1800 FROM ev)""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  event_type, count(*) AS n_events,

@@ -39,6 +39,37 @@ class MergeSinkSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getString(2) == "new")
   }
 
+  test("swap goes through the path's Hadoop filesystem (explicit file: scheme)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_fs").toFile
+    dir.deleteOnExit()
+    val path = s"file://${dir.getAbsolutePath}/t.parquet"
+    assert(MergeSink.mergeKeyed(Seq((1L, 1L, "a")).toDF("k", "v", "p"), "k", "v", path) == 1)
+    assert(MergeSink.mergeKeyed(Seq((1L, 2L, "b")).toDF("k", "v", "p"), "k", "v", path) == 1)
+    val out = spark.read.parquet(path).collect()
+    assert(out.length == 1 && out.head.getString(2) == "b")
+    // no leftover staging dirs after the two-rename swap
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(names == Set("t.parquet"), s"unexpected leftovers: $names")
+  }
+
+  test("duplicate (key, version) inside ONE batch resolves deterministically") {
+    val s = spark
+    import s.implicits._
+    // run the same ambiguous batch into two fresh targets several times:
+    // the content-hash tiebreak must pick the same winner every time
+    val batch = Seq((1L, 5L, "x"), (1L, 5L, "y"), (1L, 5L, "z")).toDF("k", "v", "p")
+    // vary the physical row order across runs — without a total-order
+    // tiebreak, row_number would follow arrival order and flip winners
+    val winners = (1 to 3).map { i =>
+      val path = tmpTarget()
+      MergeSink.mergeKeyed(batch.repartition(i, col("p")), "k", "v", path)
+      spark.read.parquet(path).head().getString(2)
+    }
+    assert(winners.distinct.size == 1, s"nondeterministic winners: $winners")
+  }
+
   test("compaction bounds the file count after many merges") {
     val s = spark
     import s.implicits._

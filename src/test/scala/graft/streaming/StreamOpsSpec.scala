@@ -28,7 +28,8 @@ class StreamOpsSpec extends SparkTestBase {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[Ev]
-    val sessions = StreamOps.sessionize(input.toDS())
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("event_time", "30 minutes"))
     val name = "sess_test"
     val q = sessions.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
@@ -49,6 +50,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(afterB2.length == 2) // open session (9000..9500) closed by the far event
     val second = afterB2.map(s => (s.sess_start, s.sess_end, s.n_events)).toSet
     assert(second.contains((9000L, 9500L, 2L)), s"got $second")
+    q.stop()
+  }
+
+  test("event-time timeout evicts a trailing session once the watermark passes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionize(
+      input.toDS().withWatermark("event_time", "30 minutes"))
+    val name = "sess_evict_test"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+
+    // user 7's only session ends at t=1010 and never sees another event
+    input.addData(Ev(7, 1000, 1.0), Ev(7, 1010, 1.0))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0) // nothing closed by a gap
+
+    // another user's much later events push the watermark far past
+    // 1010 + gap; the NEXT batch must fire user 7's timeout
+    input.addData(Ev(8, 50000, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(8, 50010, 1.0))
+    q.processAllAvailable()
+    val evicted = spark.table(name).as[SessionOut].collect()
+      .map(o => (o.user_id, o.sess_start, o.sess_end, o.n_events)).toSet
+    assert(evicted.contains((7L, 1000L, 1010L, 2L)),
+      s"trailing session must be emitted by state timeout, got $evicted")
+    // user 8's trailing session is still young relative to the
+    // watermark and must NOT have been evicted
+    assert(!evicted.exists(_._1 == 8L), s"premature eviction: $evicted")
     q.stop()
   }
 }
