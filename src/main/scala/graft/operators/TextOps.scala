@@ -130,7 +130,62 @@ object TextOps {
         (size(split(col("links"), "\\|"))).cast("long"))
   }
 
+  /** Sentence segmentation in the engine's window idiom: a boundary
+    * flag per token, a running sum over the doc's ordered token stream
+    * turns flags into sentence ids (the same shape as event
+    * sessionization), one aggregate per sentence, one per doc. On real
+    * text the boundary is terminal punctuation ([.!?]$); this synthetic
+    * corpus carries none, so an md5-parity rule (~1/4 of tokens close a
+    * sentence) stands in — deterministic and oracle-checkable. One
+    * shuffle on doc_id, shared by the window and the aggregates. */
+  def textSentences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        when(col("tok").rlike("[.!?]$") ||
+          expr("(instr('0123456789abcdef', substring(md5(concat('sb:', tok)), 1, 1)) - 1) % 4 = 0"),
+          1).otherwise(0))
+      // a boundary token CLOSES its sentence: id = boundaries before it
+      .withColumn("sid", coalesce(sum(col("boundary"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    toks.groupBy("doc_id", "sid")
+      .agg(count(lit(1)).as("n_toks"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("n_toks").as("n_tokens"),
+        max("n_toks").as("max_sent_tokens"))
+      .withColumn("avg_sent_tokens",
+        col("n_tokens").cast("double") / col("n_sentences").cast("double"))
+  }
+
+  /** Casing statistics over a deterministically re-cased corpus (the
+    * all-lowercase synthetic text gets md5-parity casing: ~1/4 ALLCAPS,
+    * ~1/4 Titlecase, rest lower), counted by anchored regex — the
+    * pre-training casing filter. Map-side until one doc_id aggregate. */
+  def textCasing(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok0"))
+      .withColumn("cs",
+        expr("(instr('0123456789abcdef', substring(md5(concat('cs:', tok0)), 1, 1)) - 1) % 4"))
+      .withColumn("tok",
+        when(col("cs") === 0, upper(col("tok0")))
+          .when(col("cs") === 1,
+            expr("concat(upper(substring(tok0, 1, 1)), substring(tok0, 2))"))
+          .otherwise(col("tok0")))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").rlike("^[A-Z]+$"), 1).otherwise(0)).as("n_caps"),
+        sum(when(col("tok").rlike("^[A-Z][a-z]+$"), 1).otherwise(0)).as("n_title"),
+        sum(when(col("tok").rlike("^[a-z]+$"), 1).otherwise(0)).as("n_lower"))
+      .withColumn("caps_ratio",
+        col("n_caps").cast("double") / col("n_tokens").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentences" -> (textSentences _),
+    "text_casing" -> (textCasing _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_html_links" -> (textHtmlLinks _),
     "text_ngrams_top" -> (textNgramsTop _),
@@ -141,6 +196,41 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |fl AS (SELECT doc_id, pos,
+        |    CASE WHEN regexp_matches(tok, '[.!?]$')
+        |           OR (strpos('0123456789abcdef', substr(md5('sb:' || tok), 1, 1)) - 1) % 4 = 0
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM t),
+        |sids AS (SELECT doc_id, pos,
+        |    coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM fl),
+        |per_sent AS (SELECT doc_id, sid, count(*) AS n_toks FROM sids GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(max(n_toks) AS BIGINT) AS max_sent_tokens,
+        |  CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_sent_tokens
+        |FROM per_sent GROUP BY doc_id""".stripMargin,
+    "text_casing" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok0 FROM documents),
+        |cased AS (SELECT doc_id,
+        |  CASE (strpos('0123456789abcdef', substr(md5('cs:' || tok0), 1, 1)) - 1) % 4
+        |    WHEN 0 THEN upper(tok0)
+        |    WHEN 1 THEN concat(upper(substr(tok0, 1, 1)), substr(tok0, 2))
+        |    ELSE tok0 END AS tok
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_caps,
+        |  CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Z][a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_title,
+        |  CAST(sum(CASE WHEN regexp_matches(tok, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+        |  CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Z]+$') THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS caps_ratio
+        |FROM cased GROUP BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH decorated AS (SELECT doc_id,
         |  concat(text, ' contact user', doc_id, '@example.com or call 555-01',

@@ -28,6 +28,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows.forall(r => langs(r.getAs[String]("pred_lang"))))
   }
 
+  test("sentence segmentation matches an independent JVM-side recompute") {
+    val doc0 = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def boundary(t: String): Boolean = {
+      val h = md.digest(s"sb:$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h(0)) % 4 == 0
+    }
+    val toks = doc0.split(" ")
+    // sid per token = boundaries strictly before it
+    val sids = toks.indices.map(i => toks.take(i).count(boundary))
+    val row = TextOps.textSentences(spark, sf).filter(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("n_sentences") == sids.distinct.size.toLong)
+    assert(row.getAs[Long]("n_tokens") == toks.length.toLong)
+    val maxLen = sids.groupBy(identity).values.map(_.size).max
+    assert(row.getAs[Long]("max_sent_tokens") == maxLen.toLong)
+  }
+
+  test("casing stats: every token falls in exactly one casing class") {
+    val rows = TextOps.textCasing(spark, sf).collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_caps") + r.getAs[Long]("n_title") + r.getAs[Long]("n_lower")
+        == r.getAs[Long]("n_tokens")))
+    // the md5-parity synthesis populates all three classes
+    assert(rows.exists(_.getAs[Long]("n_caps") > 0))
+    assert(rows.exists(_.getAs[Long]("n_title") > 0))
+    assert(rows.exists(_.getAs[Long]("n_lower") > 0))
+  }
+
   test("fingerprint md5 matches MessageDigest on raw text") {
     val doc = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") === 0).head().getAs[String]("text")
