@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout variants of the big order-key joins (Q3/Q5/Q21
+  * shapes): the fact tables saved `bucketBy(orderkey).sortBy(orderkey)`
+  * so the lineitem⋈orders join — and Q21's lineitem self-joins — read
+  * pre-partitioned, pre-sorted buckets and plan NO Exchange on the join
+  * key. At 100 TB this is the difference between re-shuffling the fact
+  * table for every order-key query and a co-located join whose one-time
+  * layout cost amortizes across the whole workload (the same plans a
+  * lakehouse table format's clustered layout buys). Dims stay
+  * broadcast; plan bodies are shared with CoreQueries (q3From/q5From/
+  * q21From) — one definition, two physical layouts. */
+object BucketedQueries {
+
+  private val BUCKETS = 8
+
+  /** One bucketed save per (warehouse, sf dir): orders + lineitem
+    * bucketed and sorted on the order key. Table names carry the sf tag
+    * so different dirs never collide; the save runs once and is reused
+    * by every subsequent call in the session (and by a later session
+    * sharing the warehouse, via the overwrite). */
+  def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    this.synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        orders(s, d).write.bucketBy(BUCKETS, "o_orderkey")
+          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+        lineitem(s, d).write.bucketBy(BUCKETS, "l_orderkey")
+          .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+      }
+    }
+    (ot, lt)
+  }
+
+  def q3Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = ensureBucketed(s, d)
+    CoreQueries.q3From(customer(s, d), s.table(ot), s.table(lt))
+  }
+
+  def q5Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = ensureBucketed(s, d)
+    CoreQueries.q5From(s, d, s.table(ot), s.table(lt))
+  }
+
+  def q21Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (_, lt) = ensureBucketed(s, d)
+    CoreQueries.q21From(s.table(lt))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_bucketed" -> (q3Bucketed _),
+    "q5_bucketed" -> (q5Bucketed _),
+    "q21_bucketed" -> (q21Bucketed _)
+  )
+}

@@ -61,10 +61,17 @@ object CoreQueries {
       )
 
   /** TPC-H Q3 shape: selective dim filters, 3-way join, agg, top-k. */
-  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
-    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-    val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-    val li = lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame =
+    q3From(customer(s, d), orders(s, d), lineitem(s, d))
+
+  /** Plan body parameterized over the physical fact sources, so the
+    * bucketed-layout variant (operators.BucketedQueries) shares one
+    * definition with the plain parquet scan. */
+  private[operators] def q3From(customerT: DataFrame, ordersT: DataFrame,
+                                lineitemT: DataFrame): DataFrame = {
+    val cust = customerT.filter(col("c_mktsegment") === "BUILDING")
+    val ord = ordersT.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = lineitemT.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     // orders/customer are fact-scale at 100 TB — no forced broadcast;
     // AQE auto-broadcasts them at small SF (post-filter size < threshold).
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -78,14 +85,18 @@ object CoreQueries {
   /** TPC-H Q5 shape: snowflake join through region→nation→customer→
     * orders→lineitem→supplier. Everything except orders/lineitem is
     * broadcast; the only shuffle is the final 1-key-per-nation agg. */
-  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame =
+    q5From(s, d, orders(s, d), lineitem(s, d))
+
+  private[operators] def q5From(s: SparkSession, d: String,
+                                ordersT: DataFrame, lineitemT: DataFrame): DataFrame = {
     val r = region(s, d).filter(col("r_name") === "ASIA")
     val n = nation(s, d)
     val c = customer(s, d)
-    val o = orders(s, d).filter(
+    val o = ordersT.filter(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
       col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val l = lineitem(s, d)
+    val l = lineitemT
     val sup = supplier(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
@@ -373,8 +384,11 @@ object CoreQueries {
   /** TPC-H Q21 shape: one EXISTS and one NOT EXISTS against the same
     * table — suppliers with a late line on a multi-supplier order where
     * no other supplier was late. Expressed as semi/anti joins. */
-  def q21MultiExists(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
+  def q21MultiExists(s: SparkSession, d: String): DataFrame =
+    q21From(lineitem(s, d))
+
+  private[operators] def q21From(lineitemT: DataFrame): DataFrame = {
+    val li = lineitemT
     val late = li.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
       .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
     // semi/anti-join right sides need no distinct — duplicates are

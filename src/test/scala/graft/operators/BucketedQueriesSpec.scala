@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** The bucketed layout must change the PHYSICAL plan (no Exchange on
+  * the order key — the fact join reads co-located buckets) without
+  * changing a single result row. Broadcast and AQE are disabled in an
+  * isolated session so the join would otherwise have to shuffle. */
+class BucketedQueriesSpec extends SparkTestBase {
+
+  // a single-key Exchange on any order-key column (original or aliased);
+  // multi-key exchanges (q21's (lk, ls) distinct) and other keys (custkey
+  // aggregates) are legitimate and allowed
+  private val orderKeyExchange =
+    """Exchange hashpartitioning\((?:l_orderkey|o_orderkey|lk|ok|ok2)#\d+L?, \d+\)""".r
+
+  private def isolated = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  test("q3/q5/q21 over bucketed facts: zero Exchange on the order key, identical results") {
+    val s = isolated
+    val cases: Seq[(String,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q3", BucketedQueries.q3Bucketed, CoreQueries.q3JoinAgg),
+      ("q5", BucketedQueries.q5Bucketed, CoreQueries.q5MultiJoin),
+      ("q21", BucketedQueries.q21Bucketed, CoreQueries.q21MultiExists))
+    cases.foreach { case (name, bucketed, plain) =>
+      val bq = bucketed(s, sf)
+      val plan = bq.queryExecution.executedPlan.toString
+      assert(orderKeyExchange.findFirstIn(plan).isEmpty,
+        s"$name: bucketed fact join must not shuffle the order key:\n$plan")
+      val got = bq.collect().map(_.toSeq).toSeq
+      val want = plain(s, sf).collect().map(_.toSeq).toSeq
+      assert(got.toSet == want.toSet && got.length == want.length,
+        s"$name: bucketed layout changed the results")
+    }
+  }
+
+  test("the plain-scan q3 DOES shuffle the order key under the same conf (the layout is what removes it)") {
+    val s = isolated
+    val plan = CoreQueries.q3JoinAgg(s, sf).queryExecution.executedPlan.toString
+    assert(orderKeyExchange.findFirstIn(plan).isDefined,
+      s"expected the unbucketed join to exchange on the order key:\n$plan")
+  }
+}
