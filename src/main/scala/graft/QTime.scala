@@ -1,16 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time individual queries by name (after one warm-up run at
-  * sf0.001, mirroring Bench's steady-state protocol).
+/** Dev tool: time individual queries by name (warm-up run + min of two
+  * timed passes, mirroring Bench's steady-state protocol).
   *
   * Usage: runMain graft.QTime <sfDir> <query> [<query> ...]
+  * Warm-up dir defaults to Bench's sf0.001 convention; override with
+  * SPARK_GRAFT_WARMUP_DIR (skipped when absent or equal to sfDir).
   */
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,11 +23,17 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
+      if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+        fn(spark, warmupDir).count(): Unit
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = timed()
+      val t2 = timed()
       val cnt = fn(spark, sfDir).count()
-      println(f"QTIME $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+      println(f"QTIME $n%-24s ${math.min(t1, t2)}%8.2f s  (p1=$t1%.2f p2=$t2%.2f) rows=$cnt")
     }
     spark.stop()
   }

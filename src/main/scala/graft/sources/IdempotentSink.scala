@@ -28,16 +28,14 @@ object IdempotentSink {
       .partitionBy(keyCol).orderBy(col(tiebreak))
     val batch = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    // Only a genuinely-absent target means "first write": a transient
-    // read failure (IO, eventual consistency) must propagate, otherwise
-    // the anti-join is skipped and duplicates are appended — silently
-    // breaking the first-writer-wins invariant.
+    // Only a genuinely-absent target means "first write": fs.exists
+    // returns false only for absence, while a transient read failure
+    // (IO, eventual consistency) still throws and propagates — skipping
+    // the anti-join on an IO blip would append duplicates and silently
+    // break the first-writer-wins invariant.
+    val target = new org.apache.hadoop.fs.Path(path)
     val targetExists =
-      try { spark.read.parquet(path).schema; true }
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition != null && e.getCondition == "PATH_NOT_FOUND" => false
-      }
+      target.getFileSystem(spark.sessionState.newHadoopConf()).exists(target)
     val fresh =
       if (!targetExists) batch
       else {

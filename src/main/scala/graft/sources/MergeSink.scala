@@ -38,14 +38,13 @@ object MergeSink {
       // batch carries two rows with the same key and version
       .withColumn("__h", xxhash64(struct(dataCols.map(col): _*)))
     val incoming = tagged(batch, 1)
-    val existing =
-      try tagged(spark.read.parquet(path), 0)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition != null && e.getCondition == "PATH_NOT_FOUND" => null
-      }
-    val all = if (existing == null) incoming
-              else existing.unionByName(incoming)
+    // explicit existence probe on the path's filesystem (a try/catch on
+    // the read would work too, but Spark's FileStreamSink probe logs a
+    // noisy stack trace for every first write)
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val all = if (!fs.exists(target)) incoming
+              else tagged(spark.read.parquet(path), 0).unionByName(incoming)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(versionCol).desc, col("__src").desc, col("__h").desc)
     val merged = all
@@ -61,8 +60,6 @@ object MergeSink {
       // and never java.io.File, which silently breaks off the local FS.
       // (Object stores fake rename with copy+delete; a real deployment
       // swaps via a table format's atomic commit instead.)
-      val target = new Path(path)
-      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new Path(path + ".__merge_tmp")
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       if (fs.exists(target)) {
