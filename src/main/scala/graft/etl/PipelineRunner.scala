@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Step-level failure isolation for ETL chains — the reference runs its
+  * transforms as a Step Functions state machine with per-step
+  * retry/catch (SemiStructureInvictusPost_stateMachine.yml:1,
+  * utils/decorators.py:1 `retry`), so one flaky step neither kills the
+  * whole pipeline nor forces recomputing finished work.
+  *
+  * Spark-first re-expression: each step is a closed
+  * DataFrame → DataFrame transform; the runner materializes every
+  * step's output as a parquet directory whose `_SUCCESS` marker IS the
+  * state-machine checkpoint. A failed step retries with bounded
+  * backoff; a re-run of the whole pipeline RESUMES from the last
+  * completed step (markers present → read, skip compute). The
+  * monolithic single-plan form (WodEtl.pipelineE2E) stays the right
+  * default — Catalyst optimizes across stages — and this runner is the
+  * operational harness for when isolation matters more than fusion:
+  * long chains, flaky sources, reruns over 100 TB where step 7 of 8
+  * failing must not re-scan everything.
+  */
+object PipelineRunner {
+
+  final case class Step(name: String,
+                        transform: DataFrame => DataFrame,
+                        maxRetries: Int = 2)
+
+  final case class StepReport(name: String, attempts: Int, resumed: Boolean)
+
+  /** Run the chain; returns the final output plus a per-step report.
+    * Step i reads step i−1's materialized parquet, so lineage is cut at
+    * every boundary (a retry re-runs ONE step, not the chain). */
+  def run(input: DataFrame, steps: Seq[Step], workDir: String): (DataFrame, Seq[StepReport]) = {
+    val spark = input.sparkSession
+    val fs = new Path(workDir).getFileSystem(spark.sessionState.newHadoopConf())
+    var cur = input
+    val reports = Seq.newBuilder[StepReport]
+    steps.foreach { st =>
+      val out = new Path(workDir, st.name)
+      if (fs.exists(new Path(out, "_SUCCESS"))) {
+        cur = spark.read.parquet(out.toString)
+        reports += StepReport(st.name, attempts = 0, resumed = true)
+      } else {
+        var attempt = 0
+        var lastErr: Throwable = null
+        var done = false
+        while (!done && attempt <= st.maxRetries) {
+          attempt += 1
+          try {
+            // overwrite clears a half-written attempt; _SUCCESS only
+            // lands when the whole write committed
+            st.transform(cur).write.mode(SaveMode.Overwrite).parquet(out.toString)
+            done = true
+          } catch {
+            case e: Throwable =>
+              lastErr = e
+              Thread.sleep(50L * attempt) // bounded linear backoff
+          }
+        }
+        if (!done)
+          throw new IllegalStateException(
+            s"step '${st.name}' failed after ${st.maxRetries + 1} attempts", lastErr)
+        cur = spark.read.parquet(out.toString)
+        reports += StepReport(st.name, attempts = attempt, resumed = false)
+      }
+    }
+    (cur, reports.result())
+  }
+}

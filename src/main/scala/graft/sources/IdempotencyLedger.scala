@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Pending/complete operation ledger — the reference's DynamoDB
+  * idempotency table (services/dynamodb_service.py:1,
+  * services/idempotency_service.py:30: record the operation key as
+  * in-progress before the write, mark complete after) re-expressed on
+  * a filesystem every writer shares.
+  *
+  * A key transitions absent → pending → complete through two atomic
+  * filesystem primitives: `create(overwrite = false)` (exactly one of N
+  * concurrent claimers wins — this is what makes CONCURRENT writers
+  * safe, where IdempotentSink's target-key anti-join alone only
+  * serializes against already-committed data) and `rename` (the
+  * pending→complete flip). A writer that crashes between write and
+  * mark leaves a VISIBLE pending marker; `pendingKeys` is the recovery
+  * surface — an operator checks the write landed and either `complete`s
+  * or `abandon`s the claim. On HDFS both primitives are atomic; object
+  * stores would back this with a conditional PUT, same contract. */
+class IdempotencyLedger(dir: String, conf: Configuration) {
+
+  private val base = new Path(dir)
+  private val fs = base.getFileSystem(conf)
+  fs.mkdirs(base)
+
+  // reference keys look like "op:identifier" — ':' (and '/') are not
+  // valid in a Hadoop Path segment, so marker names carry the key
+  // percent-encoded (reversible, unlike a hash)
+  private def enc(key: String): String =
+    java.net.URLEncoder.encode(key, "UTF-8")
+  private def dec(name: String): String =
+    java.net.URLDecoder.decode(name, "UTF-8")
+
+  private def marker(key: String, state: String) =
+    new Path(base, s"${enc(key)}.$state")
+
+  /** Claim a key for this writer: true iff THIS call created the
+    * pending marker. False when the key is already complete, already
+    * claimed, or the create lost a race (any IOException here means
+    * "not acquired" — the safe direction: the caller simply does not
+    * write, and the racing claimant proceeds). */
+  def begin(key: String): Boolean = {
+    if (fs.exists(marker(key, "complete")) || fs.exists(marker(key, "pending"))) false
+    else
+      try { fs.create(marker(key, "pending"), false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Flip the claim to complete (atomic rename). */
+  def complete(key: String): Unit =
+    require(fs.rename(marker(key, "pending"), marker(key, "complete")),
+      s"no pending claim to complete for '$key'")
+
+  /** Drop a pending claim whose write did NOT land (crash recovery). */
+  def abandon(key: String): Unit =
+    fs.delete(marker(key, "pending"), false): Unit
+
+  def isComplete(key: String): Boolean = fs.exists(marker(key, "complete"))
+
+  /** Claims whose writer never reported back — the recovery worklist. */
+  def pendingKeys(): Seq[String] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".pending"))
+      .map(n => dec(n.stripSuffix(".pending"))).sorted
+
+  /** The reference's decorated-handler shape: skip if complete, claim,
+    * run the write, mark complete; on failure release the claim and
+    * rethrow. Returns true iff `write` ran to completion here. */
+  def withOperation(key: String)(write: => Unit): Boolean = {
+    if (!begin(key)) false
+    else {
+      try { write; complete(key); true }
+      catch { case e: Throwable => abandon(key); throw e }
+    }
+  }
+}

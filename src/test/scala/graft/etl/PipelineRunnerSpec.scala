@@ -1,0 +1,76 @@
+package graft.etl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+class PipelineRunnerSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private val tokenize: DataFrame => DataFrame =
+    _.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+  private val keepShort: DataFrame => DataFrame =
+    _.filter(length(col("tok")) <= 5)
+  private val aggregate: DataFrame => DataFrame =
+    _.groupBy("lang").agg(count(lit(1)).as("n_toks"),
+      countDistinct("tok").as("n_distinct"))
+
+  private def direct = aggregate(keepShort(tokenize(docs))).collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("stepwise run equals the fused single-plan composition") {
+    val wd = Files.createTempDirectory("graft_steps").toString
+    val (out, reports) = PipelineRunner.run(docs, Seq(
+      PipelineRunner.Step("tokenize", tokenize),
+      PipelineRunner.Step("keep_short", keepShort),
+      PipelineRunner.Step("aggregate", aggregate)), wd)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+    assert(reports.forall(r => !r.resumed && r.attempts == 1))
+  }
+
+  test("a flaky step retries in place — the chain survives without recompute") {
+    val wd = Files.createTempDirectory("graft_steps_flaky").toString
+    val calls = new AtomicInteger(0)
+    val flakyFilter: DataFrame => DataFrame = df => {
+      if (calls.incrementAndGet() == 1) sys.error("transient step failure")
+      keepShort(df)
+    }
+    val (out, reports) = PipelineRunner.run(docs, Seq(
+      PipelineRunner.Step("tokenize", tokenize),
+      PipelineRunner.Step("keep_short", flakyFilter, maxRetries = 2),
+      PipelineRunner.Step("aggregate", aggregate)), wd)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+    assert(reports.find(_.name == "keep_short").get.attempts == 2)
+    // the upstream step ran once — isolation means no recompute on retry
+    assert(reports.find(_.name == "tokenize").get.attempts == 1)
+  }
+
+  test("a re-run resumes from completed checkpoints instead of recomputing") {
+    val wd = Files.createTempDirectory("graft_steps_resume").toString
+    val steps = Seq(
+      PipelineRunner.Step("tokenize", tokenize),
+      PipelineRunner.Step("keep_short", keepShort),
+      PipelineRunner.Step("aggregate", aggregate))
+    PipelineRunner.run(docs, steps, wd)
+    // poison every transform: a resume must never invoke them
+    val poisoned = steps.map(s =>
+      s.copy(transform = _ => sys.error(s"step ${s.name} must not re-run")))
+    val (out, reports) = PipelineRunner.run(docs, poisoned, wd)
+    assert(reports.forall(_.resumed))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+  }
+
+  test("a step that exhausts its retries fails the pipeline with the cause attached") {
+    val wd = Files.createTempDirectory("graft_steps_fail").toString
+    val always: DataFrame => DataFrame = _ => sys.error("permanent failure")
+    val e = intercept[IllegalStateException] {
+      PipelineRunner.run(docs, Seq(
+        PipelineRunner.Step("tokenize", tokenize),
+        PipelineRunner.Step("boom", always, maxRetries = 1)), wd)
+    }
+    assert(e.getMessage.contains("boom") && e.getCause.getMessage.contains("permanent"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+class IdempotencyLedgerSpec extends SparkTestBase {
+
+  private def freshLedger(): IdempotencyLedger =
+    new IdempotencyLedger(Files.createTempDirectory("graft_ledger").toString,
+      spark.sessionState.newHadoopConf())
+
+  test("key lifecycle: absent -> pending -> complete, claims are exclusive") {
+    val led = freshLedger()
+    assert(led.begin("op:1"))
+    assert(!led.begin("op:1"), "a pending key must not be claimable again")
+    assert(led.pendingKeys() == Seq("op:1"))
+    led.complete("op:1")
+    assert(led.isComplete("op:1"))
+    assert(!led.begin("op:1"), "a complete key must never be claimable")
+    assert(led.pendingKeys().isEmpty)
+  }
+
+  test("exactly one of N concurrent claimants acquires a key") {
+    val led = freshLedger()
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val wins = Await.result(
+      Future.sequence((1 to 16).map(_ => Future(led.begin("hot:key")))), 30.seconds)
+    assert(wins.count(identity) == 1, s"expected exactly one winner, got $wins")
+  }
+
+  test("withOperation: runs once, replays skip, failures release the claim") {
+    val led = freshLedger()
+    var writes = 0
+    assert(led.withOperation("w:1") { writes += 1 })
+    assert(!led.withOperation("w:1") { writes += 1 }, "replay must be skipped")
+    assert(writes == 1 && led.isComplete("w:1"))
+    // a failing write releases the claim so a retry can proceed
+    intercept[RuntimeException] {
+      led.withOperation("w:2") { sys.error("write blew up") }
+    }
+    assert(!led.isComplete("w:2") && led.pendingKeys().isEmpty)
+    assert(led.withOperation("w:2") { writes += 1 })
+    assert(writes == 2)
+  }
+
+  test("a crashed writer leaves a visible pending claim for recovery") {
+    val led = freshLedger()
+    assert(led.begin("crash:1")) // writer dies before complete()
+    assert(led.pendingKeys() == Seq("crash:1"))
+    // recovery path A: the write is found on disk -> mark complete
+    led.complete("crash:1")
+    assert(led.isComplete("crash:1"))
+    // recovery path B: the write never landed -> abandon frees the key
+    assert(led.begin("crash:2"))
+    led.abandon("crash:2")
+    assert(led.begin("crash:2"), "an abandoned key must be claimable again")
+  }
+
+  test("ledger + IdempotentSink: the guarded write is exactly-once end to end") {
+    val s = spark
+    import s.implicits._
+    val led = freshLedger()
+    val target = Files.createTempDirectory("graft_ledger_t").toString + "/t.parquet"
+    val batch = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "tie", "p")
+    def attempt(): Boolean = led.withOperation("dump:page:1") {
+      IdempotentSink.writeKeyed(batch, "k", "tie", target): Unit
+    }
+    assert(attempt())
+    assert(!attempt() && !attempt(), "replayed operations must not re-write")
+    assert(spark.read.parquet(target).count() == 2)
+  }
+}
