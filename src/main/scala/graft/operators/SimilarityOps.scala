@@ -105,40 +105,68 @@ object SimilarityOps {
     dedupEmbeddingCapped(s, d, EMB_BLOCK_CAP)
 
   /** The bounded form: a label block with more than `cap` vectors never
-    * self-joins in full — its pairing key degrades from the constant ''
-    * (all pairs) to 4-bit LSH sub-bands of the md5-hyperplane signature,
-    * so one hot label at corpus scale costs O(Σ bucket²) instead of
-    * O(block²); candidates within a bucket stay an equi-join. Each
-    * qualifying pair is emitted from its FIRST matching band only (the
-    * dedup_simhash_pairs trick) — no post-join distinct shuffle. Both
-    * regimes are one plan: the small-block key '' makes band 0 match
-    * every in-label pair exactly once. */
+    * self-joins in full — its candidates come from 4-bit LSH sub-bands
+    * of the md5-hyperplane signature, so one hot label at corpus scale
+    * costs O(Σ bucket²) instead of O(block²), and candidates within a
+    * bucket stay an equi-join. The plan is a two-branch union of PAIR
+    * sets split by block size: the small-block branch is exactly the
+    * plain label self-join (no band machinery at all — a CASE-guarded
+    * signature still gets hoisted and evaluated per row by codegen
+    * subexpression elimination, measured at 2.5x on this query), and
+    * the big-block branch — empty until a label outgrows the cap —
+    * emits each banded pair from its FIRST matching band only (the
+    * dedup_simhash_pairs trick, no post-join distinct shuffle). */
   private[operators] def dedupEmbeddingCapped(s: SparkSession, d: String, cap: Int): DataFrame = {
     val emb0 = embeddings(s, d)
-    // block sizes: a tiny per-label aggregate, broadcast back — the big
-    // side is scanned, never shuffled, before the banded join itself
+    // block sizes: a tiny per-label aggregate, broadcast back as a
+    // semi-join guard — the big side is scanned, never pre-shuffled
     val blockN = emb0.groupBy(col("label").as("label_n"))
       .agg(count(lit(1)).as("n_label"))
-    val keys = (0 until SUB_BANDS).map { bd =>
-      when(col("n_label") <= cap, lit(""))
-        .otherwise(substring(col("sig"), bd * SUB_W + 1, SUB_W)).as(s"k$bd")
+    // Adaptive plan choice on ONE boolean (a limit-1 aggregate probe,
+    // the same driver-coordination budget as dedup_clusters' 1-row
+    // convergence sum — no data is collected): when no block exceeds
+    // the cap, the whole two-branch apparatus (union, guards, an empty
+    // banded join) is dead plan weight that still costs ~2x in stage
+    // overhead at bench scale, so emit the plain self-join instead.
+    val anyHot = !blockN.filter(col("n_label") > cap).isEmpty
+    if (!anyHot) {
+      val a = emb0.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = emb0.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      return a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          cosine(s, col("ea"), col("eb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
     }
-    val keyed = emb0
-      .join(broadcast(blockN), col("label") === col("label_n"))
-      .withColumn("sig", lshSig(col("embedding"), SUB_BITS, dim = 64))
+    def labelsWhere(pred: Column): DataFrame = emb0.join(
+      broadcast(blockN.filter(pred)), col("label") === col("label_n"), "left_semi")
+
+    val sm = labelsWhere(col("n_label") <= cap)
+    val sa = sm.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val sb = sm.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val smallPairs = sa.join(sb,
+        col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+
+    val sig = lshSig(col("embedding"), SUB_BITS, dim = 64)
+    val keys = (0 until SUB_BANDS).map(bd =>
+      substring(sig, bd * SUB_W + 1, SUB_W).as(s"k$bd"))
+    val bandedBig = labelsWhere(col("n_label") > cap)
       .select(Seq(col("label"), col("vec_id"), col("embedding")) ++ keys: _*)
-    val banded = keyed.select(col("label"), col("vec_id"), col("embedding"),
-      col("k0"), col("k1"), col("k2"), col("k3"),
-      explode(array((0 until SUB_BANDS).map(bd =>
-        struct(lit(bd).as("band_id"), col(s"k$bd").as("bkey"))): _*)).as("bk"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        explode(array((0 until SUB_BANDS).map(bd =>
+          struct(lit(bd).as("band_id"), col(s"k$bd").as("bkey"))): _*)).as("bk"))
       .select(col("label"), col("vec_id"), col("embedding"),
         col("k0"), col("k1"), col("k2"), col("k3"),
         col("bk.band_id").as("band_id"), col("bk.bkey").as("bkey"))
-    val a = banded.select(col("label"), col("band_id"), col("bkey"),
+    val ba = bandedBig.select(col("label"), col("band_id"), col("bkey"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("k0").as("ka0"), col("k1").as("ka1"),
       col("k2").as("ka2"), col("k3").as("ka3"))
-    val b = banded.select(col("label").as("label_b"), col("band_id").as("band_id_b"),
+    val bb = bandedBig.select(col("label").as("label_b"), col("band_id").as("band_id_b"),
       col("bkey").as("bkey_b"), col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("k0").as("kb0"), col("k1").as("kb1"),
       col("k2").as("kb2"), col("k3").as("kb3"))
@@ -146,9 +174,12 @@ object SimilarityOps {
       .when(col("ka1") === col("kb1"), 1)
       .when(col("ka2") === col("kb2"), 2)
       .otherwise(3)
-    a.join(b,
+    val bigPairs = ba.join(bb,
         col("label") === col("label_b") && col("band_id") === col("band_id_b") &&
         col("bkey") === col("bkey_b") && col("vec_a") < col("vec_b") && firstMatch)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+
+    smallPairs.unionByName(bigPairs)
       .select(col("label"), col("vec_a"), col("vec_b"),
         cosine(s, col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
