@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run: bucketed saves from a previous JVM
+      // would otherwise collide (in-memory catalog forgets the table,
+      // its location on disk persists -> LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: run every query once at the smallest SF so the timed pass

@@ -27,6 +27,18 @@ object BucketedQueries {
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     this.synchronized {
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        // a previous JVM may have left the table's location on disk
+        // while this session's in-memory catalog has no entry for it —
+        // clear the orphaned location or the save aborts with
+        // LOCATION_ALREADY_EXISTS
+        Seq(ot, lt).foreach { t =>
+          if (!s.catalog.tableExists(t)) {
+            val loc = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+            val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+            if (fs.exists(loc)) fs.delete(loc, true)
+          }
+        }
         orders(s, d).write.bucketBy(BUCKETS, "o_orderkey")
           .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
         lineitem(s, d).write.bucketBy(BUCKETS, "l_orderkey")
