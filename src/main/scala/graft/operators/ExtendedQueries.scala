@@ -326,7 +326,52 @@ object ExtendedQueries {
       .except(ev.filter(col("event_type") === "purchase").select("user_id", "day"))
   }
 
+  /** Explicit GROUPING SETS (finer than ROLLUP/CUBE: exactly the two
+    * single-column slices plus the grand total, no cross term) with
+    * per-column grouping flags. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Exact per-group mode: each user's most frequent event type,
+    * deterministic tiebreak on the type itself — count + rank, the
+    * shape that stays one shuffle + one tiny window at any scale. */
+  def qMode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n").as("mode_n"))
+  }
+
+  /** Two-phase salted aggregation AS a declared query: the hot-key
+    * pattern (5 event types over the whole table = worst-case skew)
+    * fanned across 16 salt buckets before the final combine. The
+    * oracle is the PLAIN direct aggregation — identical results is the
+    * contract; exact decimal partials make the claim engine- and
+    * order-independent. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", col("event_id") % 16)
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("pt"), count(lit(1)).as("pn"))
+      .groupBy("event_type")
+      .agg(sum("pt").cast("double").as("total_value"), sum("pn").as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_mode" -> (qMode _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_collect_sorted" -> (qCollectSorted _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
@@ -345,6 +390,26 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_mode" ->
+      """WITH counted AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type AS mode_event, n AS mode_n
+        |FROM counted WHERE rk = 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_collect_sorted" ->
       """SELECT user_id,
         |  substr(string_agg(event_type, '>' ORDER BY event_id), 1, 120) AS journey_head,

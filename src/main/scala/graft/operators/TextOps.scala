@@ -183,9 +183,42 @@ object TextOps {
         col("n_caps").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Boilerplate-sentence detection — the pre-training filter that
+    * strips repeated template text. Sentences come from the same
+    * segmentation as text_sentences; per doc it reports within-doc
+    * duplicate sentences (n_sentences vs n_unique) and occurrences of
+    * sentences shared by ≥2 documents (corpus boilerplate). Shapes:
+    * one doc_id window+aggregate for the sentences, one sentence-keyed
+    * aggregate + join for the corpus frequencies — at 100 TB the join
+    * key would be the sentence hash, same distribution. */
+  def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sents = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        when(col("tok").rlike("[.!?]$") ||
+          expr("(instr('0123456789abcdef', substring(md5(concat('sb:', tok)), 1, 1)) - 1) % 4 = 0"),
+          1).otherwise(0))
+      .withColumn("sid", coalesce(sum(col("boundary"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "sid")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
+        x => x.getField("t"))).as("sent"))
+    val dfs = sents.groupBy(col("sent").as("sent_k"))
+      .agg(countDistinct("doc_id").as("df"))
+    sents.join(dfs, col("sent") === col("sent_k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        countDistinct("sent").as("n_unique"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).as("n_boilerplate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sentences" -> (textSentences _),
     "text_casing" -> (textCasing _),
+    "text_line_dedup" -> (textLineDedup _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_html_links" -> (textHtmlLinks _),
     "text_ngrams_top" -> (textNgramsTop _),
@@ -196,6 +229,28 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |fl AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN regexp_matches(tok, '[.!?]$')
+        |           OR (strpos('0123456789abcdef', substr(md5('sb:' || tok), 1, 1)) - 1) % 4 = 0
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM t),
+        |sids AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM fl),
+        |sents AS (SELECT doc_id, sid, string_agg(tok, ' ' ORDER BY pos) AS sent
+        |  FROM sids GROUP BY doc_id, sid),
+        |dfs AS (SELECT sent, count(DISTINCT doc_id) AS df FROM sents GROUP BY sent)
+        |SELECT s.doc_id AS doc_id, count(*) AS n_sentences,
+        |  CAST(count(DISTINCT s.sent) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        |FROM sents s JOIN dfs d ON s.sent = d.sent
+        |GROUP BY s.doc_id""".stripMargin,
     "text_sentences" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok,

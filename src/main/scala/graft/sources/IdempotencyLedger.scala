@@ -40,13 +40,26 @@ class IdempotencyLedger(dir: String, conf: Configuration) {
     * pending marker. False when the key is already complete, already
     * claimed, or the create lost a race (any IOException here means
     * "not acquired" — the safe direction: the caller simply does not
-    * write, and the racing claimant proceeds). */
+    * write, and the racing claimant proceeds).
+    *
+    * Atomicity of the decisive create: on HDFS `create(overwrite =
+    * false)` is atomic server-side; on the LOCAL filesystem Hadoop's
+    * implementation is check-then-create (two racing claimants can both
+    * pass), so the `file:` scheme takes `File.createNewFile` — POSIX
+    * O_CREAT|O_EXCL, atomic. An object-store deployment would back
+    * this with a conditional PUT. */
   def begin(key: String): Boolean = {
     if (fs.exists(marker(key, "complete")) || fs.exists(marker(key, "pending"))) false
-    else
-      try { fs.create(marker(key, "pending"), false).close(); true }
-      catch { case _: java.io.IOException => false }
+    else atomicCreate(marker(key, "pending"))
   }
+
+  private def atomicCreate(p: Path): Boolean =
+    if (fs.getScheme == "file")
+      try new java.io.File(p.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => false }
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
 
   /** Flip the claim to complete (atomic rename). */
   def complete(key: String): Unit =

@@ -113,6 +113,40 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("grouping sets: two single-column slices plus the grand total, flags consistent") {
+    val rows = ExtendedQueries.qGroupingSets(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_priority") == 1)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    // no cross term: every row has at least one grouping flag set
+    assert(rows.forall(r => r.getAs[Int]("g_status") + r.getAs[Int]("g_priority") >= 1))
+  }
+
+  test("mode: one row per user, the mode count dominates every other type's count") {
+    val modes = ExtendedQueries.qMode(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("mode_n")).toMap
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id", "event_type").count().collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(modes.size == counts.size)
+    counts.foreach { case (u, rs) =>
+      assert(modes(u) == rs.map(_.getAs[Long]("count")).max)
+    }
+  }
+
+  test("salted aggregation (declared query) equals the direct aggregation exactly") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val salted = ExtendedQueries.qSaltedAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
   test("fuzzy pairs: symmetric-free (a<b), bounded distance, blocked join plan") {
     val fp = ExtendedQueries.textFuzzyPairs(spark, sf)
     assert(fp.filter(col("doc_a") >= col("doc_b") || col("lev") > 20).count() == 0)

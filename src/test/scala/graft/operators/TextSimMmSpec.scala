@@ -46,6 +46,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getAs[Long]("max_sent_tokens") == maxLen.toLong)
   }
 
+  test("line dedup: counts consistent with the sentence segmentation") {
+    val ld = TextOps.textLineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("n_boilerplate"))).toMap
+    val seg = TextOps.textSentences(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_sentences")).toMap
+    assert(ld.keySet == seg.keySet)
+    ld.foreach { case (doc, (n, uniq, bp)) =>
+      assert(n == seg(doc), s"doc $doc: sentence counts must agree across operators")
+      assert(uniq <= n && bp <= n && uniq >= 1)
+    }
+  }
+
   test("casing stats: every token falls in exactly one casing class") {
     val rows = TextOps.textCasing(spark, sf).collect()
     assert(rows.forall(r =>

@@ -25,9 +25,12 @@ class IdempotencyLedgerSpec extends SparkTestBase {
     import scala.concurrent._
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val wins = Await.result(
-      Future.sequence((1 to 16).map(_ => Future(led.begin("hot:key")))), 30.seconds)
-    assert(wins.count(identity) == 1, s"expected exactly one winner, got $wins")
+    // repeat the race: the local-FS O_EXCL create must never admit two
+    (1 to 8).foreach { i =>
+      val wins = Await.result(
+        Future.sequence((1 to 16).map(_ => Future(led.begin(s"hot:key:$i")))), 30.seconds)
+      assert(wins.count(identity) == 1, s"key $i: expected exactly one winner, got $wins")
+    }
   }
 
   test("withOperation: runs once, replays skip, failures release the claim") {
