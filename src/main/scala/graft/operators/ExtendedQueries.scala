@@ -368,7 +368,63 @@ object ExtendedQueries {
       .groupBy("event_type")
       .agg(sum("pt").cast("double").as("total_value"), sum("pn").as("n_events"))
 
+  /** Range join, binned: purchases joined to same-user signups within
+    * the following hour. The equi key is (user_id, hour-bin) with each
+    * purchase exploded to its two candidate bins — a signup's bin is
+    * exactly one of bin(p) or bin(p)−1, so every qualifying pair
+    * arrives once, no distinct. Binning is what survives scale: a
+    * plain user-only join degrades to |signups|·|purchases| per hot
+    * user, while the bin key bounds candidates per task by window
+    * width regardless of history length. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000000000").as("ts_s"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("s_event"),
+        col("ts_s").as("s_ts"), expr("ts_s div 3600").as("s_bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("p_event"),
+        col("ts_s").as("p_ts"),
+        explode(array(expr("ts_s div 3600"), expr("ts_s div 3600 - 1"))).as("p_bin"))
+    purchases.join(signups,
+        col("pu") === col("su") && col("p_bin") === col("s_bin") &&
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("s_ts") + 3600)
+      .select(col("pu").as("user_id"), col("s_event"), col("p_event"),
+        (col("p_ts") - col("s_ts")).as("delta_s"))
+  }
+
+  private val CHUNK = 64   // tokens per chunk
+  private val STRIDE = 48  // CHUNK - 16 overlap
+
+  /** Context-length chunking — the training-data op that slices every
+    * document into fixed-size token windows with overlap. Each token
+    * lands in at most two chunks (stride < size < 2·stride), generated
+    * relationally: posexplode → per-token chunk-id range → explode →
+    * one aggregate per (doc, chunk) with an ordered re-assembly and a
+    * content hash. Map-side until the single (doc, chunk) aggregate. */
+  def textChunks(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("p", col("pos") + 1)
+      .withColumn("k_max", expr(s"(p - 1) div $STRIDE"))
+      // negative numerators round differently across engines (Spark div
+      // is toward-zero, DuckDB // is floor) — the greatest(0, _) clamp
+      // makes both land on 0 for every pre-window position
+      .withColumn("k_min",
+        greatest(lit(0L), expr(s"(p - $CHUNK + $STRIDE - 1) div $STRIDE")))
+    toks
+      .select(col("doc_id"), col("p"), col("tok"),
+        explode(sequence(col("k_min"), col("k_max"))).as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p").as("p"), col("tok").as("t")))),
+          x => x.getField("t")))).as("chunk_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
+    "text_chunks" -> (textChunks _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_mode" -> (qMode _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -390,6 +446,30 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),
+        |s AS (SELECT user_id, event_id AS s_event, ts_s AS s_ts
+        |  FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_event, ts_s AS p_ts
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, s_event, p_event, p_ts - s_ts AS delta_s
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND p_ts >= s_ts AND p_ts < s_ts + 3600""".stripMargin,
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+         |  FROM documents),
+         |kk AS (SELECT doc_id, p, tok,
+         |    (p - 1) // $STRIDE AS k_max,
+         |    greatest(0, (p - $CHUNK + ${STRIDE - 1}) // $STRIDE) AS k_min
+         |  FROM t),
+         |ch AS (SELECT doc_id, p, tok, unnest(range(k_min, k_max + 1)) AS chunk_id FROM kk)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  count(*) AS n_chunk_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+         |FROM ch GROUP BY doc_id, chunk_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,

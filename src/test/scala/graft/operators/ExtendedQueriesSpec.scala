@@ -113,6 +113,44 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("binned range join equals the naive user-join + range filter") {
+    val binned = ExtendedQueries.qRangeJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_event"), r.getAs[Long]("p_event"))).toSeq
+    // naive recompute from raw events
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
+        col("event_type")).collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val naive = byUser.values.toSeq.flatMap { rows =>
+      val su = rows.filter(_.getAs[String]("event_type") == "signup").toSeq
+      val pu = rows.filter(_.getAs[String]("event_type") == "purchase").toSeq
+      su.flatMap { s0 =>
+        pu.filter { p0 =>
+          p0.getAs[Long]("ts_s") >= s0.getAs[Long]("ts_s") &&
+            p0.getAs[Long]("ts_s") < s0.getAs[Long]("ts_s") + 3600
+        }.map(p0 => (s0.getAs[Long]("event_id"), p0.getAs[Long]("event_id")))
+      }
+    }
+    assert(binned.length == binned.toSet.size, "binning must not duplicate pairs")
+    assert(binned.toSet == naive.toSet && binned.length == naive.length)
+    assert(naive.nonEmpty)
+  }
+
+  test("token chunks: full coverage, stride-sized overlap, deterministic hashes") {
+    val chunks = ExtendedQueries.textChunks(spark, sf)
+      .filter(col("doc_id") === 0).collect()
+      .map(r => r.getAs[Long]("chunk_id") -> r.getAs[Long]("n_chunk_tokens"))
+      .sortBy(_._1).toSeq
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text").split(" ").length
+    val (c, s0) = (64, 48)
+    // chunk k holds tokens k·s+1 .. min(k·s+c, n)
+    val expected = Iterator.from(0).map(k => k.toLong -> math.min(k * s0 + c, n).toLong)
+      .takeWhile { case (k, _) => k * s0 < n }
+      .map { case (k, end) => k -> (end - k * s0) }.toSeq
+    assert(chunks == expected, s"got ${chunks.toSeq} want $expected")
+  }
+
   test("grouping sets: two single-column slices plus the grand total, flags consistent") {
     val rows = ExtendedQueries.qGroupingSets(spark, sf).collect()
     val grand = rows.filter(r => r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_priority") == 1)
