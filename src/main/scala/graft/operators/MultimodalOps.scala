@@ -97,13 +97,56 @@ object MultimodalOps {
           .as("frame_md5"))
   }
 
+  /** Resize in feature space: the decoder's 16-bin histogram
+    * downsampled to 8 bins by summing adjacent pairs — the
+    * shape of an image/audio resize running AFTER decode, map-side over
+    * the same per-partition batches. Counts recovered from the resized
+    * floats are exact (pair-sum float error ≪ 0.5 at any document
+    * size here), so the whole decode→resize chain is oracle-checkable;
+    * total_check = byte_len proves no mass is lost by resizing. */
+  def mmResizeFeatures(s: SparkSession, d: String): DataFrame = {
+    val outDim = FakeDecoder.FeatureDim / 2
+    val resizedSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("resized", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (_, _, f) = FakeDecoder.decode(payload)
+          val res = Array.tabulate(outDim)(i => f(2 * i) + f(2 * i + 1))
+          Row(r.getAs[Long]("doc_id"), payload.length, res.toSeq)
+        }
+      }(enc)
+      .select(col("doc_id"),
+        round(element_at(col("resized"), 1) * col("byte_len")).cast("long").as("rbin0_count"),
+        round(element_at(col("resized"), 2) * col("byte_len")).cast("long").as("rbin1_count"),
+        (0 until outDim).map(i =>
+          round(element_at(col("resized"), i + 1) * col("byte_len")).cast("long"))
+          .reduce(_ + _).as("total_check"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_resize_features" -> (mmResizeFeatures _),
     "mm_frame_sample" -> (mmFrameSample _)
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_resize_features" ->
+      """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
+        |  unnest(range(1, strlen(text)+1)) AS i FROM documents),
+        |buckets AS (SELECT doc_id, n,
+        |  (ascii(substr(text, i, 1)) % 16) // 2 AS rb FROM chars)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE rb = 0) AS BIGINT) AS rbin0_count,
+        |  CAST(count(*) FILTER (WHERE rb = 1) AS BIGINT) AS rbin1_count,
+        |  CAST(count(*) AS BIGINT) AS total_check
+        |FROM buckets GROUP BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH framed AS (
         |  SELECT doc_id, text, CAST(strlen(text) // 32 AS INT) AS n_frames

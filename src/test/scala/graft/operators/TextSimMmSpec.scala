@@ -145,6 +145,15 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(rows.forall(r => Set("image", "audio", "video")(r.getAs[String]("media_kind"))))
   }
 
+  test("resize conserves mass: the 8 resized bins sum back to the byte length") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "octet_length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = MultimodalOps.mmResizeFeatures(spark, sf).collect()
+    assert(rows.length == docs.size)
+    assert(rows.forall(r => r.getAs[Long]("total_check") == docs(r.getAs[Long]("doc_id"))))
+  }
+
   test("decode-features plumbing yields one feature row per document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val feats = MultimodalOps.mmDecodeFeatures(spark, sf).collect()
