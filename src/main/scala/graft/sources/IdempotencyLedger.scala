@@ -89,4 +89,17 @@ class IdempotencyLedger(dir: String, conf: Configuration) {
       catch { case e: Throwable => abandon(key); throw e }
     }
   }
+
+  /** Recovery pass over claims whose writer never reported back (a
+    * crash between write and mark): `landed(key)` checks the actual
+    * target (e.g. the operation's rows are present); landed claims are
+    * marked complete — the write happened, only the mark was lost —
+    * and the rest are abandoned so a retry can claim them. Returns
+    * (completed, abandoned). */
+  def recover(landed: String => Boolean): (Seq[String], Seq[String]) = {
+    val (ok, lost) = pendingKeys().partition(landed)
+    ok.foreach(complete)
+    lost.foreach(abandon)
+    (ok, lost)
+  }
 }

@@ -61,6 +61,17 @@ class IdempotencyLedgerSpec extends SparkTestBase {
     assert(led.begin("crash:2"), "an abandoned key must be claimable again")
   }
 
+  test("recover: landed pendings flip to complete, lost ones reopen") {
+    val led = freshLedger()
+    assert(led.begin("op:landed"))   // wrote, crashed before complete()
+    assert(led.begin("op:lost"))     // crashed before the write landed
+    val (completed, abandoned) = led.recover(_ == "op:landed")
+    assert(completed == Seq("op:landed") && abandoned == Seq("op:lost"))
+    assert(led.isComplete("op:landed"))
+    assert(!led.withOperation("op:landed") { fail("must not re-run a landed op") })
+    assert(led.begin("op:lost"), "a lost claim must be retryable after recovery")
+  }
+
   test("ledger + IdempotentSink: the guarded write is exactly-once end to end") {
     val s = spark
     import s.implicits._
