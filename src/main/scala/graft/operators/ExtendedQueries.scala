@@ -422,7 +422,22 @@ object ExtendedQueries {
           x => x.getField("t")))).as("chunk_md5"))
   }
 
+  /** first_value / last_value / nth_value over a total-ordered user
+    * window — one WindowExec (same partition+order spec for all three
+    * frames), pure value selection so no float arithmetic at all. */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"), col("value"))
+      .withColumn("first_val", first("value").over(w))
+      .withColumn("last_val", last("value").over(w))
+      .withColumn("second_val", nth_value(col("value"), 2).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_first_last" -> (qFirstLast _),
     "q_range_join" -> (qRangeJoin _),
     "text_chunks" -> (textChunks _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -446,6 +461,15 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_first_last" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |  first_value(value) OVER w AS first_val,
+        |  last_value(value) OVER w AS last_val,
+        |  nth_value(value, 2) OVER w AS second_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000000000, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),

@@ -215,10 +215,35 @@ object TextOps {
         sum(when(col("df") >= 2, 1).otherwise(0)).as("n_boilerplate"))
   }
 
+  /** Unigram log-probability quality score — the statistical fluency
+    * signal pre-training filters use (a document of vanishingly-rare
+    * tokens is noise; one of only stop-words is boilerplate). Corpus
+    * unigram frequencies via one token groupBy; per-doc mean log10
+    * probability via a token-keyed join back. log10 of a ratio of
+    * exact longs + a fixed-point floor-round keeps it engine-portable.
+    * At 100 TB the vocab side is Zipf-bounded — a broadcast candidate. */
+  def textLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok").as("tok_v"))
+      .agg(count(lit(1)).as("tf"))
+    val total = toks.count() // one scalar action: the corpus size
+    // ln + an explicit ln(10) double literal on BOTH sides (engines'
+    // log10 intrinsics differ in the last ulp more often than ln);
+    // the fixed-point floor-round absorbs accumulation-order noise
+    val ln10 = 2.302585092994046
+    toks.join(vocab, col("tok") === col("tok_v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(log(col("tf").cast("double") / total.toDouble)) / ln10 * 10000 + 0.5) / 10000)
+          .as("mean_logp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sentences" -> (textSentences _),
     "text_casing" -> (textCasing _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_logprob" -> (textLogprob _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_html_links" -> (textHtmlLinks _),
     "text_ngrams_top" -> (textNgramsTop _),
@@ -229,6 +254,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |total AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(ln(CAST(tf AS DOUBLE) / n)) / 2.302585092994046 * 10000 + 0.5) / 10000 AS mean_logp
+        |FROM toks JOIN vocab USING (tok), total
+        |GROUP BY doc_id""".stripMargin,
     "text_line_dedup" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS tok,

@@ -113,6 +113,20 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("first/last/nth values agree with a direct per-user recompute") {
+    val rows = ExtendedQueries.qFirstLast(spark, sf)
+      .filter(col("user_id") === 3).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") === 3)
+      .select(expr("ts div 1000000000").as("ts_s"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.length == ev.length)
+    assert(rows.forall(_.getAs[Double]("first_val") == ev.head._3))
+    assert(rows.forall(_.getAs[Double]("last_val") == ev.last._3))
+    assert(rows.forall(_.getAs[Double]("second_val") == ev(1)._3))
+  }
+
   test("binned range join equals the naive user-join + range filter") {
     val binned = ExtendedQueries.qRangeJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("s_event"), r.getAs[Long]("p_event"))).toSeq

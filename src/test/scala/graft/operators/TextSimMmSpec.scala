@@ -46,6 +46,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getAs[Long]("max_sent_tokens") == maxLen.toLong)
   }
 
+  test("logprob: negative mean scores, token counts match the raw docs") {
+    val lp = TextOps.textLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_logp"))).toMap
+    val raw = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").length.toLong).toMap
+    assert(lp.keySet == raw.keySet)
+    lp.foreach { case (doc, (n, m)) =>
+      assert(n == raw(doc))
+      assert(m < 0 && m > -10, s"doc $doc: implausible mean log10 prob $m")
+    }
+  }
+
   test("line dedup: counts consistent with the sentence segmentation") {
     val ld = TextOps.textLineDedup(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
