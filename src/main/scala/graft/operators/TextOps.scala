@@ -227,15 +227,18 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok").as("tok_v"))
       .agg(count(lit(1)).as("tf"))
-    val total = toks.count() // one scalar action: the corpus size
+    // corpus size = Σ tf over the (tiny) vocab — a broadcast scalar,
+    // fully declarative: no driver action, no extra corpus scan
+    val totalDf = vocab.agg(sum("tf").cast("double").as("total_toks"))
     // ln + an explicit ln(10) double literal on BOTH sides (engines'
     // log10 intrinsics differ in the last ulp more often than ln);
     // the fixed-point floor-round absorbs accumulation-order noise
     val ln10 = 2.302585092994046
     toks.join(vocab, col("tok") === col("tok_v"))
+      .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        (floor(avg(log(col("tf").cast("double") / total.toDouble)) / ln10 * 10000 + 0.5) / 10000)
+        (floor(avg(log(col("tf").cast("double") / col("total_toks"))) / ln10 * 10000 + 0.5) / 10000)
           .as("mean_logp"))
   }
 
