@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: min-of-two timed passes per declared query after an
+  * sf0.001 warm-up pass, one JSON result line on stdout AND the same
+  * JSON written to a file (stdout tail-capture truncated round 3's
+  * artifact to 66/93 timings; the file is the complete record).
+  *
+  * The JSON carries lane subtotals next to the headline total: the four
+  * `stream_*` queries run a real streaming engine + filesystem sink per
+  * call (fixed startup the plain-SQL oracle never pays), so their lane
+  * is budgeted separately from the batch lane when comparing against a
+  * batch-SQL baseline. `value` remains the honest all-in total.
+  */
 object Bench {
+  private val streamingLane = Set(
+    "stream_windowed_agg", "stream_sessions",
+    "stream_ingest_idempotent", "stream_ingest_merge")
+
+  private def r4(v: Double): Double = math.rint(v * 10000) / 10000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +40,7 @@ object Bench {
     // below measures steady-state throughput (whole-stage codegen classes
     // compiled, JIT warm) instead of one-time JVM costs — which otherwise
     // dominate and add multi-x run-to-run noise at these data sizes.
-    val warmupDir = "/root/testdata/sf0.001"
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
@@ -55,10 +74,21 @@ object Bench {
     val b2 = bucketedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val bucketed = b1.map { case (k, v) => k -> math.min(v, b2(k)) }
-    val qs = (results ++ bucketed).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results ++ bucketed).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streamTotal = results.collect { case (k, v) if streamingLane(k) => v }.sum
+    val json =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
+      s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write $outFile: $e") }
+    println(json)
     spark.stop()
   }
 }

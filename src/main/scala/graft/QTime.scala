@@ -24,7 +24,10 @@ object QTime {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
-        fn(spark, warmupDir).count(): Unit
+        // warm-up failure (e.g. a query that can't run at the tiny SF)
+        // is a skip, not an abort — mirror Bench's protocol
+        try fn(spark, warmupDir).count(): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
       def timed(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

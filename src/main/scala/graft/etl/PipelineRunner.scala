@@ -54,7 +54,14 @@ object PipelineRunner {
             st.transform(cur).write.mode(SaveMode.Overwrite).parquet(out.toString)
             done = true
           } catch {
-            case e: Throwable =>
+            // retry recoverable failures ONLY: fatal errors (OOM,
+            // linkage) must propagate, and an interrupt is a shutdown
+            // request, not a flaky step — restore the flag and rethrow
+            // instead of sleeping on a doomed attempt
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw e
+            case scala.util.control.NonFatal(e) =>
               lastErr = e
               Thread.sleep(50L * attempt) // bounded linear backoff
           }

@@ -248,14 +248,29 @@ object WodEtl {
 
   /** Paginated ingestion (get_invictus_post's posts_per_page/page,
     * handler.py:108-113): a deterministic page slice over the ordered
-    * corpus. At scale the offset would come from a keyset cursor
-    * (doc_id > last_seen) — expressed here as the classic
-    * ORDER BY + OFFSET/LIMIT page for oracle parity. */
+    * corpus, as the classic ORDER BY + OFFSET/LIMIT page. Kept as the
+    * oracle-parity twin of `paginateKeyset` — OFFSET forces a global
+    * ordering of everything before the page, the wrong shape at scale. */
   def paginate(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy("doc_id")
       .offset(100)
+      .limit(50)
+
+  /** The same page as a KEYSET cursor — the declared form at scale:
+    * `doc_id > last_seen ORDER BY doc_id LIMIT n`. The cursor predicate
+    * pushes down to the parquet scan (PushedFilters) and the limit runs
+    * as TakeOrderedAndProject — per-partition top-n then a k-row merge,
+    * never a global sort, never a scan of the skipped prefix. The
+    * cursor (99) is the previous page's last doc_id: doc_ids are the
+    * dense 0..N-1 ingest sequence, so the keyset page IS the OFFSET-100
+    * page — same rows, same oracle result shape, different plan. */
+  def paginateKeyset(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .filter(col("doc_id") > 99)
+      .orderBy("doc_id")
       .limit(50)
 
   /** save_sessions_to_bucket path derivation (handler.py:225-229):
@@ -344,6 +359,7 @@ object WodEtl {
     "etl_idempotency_keys" -> (idempotencyKeys _),
     "etl_weekly_rollup" -> (weeklyRollup _),
     "etl_paginate" -> (paginate _),
+    "etl_paginate_keyset" -> (paginateKeyset _),
     "etl_pipeline_e2e" -> (pipelineE2E _)
   )
 
@@ -427,6 +443,9 @@ object WodEtl {
     "etl_paginate" ->
       """SELECT doc_id, source, lang FROM documents
         |ORDER BY doc_id LIMIT 50 OFFSET 100""".stripMargin,
+    "etl_paginate_keyset" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id > 99 ORDER BY doc_id LIMIT 50""".stripMargin,
     "etl_idempotency_keys" ->
       s"""WITH $slugCte,
          |paths AS (SELECT doc_id,

@@ -150,43 +150,38 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Per-doc SimHash hyperplane sums over the first `nBits` md5
+    * nibbles, FUSED: one custom array-typed aggregate
+    * (`graft_parity_sums`, plans/HexParitySums.scala) instead of nBits
+    * separate `sum(instr(substring(...)))` columns — one buffer slot,
+    * one pass over each digest, no per-bit hex-table scans. Output:
+    * (doc_id, sums array<long>[nBits]). */
+  private def paritySums(s: SparkSession, d: String, nBits: Int): DataFrame = {
+    graft.plans.HexParitySums.register(s)
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(call_function("graft_parity_sums", md5(col("tok")), lit(nBits)).as("sums"))
+  }
+
   /** 16-bit SimHash from md5-nibble hyperplanes: bit j of a doc is the
     * sign of Σ_tokens (2·(nibble_j(md5(tok)) mod 2) − 1). */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // hash once per token, slice 16 times (see simhash32)
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("m", md5(col("tok")))
-    val bitSums = (1 to 16).map { j =>
-      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, $j, 1)) - 1) % 2) - 1"))
-        .as(s"s$j")
-    }
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    paritySums(s, d, 16)
       .select(col("doc_id"),
         concat((1 to 16).map(j =>
-          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-  }
+          when(element_at(col("sums"), j) >= 0, lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
 
   /** 32-bit SimHash value per doc (same md5-nibble hyperplanes as the
     * 16-bit signature, extended to all 32 md5 hex positions), as a
-    * BIGINT for cheap XOR/bit_count Hamming distance. */
+    * BIGINT for cheap XOR/bit_count Hamming distance. Bit unpacking
+    * runs on the aggregated per-doc rows (|docs|, not |tokens|). */
   private[operators] def simhash32(s: SparkSession, d: String): DataFrame = {
-    // hash once per token; the 32 bit-sums slice the SAME digest (the
-    // inlined form would re-evaluate md5 inside every aggregate)
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("m", md5(col("tok")))
-    val bitSums = (1 to 32).map { j =>
-      sum(expr(s"2 * ((instr('0123456789abcdef', substring(m, $j, 1)) - 1) % 2) - 1"))
-        .as(s"s$j")
-    }
     val value = (1 to 32).map(j =>
-      when(col(s"s$j") >= 0, lit(1L << (32 - j))).otherwise(lit(0L)))
+      when(element_at(col("sums"), j) >= 0, lit(1L << (32 - j))).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), value.as("sh"))
+    paritySums(s, d, 32).select(col("doc_id"), value.as("sh"))
   }
 
   /** SimHash near-dup pairs: Hamming distance <= 3 over the 32-bit

@@ -128,12 +128,20 @@ object ExtendedQueries {
     * floor(v·100 + 0.5) (the same IEEE op sequence in every engine,
     * where string formatters disagree on half-up vs half-even at .xx5
     * midpoints) in the high digits, event_id as the tiebreak in the low
-    * ten. Values are non-negative and bounded (≤ ~1e6 cents), so the
-    * packed key cannot overflow and orders exactly like
-    * (rounded value, event_id). */
+    * ten. The packing is sound only inside its bounds — cents must stay
+    * below Long.MaxValue/1e10 ≈ 9.2e8 (value ≤ ~9.2e6) and event_id
+    * below 1e10 — so the key GUARDS them: out-of-range input raises
+    * instead of silently wrapping to a wrong extreme at some future
+    * scale. The guard is two comparisons per row, fused into codegen. */
   def qArgExtremes(s: SparkSession, d: String): DataFrame = {
-    val key = floor(col("value") * 100 + 0.5).cast("long") * 10000000000L +
-      col("event_id")
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val packed = cents * 10000000000L + col("event_id")
+    // negative cents still order exactly (the low ten digits stay a
+    // non-negative tiebreak), so the guard is the representable range
+    val key = when(cents.between(-922337203L, 922337203L) &&
+        col("event_id").between(0L, 9999999999L), packed)
+      .otherwise(raise_error(concat(lit("arg_extremes packed key out of range: value="),
+        col("value"), lit(" event_id="), col("event_id"))).cast("long"))
     events(s, d)
       .groupBy("event_type")
       .agg(

@@ -138,19 +138,26 @@ object TextOps {
     * corpus carries none, so an md5-parity rule (~1/4 of tokens close a
     * sentence) stands in — deterministic and oracle-checkable. One
     * shuffle on doc_id, shared by the window and the aggregates. */
-  def textSentences(s: SparkSession, d: String): DataFrame = {
+  /** Shared sentence segmentation (one definition — textSentences and
+    * textLineDedup are different aggregates over the SAME token→sid
+    * assignment): boundary flag per token, running sum over the doc's
+    * ordered token stream = sentence id. A boundary token CLOSES its
+    * sentence (id = boundaries before it). One shuffle on doc_id. */
+  private def sentenceToks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .withColumn("boundary",
         when(col("tok").rlike("[.!?]$") ||
           expr("(instr('0123456789abcdef', substring(md5(concat('sb:', tok)), 1, 1)) - 1) % 4 = 0"),
           1).otherwise(0))
-      // a boundary token CLOSES its sentence: id = boundaries before it
       .withColumn("sid", coalesce(sum(col("boundary"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    toks.groupBy("doc_id", "sid")
+  }
+
+  def textSentences(s: SparkSession, d: String): DataFrame =
+    sentenceToks(s, d).groupBy("doc_id", "sid")
       .agg(count(lit(1)).as("n_toks"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sentences"),
@@ -158,7 +165,6 @@ object TextOps {
         max("n_toks").as("max_sent_tokens"))
       .withColumn("avg_sent_tokens",
         col("n_tokens").cast("double") / col("n_sentences").cast("double"))
-  }
 
   /** Casing statistics over a deterministically re-cased corpus (the
     * all-lowercase synthetic text gets md5-parity casing: ~1/4 ALLCAPS,
@@ -188,30 +194,24 @@ object TextOps {
     * segmentation as text_sentences; per doc it reports within-doc
     * duplicate sentences (n_sentences vs n_unique) and occurrences of
     * sentences shared by ≥2 documents (corpus boilerplate). Shapes:
-    * one doc_id window+aggregate for the sentences, one sentence-keyed
-    * aggregate + join for the corpus frequencies — at 100 TB the join
-    * key would be the sentence hash, same distribution. */
+    * one doc_id window+aggregate for the sentences (shared def with
+    * text_sentences), one hash-keyed aggregate + join for the corpus
+    * frequencies — the join/grouping key is md5(sentence), never the
+    * raw sentence text: at 100 TB a sentence can be megabytes, and a
+    * 32-hex key shuffles at fixed width with the same distribution
+    * (md5 collisions: ~n²/2¹²⁸, absent at any feasible corpus). */
   def textLineDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sents = documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("boundary",
-        when(col("tok").rlike("[.!?]$") ||
-          expr("(instr('0123456789abcdef', substring(md5(concat('sb:', tok)), 1, 1)) - 1) % 4 = 0"),
-          1).otherwise(0))
-      .withColumn("sid", coalesce(sum(col("boundary"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sents = sentenceToks(s, d)
       .groupBy("doc_id", "sid")
-      .agg(concat_ws(" ", transform(
+      .agg(md5(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
-        x => x.getField("t"))).as("sent"))
-    val dfs = sents.groupBy(col("sent").as("sent_k"))
+        x => x.getField("t")))).as("sent_h"))
+    val dfs = sents.groupBy(col("sent_h").as("sent_k"))
       .agg(countDistinct("doc_id").as("df"))
-    sents.join(dfs, col("sent") === col("sent_k"))
+    sents.join(dfs, col("sent_h") === col("sent_k"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sentences"),
-        countDistinct("sent").as("n_unique"),
+        countDistinct("sent_h").as("n_unique"),
         sum(when(col("df") >= 2, 1).otherwise(0)).as("n_boilerplate"))
   }
 
@@ -221,7 +221,15 @@ object TextOps {
     * unigram frequencies via one token groupBy; per-doc mean log10
     * probability via a token-keyed join back. log10 of a ratio of
     * exact longs + a fixed-point floor-round keeps it engine-portable.
-    * At 100 TB the vocab side is Zipf-bounded — a broadcast candidate. */
+    *
+    * The vocab side is EXPLICITLY broadcast: unigram vocabularies are
+    * Zipf-bounded (≈10⁶–10⁷ distinct tokens of any real corpus — tens
+    * of MB as (token, count) rows) and outgrow
+    * `autoBroadcastJoinThreshold`'s 10 MB default long before they
+    * outgrow executor memory, at which point the fallback is a
+    * sort-merge join whose shuffle key is a Zipf-hot token — "the"
+    * lands every occurrence on one partition, the textbook skew kill.
+    * A broadcast hash join never shuffles the token stream at all. */
   def textLogprob(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -234,7 +242,7 @@ object TextOps {
     // log10 intrinsics differ in the last ulp more often than ln);
     // the fixed-point floor-round absorbs accumulation-order noise
     val ln10 = 2.302585092994046
-    toks.join(vocab, col("tok") === col("tok_v"))
+    toks.join(broadcast(vocab), col("tok") === col("tok_v"))
       .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -34,6 +34,23 @@ case class SessState(firstTs: Long, lastTs: Long, n: Long)
   */
 object StreamOps {
 
+  /** Memory-sink views created by THIS module, so repeated invocations
+    * (warm-up + bench passes) drop exactly the views they made and
+    * nothing else — a prefix sweep could clobber a same-prefix view
+    * owned by another still-active query in the session (e.g. a spec's
+    * own `sess_test`). Keyed per session: two sessions' registries
+    * never interfere. */
+  private val ownedViews =
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.Set[String]]
+
+  private def replaceOwnedView(s: SparkSession, prefix: String): String = ownedViews.synchronized {
+    val mine = ownedViews.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
+    mine.foreach(t => if (t.startsWith(prefix)) { s.catalog.dropTempView(t); mine -= t })
+    val name = s"$prefix${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    mine += name
+    name
+  }
+
   /** The file stream source requires a directory; expose the single
     * parquet file through a temp dir (symlink, copy as fallback). */
   private[streaming] def streamDir(d: String, table: String): String = {
@@ -67,10 +84,7 @@ object StreamOps {
         col("event_type"), col("n_events"), col("sum_value"))
     // drop sinks left by earlier invocations in this session (warm-up +
     // repeated bench passes) so completed-mode tables don't accumulate
-    s.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("win_agg_"))
-      .foreach(t => s.catalog.dropTempView(t))
-    val name = s"win_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val name = replaceOwnedView(s, "win_agg_")
     val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
@@ -88,7 +102,17 @@ object StreamOps {
     * watermark passes its last event + gap: emitted, state removed. A
     * NoTimeout trailing state would grow without bound on a continuous
     * stream — per-user state that never evicts is a real 100 TB killer.
-    * Requires a watermark on `event_time` upstream. */
+    * Requires a watermark on `event_time` upstream.
+    *
+    * Known limitation (from the timeout API's contract): the timeout is
+    * clamped to watermark+1ms when a session's natural deadline is
+    * already behind the watermark, so such a trailing session fires on
+    * the NEXT watermark advance. Under Trigger.AvailableNow the engine
+    * runs that extra no-data batch, so nothing is lost in the bench /
+    * oracle path; a CONTINUOUS deployment whose stream simply stops
+    * (no further batches, watermark frozen) holds the last session
+    * until data resumes — drain still-pending state at query stop if
+    * that window matters operationally. */
   def sessionize(ds: Dataset[Ev]): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -149,11 +173,9 @@ object StreamOps {
       .withWatermark("event_time", "30 minutes")
       .as[Ev]
     // drop memory sinks left by earlier invocations in this session
-    // (warm-up + repeated bench passes accumulate full result copies)
-    s.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("sess_"))
-      .foreach(t => s.catalog.dropTempView(t))
-    val name = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // (warm-up + repeated bench passes accumulate full result copies);
+    // only views THIS module created — never other owners' sess_* views
+    val name = replaceOwnedView(s, "sess_")
     val q = sessionize(ds).writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append())

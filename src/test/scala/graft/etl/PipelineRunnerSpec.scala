@@ -63,6 +63,21 @@ class PipelineRunnerSpec extends SparkTestBase {
     assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
   }
 
+  test("fatal errors escape immediately — no retry, no backoff sleep") {
+    val wd = Files.createTempDirectory("graft_steps_fatal").toString
+    val calls = new AtomicInteger(0)
+    val fatal: DataFrame => DataFrame = _ => {
+      calls.incrementAndGet()
+      throw new OutOfMemoryError("simulated heap exhaustion")
+    }
+    intercept[OutOfMemoryError] {
+      PipelineRunner.run(docs, Seq(
+        PipelineRunner.Step("oom", fatal, maxRetries = 3)), wd)
+    }
+    // a doomed attempt must not re-run: retrying an OOM just re-OOMs
+    assert(calls.get() == 1, s"fatal error was retried ${calls.get()} times")
+  }
+
   test("a step that exhausts its retries fails the pipeline with the cause attached") {
     val wd = Files.createTempDirectory("graft_steps_fail").toString
     val always: DataFrame => DataFrame = _ => sys.error("permanent failure")

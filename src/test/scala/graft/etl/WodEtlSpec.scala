@@ -94,4 +94,20 @@ class WodEtlSpec extends SparkTestBase {
     assert(df.filter(col("clean_text").contains("&#8211;")).count() == 0)
     assert(df.filter(col("clean_text").endsWith("- fin")).count() == df.count())
   }
+
+  test("keyset pagination: cursor pushed to the scan, top-n plan, same page as OFFSET") {
+    val ks = WodEtl.paginateKeyset(spark, sf)
+    val plan = ks.queryExecution.executedPlan.toString
+    // the cursor predicate reaches parquet: the skipped prefix is never read
+    assert(plan.contains("GreaterThan(doc_id,99)"),
+      s"cursor filter must be pushed to the scan:\n$plan")
+    // per-partition top-n + k-row merge, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), "keyset page must plan as top-n")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      "keyset page must not global-sort")
+    // dense doc_ids: keyset page == the OFFSET-100 page, row for row
+    val kRows = ks.collect().map(_.getLong(0)).toSeq
+    val oRows = WodEtl.paginate(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(kRows == oRows, "keyset and OFFSET twins must return the same page")
+  }
 }

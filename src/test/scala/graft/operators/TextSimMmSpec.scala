@@ -60,6 +60,12 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("logprob: the vocab join is an explicit BroadcastHashJoin (Zipf-hot keys never shuffle)") {
+    val plan = TextOps.textLogprob(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab side must be broadcast — a shuffled token-keyed join skews on stop-words")
+  }
+
   test("line dedup: counts consistent with the sentence segmentation") {
     val ld = TextOps.textLineDedup(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

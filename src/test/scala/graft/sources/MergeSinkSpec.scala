@@ -70,6 +70,48 @@ class MergeSinkSpec extends SparkTestBase {
     assert(winners.distinct.size == 1, s"nondeterministic winners: $winners")
   }
 
+  test("crash between the two swap renames: the next open rolls forward") {
+    val s = spark
+    import s.implicits._
+    val path = tmpTarget()
+    MergeSink.mergeKeyed(Seq((1L, 1L, "a")).toDF("k", "v", "p"), "k", "v", path)
+    // Simulate a writer dying EXACTLY inside the crash window: its merged
+    // output (k=1 updated to v=2) fully committed to tmp (_SUCCESS
+    // present), target already staged away to __merge_old, second rename
+    // never ran — at this instant NO live target exists.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((1L, 2L, "b")).toDF("k", "v", "p")
+      .write.parquet(path + ".__merge_tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".__merge_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // the successor's open must heal: roll tmp forward, then merge on top
+    MergeSink.mergeKeyed(Seq((2L, 1L, "c")).toDF("k", "v", "p"), "k", "v", path)
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(1L -> (2L, "b"), 2L -> (1L, "c")),
+      s"crashed swap not rolled forward: $out")
+    // and the recovery left no staging debris
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".__merge_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".__merge_tmp")))
+  }
+
+  test("stale tmp from a crash BEFORE the swap is discarded, target intact") {
+    val s = spark
+    import s.implicits._
+    val path = tmpTarget()
+    MergeSink.mergeKeyed(Seq((1L, 1L, "live")).toDF("k", "v", "p"), "k", "v", path)
+    // a writer died after writing tmp but before any rename: the batch
+    // was never acknowledged, so the attempt must be dropped, not merged
+    Seq((1L, 9L, "ghost")).toDF("k", "v", "p")
+      .write.parquet(path + ".__merge_tmp")
+    MergeSink.mergeKeyed(Seq((2L, 1L, "c")).toDF("k", "v", "p"), "k", "v", path)
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "live", 2L -> "c"), s"ghost tmp leaked in: $out")
+  }
+
   test("compaction bounds the file count after many merges") {
     val s = spark
     import s.implicits._
