@@ -2,11 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual queries by name (warm-up run + min of two
-  * timed passes, mirroring Bench's steady-state protocol).
+  * timed passes, mirroring Bench's steady-state protocol). Resolves
+  * declared queries AND the bucketed-layout variants (q3_bucketed ...),
+  * so scale runs can time both physical layouts of the same plan.
   *
   * Usage: runMain graft.QTime <sfDir> <query> [<query> ...]
   * Warm-up dir defaults to Bench's sf0.001 convention; override with
   * SPARK_GRAFT_WARMUP_DIR (skipped when absent or equal to sfDir).
+  * SPARK_GRAFT_QTIME_OUT=<file> additionally writes one JSON object
+  * {"sf":…, "queries":{name:{sec,rows},…}} — the machine-readable
+  * artifact for scale benches.
   */
 object QTime {
   def main(args: Array[String]): Unit = {
@@ -19,10 +24,16 @@ object QTime {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run: bucketed saves from a previous JVM
+      // would otherwise collide (Bench.scala has the same rationale)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_qtime_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val registry = SparkEntry.queries ++ operators.BucketedQueries.all
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
+      val fn = registry(n)
       if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
         // warm-up failure (e.g. a query that can't run at the tiny SF)
         // is a skip, not an abort — mirror Bench's protocol
@@ -36,7 +47,16 @@ object QTime {
       val t1 = timed()
       val t2 = timed()
       val cnt = fn(spark, sfDir).count()
+      out(n) = (math.min(t1, t2), cnt)
       println(f"QTIME $n%-24s ${math.min(t1, t2)}%8.2f s  (p1=$t1%.2f p2=$t2%.2f) rows=$cnt")
+    }
+    sys.env.get("SPARK_GRAFT_QTIME_OUT").foreach { f =>
+      val qs = out.map { case (k, (sec, rows)) =>
+        s""""$k":{"sec":${math.rint(sec * 10000) / 10000},"rows":$rows}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        s"""{"sf":"$sfDir","cpus":$cpus,"queries":$qs}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     spark.stop()
   }

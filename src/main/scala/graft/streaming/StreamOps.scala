@@ -51,16 +51,31 @@ object StreamOps {
     name
   }
 
-  /** The file stream source requires a directory; expose the single
-    * parquet file through a temp dir (symlink, copy as fallback). */
+  /** The file stream source requires a directory of data FILES; expose
+    * the table through a temp dir (symlink, copy as fallback). The
+    * driver's testdata is one parquet file per table, but scaled dirs
+    * (ScaleGen) are directories of part-files — the source does not
+    * recurse into a linked subdirectory, so link each part-file
+    * individually (every file then feeds the stream, and multi-file
+    * tables arrive as genuinely multi-file input). */
   private[streaming] def streamDir(d: String, table: String): String = {
     import java.nio.file._
     val dir = Files.createTempDirectory(s"graft_stream_$table")
     dir.toFile.deleteOnExit()
     val target = Paths.get(s"$d/$table.parquet")
-    val link = dir.resolve(s"$table.parquet")
-    try Files.createSymbolicLink(link, target)
-    catch { case _: Exception => Files.copy(target, link) }
+    val parts: Seq[Path] =
+      if (Files.isDirectory(target)) {
+        val s = Files.list(target)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        } finally s.close()
+      } else Seq(target)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val link = dir.resolve(f"part_$i%05d.parquet")
+      try Files.createSymbolicLink(link, p)
+      catch { case _: Exception => Files.copy(p, link): Unit }
+    }
     dir.toString
   }
 

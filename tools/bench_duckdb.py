@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Times oracle SQL in DuckDB over a testdata dir — the baseline side
+of the scale bench (the reference publishes no wall-times, so the
+same-machine DuckDB run of the SAME query set is the bar; VERDICT r3
+set it the same way).
+
+Usage: bench_duckdb.py <sfDir> <oracle_sql.json> <q1,q2,...> [--threads N]
+Prints one JSON object {"sf":…, "queries":{name:{"sec":…,"rows":…}}}.
+Min-of-two protocol, matching graft.Bench/QTime.
+"""
+import sys, json, time, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path, qlist = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+    threads = 32
+    if "--threads" in sys.argv:
+        threads = int(sys.argv[sys.argv.index("--threads") + 1])
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        sel = "*"
+        if t == "events":
+            # ScaleGen round-trips ts through Spark's nanos-as-long read,
+            # so scaled dirs carry BIGINT nanos where the driver's data
+            # has TIMESTAMP_NS. The underlying values are µs-precision,
+            # so rebuilding a TIMESTAMP from ns//1000 is lossless and
+            # epoch_ns(ts) in every oracle query behaves identically.
+            (ts_type,) = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
+    oracle = json.load(open(oracle_path))
+    out = {}
+    for q in qlist:
+        sql = oracle[q]
+        rows = 0
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            rows = len(con.execute(sql).fetchall())
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[q] = {"sec": round(best, 4), "rows": rows}
+        print(f"DUCK {q:<24s} {best:8.2f} s  rows={rows}", file=sys.stderr)
+    print(json.dumps({"sf": sf_dir, "threads": threads, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

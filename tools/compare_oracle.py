@@ -44,9 +44,22 @@ def canon(rows, cols):
     return sorted(c for c in cols), out
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        sel = "*"
+        if t == "events":
+            # ScaleGen dirs round-trip ts through Spark's nanos-as-long
+            # read, so they carry BIGINT nanos where the driver's data is
+            # TIMESTAMP_NS; values are µs-precision so ns//1000 is
+            # lossless and epoch_ns(ts) behaves identically.
+            (ts_type,) = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(glob.glob(f"{out_dir}/*/")):
