@@ -194,8 +194,12 @@ object ExtendedQueries {
         col("lang") === col("lang_b") && col("source") === col("source_b") &&
         col("len_band") === col("len_band_b") &&
         col("doc_a") < col("doc_b"))
-      .withColumn("lev", levenshtein(col("pref_a"), col("pref_b")))
-      .filter(col("lev") <= 20)
+      // threshold form: banded O(len·k) DP with early exit instead of
+      // the full len² table per pair — distances ≤20 come back exact
+      // (oracle-identical), anything above collapses to -1 and is
+      // filtered with the same predicate
+      .withColumn("lev", levenshtein(col("pref_a"), col("pref_b"), 21))
+      .filter(col("lev").between(0, 20))
       .select("doc_a", "doc_b", "lev")
   }
 
