@@ -22,6 +22,8 @@ object SparkEntry {
       operators.TextOps.queries -> operators.TextOps.oracle,
       operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,
       operators.MultimodalOps.queries -> operators.MultimodalOps.oracle,
+      operators.OlapQueries.queries -> operators.OlapQueries.oracle,
+      operators.PretrainOps.queries -> operators.PretrainOps.oracle,
       streaming.StreamOps.queries -> streaming.StreamOps.oracle,
       streaming.StreamIngest.queries -> streaming.StreamIngest.oracle
     )

@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-5 widening of the core analytics surface: the remaining
+  * classic TPC-H query shapes (existence-correlated counts, disjunctive
+  * bracket predicates, nation-pair volume, promo share, returned-item
+  * ranking) plus two event-analytics shapes (Markov-style transition
+  * counts, Pareto revenue concentration).
+  *
+  * Scale posture mirrors CoreQueries: money math in DecimalType so sums
+  * are order-independent (engine-portable, exact at any partitioning);
+  * dimension sides broadcast explicitly only where they are bounded by
+  * the data model (nation: 25 rows forever); fact-fact joins left to
+  * AQE. Every filter is a plain column predicate so parquet row-group
+  * pruning sees it.
+  */
+object OlapQueries {
+
+  private val dec182 = DecimalType(18, 2)
+  private val dec184 = DecimalType(18, 4)
+
+  /** TPC-H Q6 shape: pure scan-filter-aggregate, no join. The whole
+    * query should compile to one WholeStageCodegen over a parquet scan
+    * with all three predicates pushed. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(dec184))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4 shape: existence-correlated count by priority. The EXISTS
+    * becomes a left-semi join — Spark never materializes the matching
+    * lineitems, and the orders date window is pushed to the scan. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 shape: nation-pair shipping volume across two years.
+    * nation is broadcast twice (25 rows by the data model — a safe
+    * forced broadcast at any corpus scale); supplier/customer ride
+    * AQE; the only unavoidable shuffles are the two fact joins and the
+    * final (supp_nation, cust_nation, year) aggregate. */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val supN = nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custN = nation(s, d).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    l.join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(dec184)).cast("double").as("volume"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    * quarter. Decimal revenue makes the ORDER BY exact, so the top-20
+    * cut is deterministic in any engine (custkey tiebreak). */
+  def q10Returned(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(dec184)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share in one month — two decimal
+    * sums over a lineitem-part join, a scalar percentage out. part is
+    * midsize: no forced broadcast, AQE decides (at 100 TB part is a
+    * fact-scale table and this is a plain shuffle join on partkey). */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    l.join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+          .otherwise(lit(0).cast(dec184))).cast("double").as("promo_revenue"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(dec184)).cast("double").as("total_revenue"))
+      .select(
+        col("promo_revenue"), col("total_revenue"),
+        (floor(col("promo_revenue") / col("total_revenue") * 100 * 1e6 + 0.5) / 1e6)
+          .as("promo_share_pct"))
+  }
+
+  /** TPC-H Q19 shape: OR of three bracket predicates spanning both join
+    * sides. The per-bracket part predicates (brand+size) are pushable;
+    * the cross-side quantity brackets apply post-join — the classic
+    * disjunctive-pushdown test. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
+    lineitem(s, d).join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(dec184)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Markov-style event-transition matrix: count and mean gap for each
+    * (event_type → next event_type) pair, per-user ordered stream. One
+    * user_id shuffle for the window, one small aggregate — same scale
+    * shape as sessionization. Gap math on exact integer seconds; the
+    * mean is floor-rounded to absorb engine summation order. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("gap_s", lead("ts_s", 1).over(byUser) - col("ts_s"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        (floor(avg(col("gap_s").cast("double")) * 100 + 0.5) / 100).as("avg_gap_s"))
+  }
+
+  /** Pareto revenue concentration: customers cut into revenue deciles,
+    * each decile's share of total revenue. Revenue stays DecimalType
+    * through BOTH aggregate levels (exact ordering, exact decile sums).
+    * The exact ntile is a single-partition window over the per-customer
+    * aggregate — fine up to ~10⁸ customers (a few GB of (key, decimal)
+    * pairs), which covers the data model; past that the scale path is
+    * approx_percentile decile BOUNDARIES broadcast back as a range
+    * predicate (same shape as SimilarityOps' IVF coarse quantizer),
+    * trading exactness at the decile edges for full parallelism. The
+    * 10-row total-share window after it is trivially safe. */
+  def qPareto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
+    val deciled = perCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
+    val perDecile = deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cust_rev").as("decile_rev"))
+    perDecile
+      .withColumn("total_rev", sum("decile_rev").over(Window.partitionBy()))
+      .select(col("decile").cast("int").as("decile"), col("n_customers"),
+        col("decile_rev").cast("double").as("decile_rev"),
+        (floor(col("decile_rev").cast("double") / col("total_rev").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("rev_share"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q7_volume" -> (q7Volume _),
+    "q10_returned" -> (q10Returned _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_pareto" -> (qPareto _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH sums AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1996-06-01' AND l_shipdate < '1996-07-01')
+        |SELECT promo_revenue, total_revenue,
+        |  floor(promo_revenue / total_revenue * 100 * 1e6 + 0.5) / 1e6 AS promo_share_pct
+        |FROM sums""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |  FROM events),
+        |nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS next_type,
+        |    lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS gap_s
+        |  FROM ev)
+        |SELECT event_type, next_type, count(*) AS n_transitions,
+        |  floor(avg(CAST(gap_s AS DOUBLE)) * 100 + 0.5) / 100 AS avg_gap_s
+        |FROM nxt WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "q_pareto" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+        |  FROM orders GROUP BY 1),
+        |deciled AS (
+        |  SELECT cust_rev,
+        |    ntile(10) OVER (ORDER BY cust_rev DESC, o_custkey) AS decile
+        |  FROM per_cust),
+        |per_decile AS (
+        |  SELECT decile, count(*) AS n_customers, sum(cust_rev) AS decile_rev
+        |  FROM deciled GROUP BY 1)
+        |SELECT CAST(decile AS INT) AS decile, n_customers,
+        |  CAST(decile_rev AS DOUBLE) AS decile_rev,
+        |  floor(CAST(decile_rev AS DOUBLE) / CAST(sum(decile_rev) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rev_share
+        |FROM per_decile""".stripMargin
+  )
+}

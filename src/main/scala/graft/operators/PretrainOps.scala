@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 widening of the training-data pipeline surface: corpus
+  * quality gating (Gopher-style repetition rules), benchmark
+  * decontamination, deterministic sampling (stratified and
+  * quality-weighted), data-mixture planning, and embedding centroids
+  * (the k-means assignment step of semantic clustering).
+  *
+  * Scale posture: the per-document rules are map-only array plans (no
+  * shuffle at all — they run at scan speed over 100 TB); sampling is a
+  * pushable hash predicate (md5 parity, the engine's standard
+  * deterministic-sampling idiom); decontamination broadcasts the
+  * benchmark n-gram set (benchmark suites are small by construction —
+  * that is the whole premise of decontamination); centroids shuffle
+  * (label, dim) pairs, never whole vectors.
+  */
+object PretrainOps {
+
+  /** Gopher-style repetition/quality rules, per document: duplicate
+    * -token fraction, top-token fraction, mean token length, and the
+    * keep/drop gate. All ratios are exact-integer divisions (no
+    * summation-order hazard); the token frequency scan is
+    * O(distinct·tokens) per doc over a MATERIALIZED token array (two
+    * selects — CollapseProject keeps non-cheap multiply-referenced
+    * expressions un-inlined, the SURVEY §8b lesson). Real pipelines set
+    * the thresholds from held-out calibration; these are fitted to the
+    * synthetic corpus so both classes are populated.
+    *
+    * Mirrors the reference's per-record validation gate
+    * (transforms/clean_data.py:1) generalized to corpus quality rules. */
+  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+      array_max(transform(array_distinct(col("tk")),
+        t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_cnt"),
+      aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"))
+    stats.select(
+      col("doc_id"), col("n_tokens"),
+      (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 1e4 + 0.5) / 1e4)
+        .as("dup_frac"),
+      (floor(col("top_cnt").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
+        .as("top_frac"),
+      (floor(col("sum_tok_len").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
+        .as("mean_tok_len"))
+      .withColumn("keep_doc",
+        col("n_tokens") >= 40 && col("mean_tok_len") <= 5.0 &&
+        col("top_frac") <= 0.12 && col("dup_frac") <= 0.55)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * n-gram with a held-out benchmark set (here the deterministic
+    * doc_id % 97 slice stands in for the benchmark). Reuses the shared
+    * relational shingle index (one definition with the dedup family);
+    * the benchmark side is explicitly broadcast — eval suites are
+    * orders of magnitude smaller than the corpus, so the corpus-side
+    * token stream never shuffles. Real pipelines use 8–13-gram
+    * contamination windows; the synthetic corpus needs 3-grams to have
+    * any collision signal at all. */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = DedupOps.shingleRows(s, d).select("doc_id", "shingle")
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle").as("b_shingle")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), col("shingle") === col("b_shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Stratified sampling with per-language rates (the data-mixing
+    * downsample step): a deterministic md5 threshold per stratum, fully
+    * pushable — at 100 TB this is a predicate on the scan, no shuffle,
+    * and re-runs reproduce the exact sample. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(substring(md5(concat(lit("strat:"), col("doc_id"))), 1, 2) <
+        when(col("lang") === "en", "80")
+          .when(col("lang") === "de", "40")
+          .otherwise("1a"))
+      .select(col("doc_id"), col("lang"))
+
+  /** Quality-weighted sampling: acceptance probability proportional to
+    * a per-document weight (here the length-based quality ramp),
+    * decided by an 8-bit hash uniform — the deterministic analogue of
+    * temperature sampling for data mixing. Map-only, pushable. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val u = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('wt:', doc_id)), 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substring(md5(concat('wt:', doc_id)), 2, 1)) - 1)")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("weight",
+        floor(least(lit(1.0), col("n_tokens").cast("double") / 80.0) * 1e4 + 0.5) / 1e4)
+      .filter(u < floor(least(lit(1.0), col("n_tokens").cast("double") / 80.0) * 256))
+      .select(col("doc_id"), col("n_tokens"), col("weight"))
+  }
+
+  /** Language-mixture plan: alpha-smoothed (α=0.5) sampling weights per
+    * language — the standard multilingual rebalancing formula
+    * (w_l ∝ p_l^α, normalized). Two tiny windows over the 5-row
+    * aggregate, nothing fact-scale; sqrt is IEEE correctly-rounded so
+    * both engines agree bit-for-bit before the floor-round. */
+  def mixLanguageBalance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac0",
+        col("n_docs").cast("double") / sum("n_docs").over(all))
+      .withColumn("w", sqrt(col("frac0")))
+      .select(col("lang"), col("n_docs"),
+        (floor(col("frac0") * 1e6 + 0.5) / 1e6).as("frac"),
+        (floor(col("w") / sum("w").over(all) * 1e4 + 0.5) / 1e4).as("sample_frac"))
+  }
+
+  /** Per-label embedding centroids — the assignment-step aggregate of
+    * k-means / semantic dedup. Vectors are posexploded to (label, dim,
+    * value) so the shuffle moves scalar triplets keyed by (label, dim),
+    * never whole vectors, and the aggregate is a plain codegen'd avg
+    * with map-side partials — at 100 TB this is one balanced shuffle of
+    * labels·dims cells. */
+  def simCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg((floor(avg(col("v").cast("double")) * 1e4 + 0.5) / 1e4).as("c"),
+        count(lit(1)).as("n_vecs"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> (textGopherRules _),
+    "text_decontaminate" -> (textDecontaminate _),
+    "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
+    "mix_language_balance" -> (mixLanguageBalance _),
+    "sim_centroids" -> (simCentroids _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_cnt,
+        |    CAST(sum(len(tok) * c) AS BIGINT) AS sum_tok_len
+        |  FROM pt GROUP BY 1),
+        |m AS (SELECT doc_id, n_tokens,
+        |    floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 1e4 + 0.5) / 1e4 AS dup_frac,
+        |    floor(CAST(top_cnt AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS top_frac,
+        |    floor(CAST(sum_tok_len AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS mean_tok_len
+        |  FROM agg)
+        |SELECT doc_id, n_tokens, dup_frac, top_frac, mean_tok_len,
+        |  (n_tokens >= 40 AND mean_tok_len <= 5.0 AND top_frac <= 0.12 AND dup_frac <= 0.55)
+        |    AS keep_doc
+        |FROM m""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sets AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh_set FROM toks),
+        |inv AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sets),
+        |bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM inv
+        |WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)
+        |GROUP BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('strat:' || doc_id), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '1a' END""".stripMargin,
+    "sample_weighted" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (strpos('0123456789abcdef', substr(md5('wt:' || doc_id), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5('wt:' || doc_id), 2, 1)) - 1) AS u
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  floor(least(1.0, CAST(n_tokens AS DOUBLE) / 80.0) * 1e4 + 0.5) / 1e4 AS weight
+        |FROM base
+        |WHERE u < floor(least(1.0, CAST(n_tokens AS DOUBLE) / 80.0) * 256)""".stripMargin,
+    "mix_language_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS frac0,
+        |    sqrt(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()) AS wt
+        |  FROM c)
+        |SELECT lang, n_docs,
+        |  floor(frac0 * 1e6 + 0.5) / 1e6 AS frac,
+        |  floor(wt / sum(wt) OVER () * 1e4 + 0.5) / 1e4 AS sample_frac
+        |FROM w""".stripMargin,
+    "sim_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    unnest(range(0, len(embedding))) AS dim FROM embeddings)
+        |SELECT label, dim, floor(avg(CAST(v AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS c,
+        |  count(*) AS n_vecs
+        |FROM e GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OlapQueriesSpec extends SparkTestBase {
+
+  test("q6: pure scan-agg — no join, no Exchange beyond the final single-row agg") {
+    val df = OlapQueries.q6Forecast(spark, sf)
+    val r = df.head()
+    assert(r.getAs[Long]("n_items") > 0 && r.getAs[Double]("revenue") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "Q6 must not join")
+    assert(plan.contains("PushedFilters") || plan.contains("PushedFilters:"),
+      "the shipdate/discount/quantity predicates must reach the parquet scan")
+  }
+
+  test("q4: EXISTS compiles to a left-semi join, counts by priority") {
+    val df = OlapQueries.q4OrderPriority(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("order_count") > 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "existence test must stay a semi join (never materialize matches)")
+  }
+
+  test("q7: nation pairs exclude self-pairs, volumes positive, nation sides broadcast") {
+    val df = OlapQueries.q7Volume(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    assert(rows.forall(_.getAs[Double]("volume") > 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "25-row nation joins must broadcast")
+  }
+
+  test("q10: top-20 returned revenue is deterministically ordered") {
+    val rows = OlapQueries.q10Returned(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q14: promo share lies in (0,100) and equals the component ratio") {
+    val r = OlapQueries.q14PromoShare(spark, sf).head()
+    val (p, t, share) = (r.getAs[Double]("promo_revenue"),
+      r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_share_pct"))
+    assert(p > 0 && t > p)
+    assert(math.abs(share - p / t * 100) < 1e-5)
+  }
+
+  test("q19: disjunctive brackets select a nonempty exact subset") {
+    val r = OlapQueries.q19Disjunctive(spark, sf).head()
+    assert(r.getAs[Long]("n_items") > 0 && r.getAs[Double]("revenue") > 0)
+  }
+
+  test("event transitions: counts conserve the event stream minus one per user") {
+    val df = OlapQueries.qEventTransitions(spark, sf)
+    val total = df.agg(sum("n_transitions")).head().getLong(0)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(total == nEvents - nUsers,
+      "each user contributes exactly (events-1) transitions")
+  }
+
+  test("pareto: deciles partition customers, shares sum to ~1 and decrease") {
+    val rows = OlapQueries.qPareto(spark, sf).collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val shareSum = rows.map(_.getAs[Double]("rev_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val revs = rows.map(_.getAs[Double]("decile_rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "decile 1 (top revenue) must dominate")
+  }
+}
+
+class PretrainOpsSpec extends SparkTestBase {
+
+  test("gopher rules: map-only plan (no Exchange), both keep classes populated") {
+    val df = PretrainOps.textGopherRules(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "per-doc quality rules must not shuffle")
+    val byKeep = df.groupBy("keep_doc").count().collect()
+      .map(r => r.getAs[Boolean]("keep_doc") -> r.getAs[Long]("count")).toMap
+    assert(byKeep.getOrElse(true, 0L) > 0 && byKeep.getOrElse(false, 0L) > 0,
+      "thresholds must split the corpus, not rubber-stamp it")
+  }
+
+  test("gopher rules: fractions agree with a JVM-side recompute on one doc") {
+    val r = PretrainOps.textGopherRules(spark, sf).filter(col("doc_id") === 0).head()
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val tk = text.split(" ")
+    val n = tk.length.toDouble
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Long]("n_tokens") == tk.length.toLong)
+    assert(r.getAs[Double]("dup_frac") == r4(1.0 - tk.distinct.length / n))
+    assert(r.getAs[Double]("top_frac") ==
+      r4(tk.groupBy(identity).values.map(_.size).max / n))
+    assert(r.getAs[Double]("mean_tok_len") == r4(tk.map(_.length).sum / n))
+  }
+
+  test("decontaminate: benchmark docs never flagged, hits bounded by doc shingles, bench side broadcast") {
+    val df = PretrainOps.textDecontaminate(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0),
+      "the benchmark slice must be excluded from the report")
+    assert(rows.forall(_.getAs[Long]("n_hits") > 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark n-gram set must broadcast — the corpus never shuffles for it")
+  }
+
+  test("stratified sample: rates land near per-stratum targets, exactly reproducible") {
+    val a = PretrainOps.sampleStratified(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = PretrainOps.sampleStratified(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && (a sameElements b), "hash sampling must be deterministic")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = PretrainOps.sampleStratified(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en target 0.5, got $enRate")
+  }
+
+  test("weighted sample: long docs kept more often than short docs") {
+    val kept = PretrainOps.sampleWeighted(spark, sf)
+    val keptLong = kept.filter(col("n_tokens") >= 80).count().toDouble
+    val allLong = PretrainOps.textGopherRules(spark, sf)
+      .filter(col("n_tokens") >= 80).count().toDouble
+    val keptShort = kept.filter(col("n_tokens") < 40).count().toDouble
+    val allShort = PretrainOps.textGopherRules(spark, sf)
+      .filter(col("n_tokens") < 40).count().toDouble
+    assert(keptLong / allLong > keptShort / allShort,
+      "acceptance must increase with the weight")
+    assert(keptLong / allLong > 0.9, "weight-1 docs should nearly all be kept")
+  }
+
+  test("language mixture: fracs sum to 1, smoothing upweights rare languages") {
+    val rows = PretrainOps.mixLanguageBalance(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("frac")).sum > 0.999)
+    assert(math.abs(rows.map(_.getAs[Double]("sample_frac")).sum - 1.0) < 1e-2)
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Double]("sample_frac") < en.getAs[Double]("frac"),
+      "α=0.5 must downweight the majority language")
+    rows.filter(_.getAs[String]("lang") != "en").foreach { r =>
+      assert(r.getAs[Double]("sample_frac") > r.getAs[Double]("frac"),
+        s"α=0.5 must upweight minority ${r.getAs[String]("lang")}")
+    }
+  }
+
+  test("centroids: one cell per (label, dim), values inside the embedding range") {
+    val rows = PretrainOps.simCentroids(spark, sf).collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    val dim = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.length == labels * dim)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("c")) <= 1.0))
+    val perLabel = rows.groupBy(_.getAs[Int]("label")).view.mapValues(_.length)
+    assert(perLabel.values.forall(_ == dim))
+  }
+}
