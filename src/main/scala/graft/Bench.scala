@@ -64,8 +64,10 @@ object Bench {
     // shuffle-free join time next to its plain-scan twin. Excluded from
     // "total" (they have no oracle twin in the baseline's query set).
     operators.BucketedQueries.ensureBucketed(spark, sfDir)
+    operators.PartitionedLayout.ensurePartitioned(spark, sfDir)
     def bucketedPass(): Map[String, Double] =
-      operators.BucketedQueries.all.map { case (name, fn) =>
+      (operators.BucketedQueries.all ++ operators.PartitionedLayout.all)
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -25,9 +25,13 @@ object OlapQueries {
 
   /** TPC-H Q6 shape: pure scan-filter-aggregate, no join. The whole
     * query should compile to one WholeStageCodegen over a parquet scan
-    * with all three predicates pushed. */
+    * with all three predicates pushed. Body shared with the
+    * partition-pruned layout twin (operators.PartitionedLayout). */
   def q6Forecast(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    q6From(lineitem(s, d))
+
+  private[operators] def q6From(lineitemT: DataFrame): DataFrame =
+    lineitemT
       .filter(
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
