@@ -19,7 +19,7 @@ object TextOps {
     * split re-evaluates it per element_at — O(tokens²)); empty when the
     * document has <3 tokens (Spark's `sequence(1,0)` counts DOWN, so
     * guard explicitly). */
-  private def shingles(tk: Column): Column =
+  private[operators] def shingles(tk: Column): Column =
     when(size(tk) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - 2),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
