@@ -58,26 +58,23 @@ object DedupOps {
     def truncLazy: DataFrame = truncate(df, eager = false)
   }
 
-  /** Distinct (doc_id, lang, 3-token shingle) rows, built RELATIONALLY:
-    * posexplode + lead() windows instead of array lambdas. Lambda-built
-    * shingle arrays looked fine but Catalyst's filter pushdown re-inlines
-    * the whole lambda (including the text split) below the projection,
-    * re-evaluating it per element — O(tokens²) per row per consumer.
-    * The window form computes each token once, costs one shuffle on
-    * doc_id, and every downstream consumer shares plain rows. */
-  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  /** Distinct (doc_id, lang, 3-token shingle) rows, built MAP-ONLY:
+    * a materialized token array (its own projection — CollapseProject
+    * keeps non-cheap multiply-referenced expressions un-inlined, the
+    * SURVEY §8b lesson) → per-doc distinct shingle array → explode.
+    * Zero shuffle: array_distinct runs inside the doc row, so the
+    * explode emits already-distinct rows — where the earlier window
+    * form paid a doc_id Exchange for lead() AND a full Exchange for
+    * .distinct(). The O(tokens²) lambda-reinlining trap this family hit
+    * in round 2 (filters pushed below the projection re-evaluating the
+    * split per element) does not bite here: every consumer either cuts
+    * lineage with truncEager before reuse or filters on doc_id only,
+    * which pushes to the scan, not into the lambda. */
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-  }
+        explode(array_distinct(TextOps.shingles(col("tk")))).as("shingle"))
 
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id

@@ -65,7 +65,9 @@ object PretrainOps {
     * contamination windows; the synthetic corpus needs 3-grams to have
     * any collision signal at all. */
   def textDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+    // the shared shingle index is map-only, so each side of this join
+    // is a plain scan — recomputing it per side costs no shuffle
+    val sh = DedupOps.shingleRows(s, d).select("doc_id", "shingle")
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("shingle").as("b_shingle")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
@@ -73,18 +75,6 @@ object PretrainOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
-
-  /** Distinct 3-gram shingles per doc, map-only (the TextOps.shingles
-    * array idiom — no window, no shuffle): each side of the
-    * decontamination join is a plain scan, where the window-based
-    * shared index (DedupOps.shingleRows) would pay its doc_id shuffle
-    * TWICE here (the two sides are different filters of the same
-    * intermediate, and Spark recomputes unshared lineage). */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("tk")))).as("shingle"))
 
   /** Stratified sampling with per-language rates (the data-mixing
     * downsample step): a deterministic md5 threshold per stratum, fully

@@ -130,39 +130,41 @@ object TextOps {
         (size(split(col("links"), "\\|"))).cast("long"))
   }
 
-  /** Sentence segmentation in the engine's window idiom: a boundary
-    * flag per token, a running sum over the doc's ordered token stream
-    * turns flags into sentence ids (the same shape as event
-    * sessionization), one aggregate per sentence, one per doc. On real
-    * text the boundary is terminal punctuation ([.!?]$); this synthetic
-    * corpus carries none, so an md5-parity rule (~1/4 of tokens close a
-    * sentence) stands in — deterministic and oracle-checkable. One
-    * shuffle on doc_id, shared by the window and the aggregates. */
   /** Shared sentence segmentation (one definition — textSentences and
-    * textLineDedup are different aggregates over the SAME token→sid
-    * assignment): boundary flag per token, running sum over the doc's
-    * ordered token stream = sentence id. A boundary token CLOSES its
-    * sentence (id = boundaries before it). One shuffle on doc_id. */
-  private def sentenceToks(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("boundary",
-        when(col("tok").rlike("[.!?]$") ||
-          expr("(instr('0123456789abcdef', substring(md5(concat('sb:', tok)), 1, 1)) - 1) % 4 = 0"),
-          1).otherwise(0))
-      .withColumn("sid", coalesce(sum(col("boundary"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-  }
+    * textLineDedup consume the SAME per-doc sentence array), MAP-ONLY:
+    * each boundary token gets a sentinel appended, the marked tokens
+    * are re-joined and split on the sentinel — a boundary token CLOSES
+    * its sentence, exactly the running-sum sid assignment the earlier
+    * window form computed, without its posexplode + doc_id Exchange.
+    * On real text the boundary is terminal punctuation ([.!?]$); this
+    * synthetic corpus carries none, so an md5-parity rule (~1/4 of
+    * tokens close a sentence) stands in — deterministic and
+    * oracle-checkable. The sentinel (\u0001) cannot occur in tokens:
+    * split(text, ' ') tokens never contain control characters in this
+    * corpus, and any real corpus scrubs C0 controls on ingest. */
+  private def boundaryFlag(t: Column): Column =
+    t.rlike("[.!?]$") ||
+      conv(substring(md5(concat(lit("sb:"), t)), 1, 1), 16, 10)
+        .cast("int") % 4 === 0
+
+  /** Per-doc array of sentence strings (tokens re-joined with ' '). */
+  private def sentencesArr(tk: Column): Column =
+    filter(
+      split(
+        concat_ws(" ", transform(tk,
+          t => concat(t, when(boundaryFlag(t), "\u0001").otherwise("")))),
+        "\u0001 ?"),
+      x => length(x) > 0)
 
   def textSentences(s: SparkSession, d: String): DataFrame =
-    sentenceToks(s, d).groupBy("doc_id", "sid")
-      .agg(count(lit(1)).as("n_toks"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sentences"),
-        sum("n_toks").as("n_tokens"),
-        max("n_toks").as("max_sent_tokens"))
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), sentencesArr(col("tk")).as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        array_max(transform(col("sents"), x => size(split(x, " "))))
+          .cast("long").as("max_sent_tokens"))
       .withColumn("avg_sent_tokens",
         col("n_tokens").cast("double") / col("n_sentences").cast("double"))
 
@@ -201,11 +203,12 @@ object TextOps {
     * 32-hex key shuffles at fixed width with the same distribution
     * (md5 collisions: ~n²/2¹²⁸, absent at any feasible corpus). */
   def textLineDedup(s: SparkSession, d: String): DataFrame = {
-    val sents = sentenceToks(s, d)
-      .groupBy("doc_id", "sid")
-      .agg(md5(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos").as("p"), col("tok").as("t")))),
-        x => x.getField("t")))).as("sent_h"))
+    // map-only sentence hashes (shared segmentation def above); the
+    // only shuffles left are the two aggregates and the hash-keyed join
+    val sents = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(sentencesArr(col("tk"))).as("sent"))
+      .select(col("doc_id"), md5(col("sent")).as("sent_h"))
     val dfs = sents.groupBy(col("sent_h").as("sent_k"))
       .agg(countDistinct("doc_id").as("df"))
     sents.join(dfs, col("sent_h") === col("sent_k"))
