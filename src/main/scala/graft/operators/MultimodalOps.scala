@@ -129,14 +129,59 @@ object MultimodalOps {
           .reduce(_ + _).as("total_check"))
   }
 
+  /** Perceptual-hash near-dup buckets over the decoded features — image
+    * dedup, the multimodal twin of the text dedup family. The hash is
+    * the feature histogram's above-uniform sign pattern (bit i set ⇔
+    * bin i holds more than 1/16 of the mass), computed from EXACT
+    * integer counts recovered from the decode (float ratio × length is
+    * exact below 2^23 bytes), so both engines agree bit-for-bit.
+    * Same shape as dedup_exact downstream: hash groupBy → keeper
+    * election; payload bytes never shuffle — only (doc_id, phash). A
+    * production pipeline verifies candidates inside each bucket
+    * (feature L1 distance), exactly like the LSH families verify
+    * theirs. */
+  def mmDedupPhash(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    val decoded = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, f) = FakeDecoder.decode(payload)
+          Row(r.getAs[Long]("doc_id"), w, h, payload.length, f.toSeq)
+        }
+      }(enc)
+    val phash = (0 until FakeDecoder.FeatureDim).map { i =>
+      when(round(element_at(col("features"), i + 1) * col("byte_len"))
+        .cast("long") * 16 > col("byte_len"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    decoded
+      .select(col("doc_id"), phash.as("phash"))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize_features" -> (mmResizeFeatures _),
-    "mm_frame_sample" -> (mmFrameSample _)
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_dedup_phash" -> (mmDedupPhash _)
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup_phash" ->
+      """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
+        |  unnest(range(1, strlen(text)+1)) AS i FROM documents),
+        |bins AS (SELECT doc_id, n, ascii(substr(text, i, 1)) % 16 AS b FROM chars),
+        |cnts AS (SELECT doc_id, any_value(n) AS n, b, count(*) AS c
+        |  FROM bins GROUP BY doc_id, b),
+        |ph AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN c * 16 > n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cnts GROUP BY doc_id)
+        |SELECT phash, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM ph GROUP BY phash HAVING count(*) >= 2""".stripMargin,
     "mm_resize_features" ->
       """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
         |  unnest(range(1, strlen(text)+1)) AS i FROM documents),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-5 widening of the training-data pipeline surface: corpus
@@ -32,18 +32,26 @@ object PretrainOps {
     *
     * Mirrors the reference's per-record validation gate
     * (transforms/clean_data.py:1) generalized to corpus quality rules. */
-  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+  def textGopherRules(s: SparkSession, d: String): DataFrame =
+    gopherBase(s, d).select("doc_id", "n_tokens", "dup_frac", "top_frac",
+      "mean_tok_len", "keep_doc")
+
+  /** Rules + identity columns in one map-only pass (shared with the
+    * end-to-end pipeline stats, which chains the gate with dedup and
+    * sampling). */
+  private def gopherBase(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"),
+        md5(lower(col("text"))).as("fp"), split(col("text"), " ").as("tk"))
     val stats = base.select(
-      col("doc_id"),
+      col("doc_id"), col("lang"), col("fp"),
       size(col("tk")).cast("long").as("n_tokens"),
       size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
       array_max(transform(array_distinct(col("tk")),
         t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_cnt"),
       aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"))
     stats.select(
-      col("doc_id"), col("n_tokens"),
+      col("doc_id"), col("lang"), col("fp"), col("n_tokens"),
       (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 1e4 + 0.5) / 1e4)
         .as("dup_frac"),
       (floor(col("top_cnt").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
@@ -53,6 +61,58 @@ object PretrainOps {
       .withColumn("keep_doc",
         col("n_tokens") >= 40 && col("mean_tok_len") <= 5.0 &&
         col("top_frac") <= 0.12 && col("dup_frac") <= 0.55)
+  }
+
+  /** Content-defined chunking (CDC) duplicated-substring report — the
+    * sub-document exact-dedup technique: rolling-hash boundaries cut
+    * each doc into variable-length chunks whose edges survive local
+    * edits (unlike fixed windows), duplicated chunks across docs are
+    * the removable substrings. Chunking is MAP-ONLY (the shared
+    * split-at-boundary construction with a 1/8-rate hash boundary,
+    * ~8-token chunks); the only shuffle is the chunk-hash aggregate,
+    * keyed on a 32-hex md5, never chunk text. Top-50 by document
+    * frequency with a total-order tiebreak. */
+  def dedupCdcChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(TextOps.segmentsArr(col("tk"), cdcBoundary)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_h"))
+      .groupBy("chunk_h")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("n_occ").desc, col("chunk_h"))
+      .limit(50)
+
+  private def cdcBoundary(t: Column): Column =
+    conv(substring(md5(concat(lit("cdc:"), t)), 1, 1), 16, 10)
+      .cast("int") % 8 === 0
+
+  /** End-to-end corpus-construction attrition: raw docs → quality gate
+    * → exact dedup (keeper = min doc, with its language) → stratified
+    * sample, one count per stage. The chain is fully declarative —
+    * quality is the map-only gate above, dedup is one fingerprint
+    * groupBy, sampling is a pushable hash predicate on the keeper — so
+    * at 100 TB this is one scan, one shuffle, and three tiny
+    * aggregates. */
+  def pretrainPipelineStats(s: SparkSession, d: String): DataFrame = {
+    val g = gopherBase(s, d)
+    val kept = g.filter(col("keep_doc"))
+    val keepers = kept.groupBy("fp")
+      .agg(min("doc_id").as("keeper_id"),
+        min_by(col("lang"), col("doc_id")).as("keeper_lang"))
+    val sampled = keepers.filter(
+      substring(md5(concat(lit("strat:"), col("keeper_id"))), 1, 2) <
+        when(col("keeper_lang") === "en", "80")
+          .when(col("keeper_lang") === "de", "40")
+          .otherwise("1a"))
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "all", g)
+      .union(stage(1, "quality", kept))
+      .union(stage(2, "dedup", keepers))
+      .union(stage(3, "sample", sampled))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any
@@ -143,7 +203,9 @@ object PretrainOps {
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_language_balance" -> (mixLanguageBalance _),
-    "sim_centroids" -> (simCentroids _)
+    "sim_centroids" -> (simCentroids _),
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "pretrain_pipeline_stats" -> (pretrainPipelineStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +267,50 @@ object PretrainOps {
         |    unnest(range(0, len(embedding))) AS dim FROM embeddings)
         |SELECT label, dim, floor(avg(CAST(v AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS c,
         |  count(*) AS n_vecs
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "dedup_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents),
+        |fl AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5('cdc:' || tok), 1, 1)) - 1) % 8 = 0
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM t),
+        |sids AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM fl),
+        |chunks AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_h
+        |  FROM sids GROUP BY doc_id, cid)
+        |SELECT chunk_h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS n_occ
+        |FROM chunks GROUP BY chunk_h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, n_occ DESC, chunk_h LIMIT 50""".stripMargin,
+    "pretrain_pipeline_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_cnt,
+        |    CAST(sum(len(tok) * c) AS BIGINT) AS sum_tok_len
+        |  FROM pt GROUP BY 1),
+        |m AS (SELECT doc_id,
+        |    (n_tokens >= 40
+        |     AND floor(CAST(sum_tok_len AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 <= 5.0
+        |     AND floor(CAST(top_cnt AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 <= 0.12
+        |     AND floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 1e4 + 0.5) / 1e4 <= 0.55)
+        |      AS keep_doc
+        |  FROM agg),
+        |kept AS (SELECT d.doc_id, d.lang, md5(lower(d.text)) AS fp
+        |  FROM documents d JOIN m ON d.doc_id = m.doc_id WHERE m.keep_doc),
+        |keepers AS (SELECT fp, min(doc_id) AS keeper_id, arg_min(lang, doc_id) AS keeper_lang
+        |  FROM kept GROUP BY fp),
+        |sampled AS (SELECT * FROM keepers
+        |  WHERE substr(md5('strat:' || keeper_id), 1, 2) <
+        |    CASE WHEN keeper_lang = 'en' THEN '80'
+        |         WHEN keeper_lang = 'de' THEN '40' ELSE '1a' END)
+        |SELECT 0 AS stage, 'all' AS stage_name, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT 1, 'quality', count(*) FROM kept
+        |UNION ALL SELECT 2, 'dedup', count(*) FROM keepers
+        |UNION ALL SELECT 3, 'sample', count(*) FROM sampled""".stripMargin
   )
 }

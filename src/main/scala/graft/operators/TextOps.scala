@@ -147,14 +147,19 @@ object TextOps {
       conv(substring(md5(concat(lit("sb:"), t)), 1, 1), 16, 10)
         .cast("int") % 4 === 0
 
-  /** Per-doc array of sentence strings (tokens re-joined with ' '). */
-  private def sentencesArr(tk: Column): Column =
+  /** Per-doc array of segment strings (tokens re-joined with ' '),
+    * split AFTER each token the boundary predicate marks. Shared by the
+    * sentence family here and the content-defined chunking in
+    * PretrainOps (different boundary predicate, same construction). */
+  private[operators] def segmentsArr(tk: Column, boundary: Column => Column): Column =
     filter(
       split(
         concat_ws(" ", transform(tk,
-          t => concat(t, when(boundaryFlag(t), "\u0001").otherwise("")))),
+          t => concat(t, when(boundary(t), "\u0001").otherwise("")))),
         "\u0001 ?"),
       x => length(x) > 0)
+
+  private def sentencesArr(tk: Column): Column = segmentsArr(tk, boundaryFlag)
 
   def textSentences(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -151,6 +151,54 @@ class PretrainOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cdc chunks: duplicated substrings found, deterministic top-50, chunking map-only") {
+    val df = PretrainOps.dedupCdcChunks(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(_.getAs[Long]("df") >= 2))
+    assert(rows.forall(r => r.getAs[Long]("n_occ") >= r.getAs[Long]("df")),
+      "total occurrences can never undercut distinct-doc frequency")
+    // chunking itself must not shuffle: the only Exchanges are the
+    // chunk-hash aggregate and the top-50 ordering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "CDC must not fall back to the window idiom")
+  }
+
+  test("cdc chunks: chunk boundaries reassemble every document exactly") {
+    import org.apache.spark.sql.functions._
+    // per-doc: joined chunks with single spaces == original text
+    val base = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def boundary(t: String): Boolean = {
+      val h = md.digest(s"cdc:$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h(0)) % 8 == 0
+    }
+    base.collect().foreach { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      val chunks = scala.collection.mutable.Buffer[List[String]]()
+      var cur = List.newBuilder[String]
+      toks.foreach { t =>
+        cur += t
+        if (boundary(t)) { chunks += cur.result(); cur = List.newBuilder[String] }
+      }
+      val tail = cur.result(); if (tail.nonEmpty) chunks += tail
+      assert(chunks.flatten.mkString(" ") == r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")}: chunks must partition the token stream")
+    }
+  }
+
+  test("pipeline stats: monotone attrition through quality -> dedup -> sample") {
+    val rows = PretrainOps.pretrainPipelineStats(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("all", "quality", "dedup", "sample"))
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"each stage can only shrink the corpus: $ns")
+    assert(ns.last > 0, "the sampled stage must stay non-empty")
+  }
+
   test("centroids: one cell per (label, dim), values inside the embedding range") {
     val rows = PretrainOps.simCentroids(spark, sf).collect()
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -161,5 +209,19 @@ class PretrainOpsSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.getAs[Double]("c")) <= 1.0))
     val perLabel = rows.groupBy(_.getAs[Int]("label")).view.mapValues(_.length)
     assert(perLabel.values.forall(_ == dim))
+  }
+}
+
+class MmDedupPhashSpec extends graft.SparkTestBase {
+  test("phash buckets: groups of >=2, keeper is the min doc, hash within 16 bits") {
+    val rows = MultimodalOps.mmDedupPhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2))
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("phash"); p >= 0 && p < (1L << 16)
+    })
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total <= nDocs)
   }
 }
