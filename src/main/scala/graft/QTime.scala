@@ -30,7 +30,8 @@ object QTime {
         java.nio.file.Files.createTempDirectory("graft_qtime_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val registry = SparkEntry.queries ++ operators.BucketedQueries.all
+    val registry = SparkEntry.queries ++ operators.BucketedQueries.all ++
+      operators.PartitionedLayout.all
     val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     names.foreach { n =>
       val fn = registry(n)

@@ -53,7 +53,7 @@ object DedupOps {
     }
   }
 
-  private implicit class TruncOps(df: DataFrame) {
+  private[operators] implicit class TruncOps(df: DataFrame) {
     def truncEager: DataFrame = truncate(df, eager = true)
     def truncLazy: DataFrame = truncate(df, eager = false)
   }

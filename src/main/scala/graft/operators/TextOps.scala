@@ -208,12 +208,19 @@ object TextOps {
     * 32-hex key shuffles at fixed width with the same distribution
     * (md5 collisions: ~n²/2¹²⁸, absent at any feasible corpus). */
   def textLineDedup(s: SparkSession, d: String): DataFrame = {
-    // map-only sentence hashes (shared segmentation def above); the
-    // only shuffles left are the two aggregates and the hash-keyed join
+    import DedupOps.TruncOps
+    // map-only sentence hashes (shared segmentation def above),
+    // materialized ONCE: the corpus-frequency aggregate and the join
+    // back both consume it, and without truncation each side would
+    // recompute the whole construction (the groupBy form this replaced
+    // shared its Exchange for free — a truncated map-only intermediate
+    // is the same sharing without the shuffle). Remaining shuffles:
+    // the two aggregates and the hash-keyed join.
     val sents = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(sentencesArr(col("tk"))).as("sent"))
       .select(col("doc_id"), md5(col("sent")).as("sent_h"))
+      .truncEager
     val dfs = sents.groupBy(col("sent_h").as("sent_k"))
       .agg(countDistinct("doc_id").as("df"))
     sents.join(dfs, col("sent_h") === col("sent_k"))
