@@ -63,6 +63,20 @@ class OlapQueriesSpec extends SparkTestBase {
       "each user contributes exactly (events-1) transitions")
   }
 
+  test("salted join: identical results to the plain join (the salt is semantics-free)") {
+    val salted = OlapQueries.qSaltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("pareto: deciles partition customers, shares sum to ~1 and decrease") {
     val rows = OlapQueries.qPareto(spark, sf).collect().sortBy(_.getAs[Int]("decile"))
     assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))

@@ -70,13 +70,23 @@ class ScalePatternsSpec extends SparkTestBase {
     assert(withBad.count() == records.count() + 1)
   }
 
-  test("csv round-trip with explicit schema") {
+  test("csv round-trip with explicit schema; malformed rows quarantined") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
     val src = spark.read.parquet(s"$sf/customer.parquet")
-    src.write.mode("overwrite").option("header", "true").csv(dir)
-    val back = spark.read.schema(src.schema).option("header", "true").csv(dir)
+    CsvSource.write(src, dir)
+    val back = CsvSource.read(spark, dir, src.schema).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
     assert(back.count() == src.count())
-    assert(back.schema == src.schema)
+    assert(back.select(src.columns.map(col): _*).schema == src.schema)
+    back.unpersist(blocking = true)
+    // a malformed line lands in the corrupt-record column, not a crash
+    // (header=true skips the first line per file, so prepend one)
+    val f = new java.io.File(dir, "corrupt.csv")
+    val wtr = new java.io.PrintWriter(f)
+    wtr.println(src.columns.mkString(","))
+    wtr.println("not,a,valid,row"); wtr.close()
+    val withBad = CsvSource.read(spark, dir, src.schema).cache()
+    assert(withBad.filter(col("_corrupt_record").isNotNull).count() == 1)
   }
 
   test("two-phase salted aggregation equals direct aggregation under key skew") {
