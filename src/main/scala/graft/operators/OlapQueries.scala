@@ -200,7 +200,7 @@ object OlapQueries {
     * table (2.3× over naive at 90%-hot); here the declared query
     * proves the rewrite is semantics-preserving. */
   def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
-    val S = 8
+    val S = 4 // enough fan-out to prove the rewrite; replication cost is S-linear
     val li = lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
         (col("l_linenumber") % S).as("salt"))

@@ -96,23 +96,31 @@ object PretrainOps {
     * at 100 TB this is one scan, one shuffle, and three tiny
     * aggregates. */
   def pretrainPipelineStats(s: SparkSession, d: String): DataFrame = {
+    // two aggregates, not four: stages 0/1 are conditional counts of
+    // one corpus pass, stages 2/3 conditional counts of the keeper
+    // aggregate — a branch-per-stage union would rescan the (map-only
+    // but not free) rules base once per stage
     val g = gopherBase(s, d)
-    val kept = g.filter(col("keep_doc"))
-    val keepers = kept.groupBy("fp")
+    val corpus = g.agg(count(lit(1)).as("n_all"),
+      sum(when(col("keep_doc"), 1L).otherwise(0L)).as("n_kept"))
+    val keepers = g.filter(col("keep_doc")).groupBy("fp")
       .agg(min("doc_id").as("keeper_id"),
         min_by(col("lang"), col("doc_id")).as("keeper_lang"))
-    val sampled = keepers.filter(
+    val samplePred =
       substring(md5(concat(lit("strat:"), col("keeper_id"))), 1, 2) <
         when(col("keeper_lang") === "en", "80")
           .when(col("keeper_lang") === "de", "40")
-          .otherwise("1a"))
-    def stage(n: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(n).as("stage"), lit(name).as("stage_name"), col("n_docs"))
-    stage(0, "all", g)
-      .union(stage(1, "quality", kept))
-      .union(stage(2, "dedup", keepers))
-      .union(stage(3, "sample", sampled))
+          .otherwise("1a")
+    val dedup = keepers.agg(count(lit(1)).as("n_dedup"),
+      sum(when(samplePred, 1L).otherwise(0L)).as("n_sampled"))
+    corpus.crossJoin(dedup).select(explode(array(
+      struct(lit(0).as("stage"), lit("all").as("stage_name"), col("n_all").as("n_docs")),
+      struct(lit(1).as("stage"), lit("quality").as("stage_name"), col("n_kept").as("n_docs")),
+      struct(lit(2).as("stage"), lit("dedup").as("stage_name"), col("n_dedup").as("n_docs")),
+      struct(lit(3).as("stage"), lit("sample").as("stage_name"), col("n_sampled").as("n_docs"))))
+      .as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_docs").as("n_docs"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any
