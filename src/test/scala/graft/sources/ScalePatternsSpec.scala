@@ -89,6 +89,18 @@ class ScalePatternsSpec extends SparkTestBase {
     assert(withBad.filter(col("_corrupt_record").isNotNull).count() == 1)
   }
 
+  test("orc round-trip preserves schema and rows; predicates push into the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val plan = back.filter(col("o_totalprice") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"ORC scan must take pushed filters:\n$plan")
+  }
+
   test("two-phase salted aggregation equals direct aggregation under key skew") {
     // every row shares ONE key — worst-case skew; the salted plan fans
     // the hot key across 16 partial groups before the final combine.
