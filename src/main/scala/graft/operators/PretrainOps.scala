@@ -38,7 +38,16 @@ object PretrainOps {
 
   /** Rules + identity columns in one map-only pass (shared with the
     * end-to-end pipeline stats, which chains the gate with dedup and
-    * sampling). */
+    * sampling).
+    *
+    * Complexity bound: the top-token count is O(distinct·tokens) per
+    * document in this array form — right for web-document corpora
+    * (10²–10⁴ tokens, and the constant is tiny because it never leaves
+    * the row). For book-scale documents (10⁶ tokens) that term goes
+    * quadratic; the correct shape there is the oracle's own relational
+    * form — explode → (doc, token) count → per-doc max — which costs
+    * one doc-keyed shuffle and is linear. Same results; pick by the
+    * corpus's document-length profile. */
   private def gopherBase(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), col("lang"),
