@@ -48,9 +48,25 @@ class OlapQueriesSpec extends SparkTestBase {
     assert(math.abs(share - p / t * 100) < 1e-5)
   }
 
-  test("q19: disjunctive brackets select a nonempty exact subset") {
-    val r = OlapQueries.q19Disjunctive(spark, sf).head()
+  test("q19: disjunctive brackets select a nonempty exact subset; part filter pushed") {
+    val df = OlapQueries.q19Disjunctive(spark, sf)
+    val r = df.head()
     assert(r.getAs[Long]("n_items") > 0 && r.getAs[Double]("revenue") > 0)
+    // the OR-of-brackets over (brand, size) must reach the part scan:
+    // Catalyst keeps the disjunction as a pushable data filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findFirstIn(plan).isDefined,
+      s"the disjunctive predicates must push to the scans:\n$plan")
+  }
+
+  test("q10/q14: date windows reach the fact scans (row-group pruning at 100 TB)") {
+    Seq(OlapQueries.q10Returned(spark, sf),
+        OlapQueries.q14PromoShare(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull") ||
+        plan.contains("GreaterThanOrEqual"),
+        s"expected pushed date-window filters in:\n$plan")
+    }
   }
 
   test("event transitions: counts conserve the event stream minus one per user") {
