@@ -115,11 +115,12 @@ object DedupOps {
     * 0.6) is implied by jaccard >= 0.6, so it drops no qualifying
     * pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // The distinct shingle index feeds the signature groupBy AND both
-    // sides of the verification join; materialize it once instead of
-    // recomputing the split/explode/window chain three times. (On a
-    // cluster: a cached/checkpointed intermediate table, same shape.)
-    val sh = shingleRows(s, d).truncEager
+    // The shingle index is MAP-ONLY now: each consumer (the signature
+    // groupBy, both verification-join sides) re-derives it at scan
+    // speed, which measures FASTER than checkpointing the exploded
+    // index (sf3: the truncEager wrote ~600 MB of shingle rows before
+    // any real work; recomputation is three cheap scans instead)
+    val sh = shingleRows(s, d)
     // shingle counts ride along with the band keys — the ratio prune
     // needs no extra join or recomputation of the shingle index
     val b = bandsFrom(signaturesFrom(sh))
