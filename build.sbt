@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: the default LoggedOutput
+// wraps every line in "[info] ", which breaks any json.loads on the
+// bench line (BENCH_r01..r06 all show `[info] {"metric":...` and
+// parsed:null). StdoutOutput inherits the parent's stdout/stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

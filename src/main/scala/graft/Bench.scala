@@ -90,7 +90,18 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outFile: $e") }
+    // Emit the full record FIRST (a harvester reading the whole stream
+    // parses this line), then a compact <1 KB summary LAST (a harvester
+    // keeping only the final ~2 KB of output still gets a complete JSON
+    // line — the full map is ~2.9 KB and cannot fit a 2 KB tail, which
+    // is exactly how rounds 4-6 lost their artifact). Same numbers in
+    // both; the full per-query map also lives in `outFile`.
     println(json)
+    val summary =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
+      s""""n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }
