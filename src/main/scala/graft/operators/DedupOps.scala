@@ -58,23 +58,34 @@ object DedupOps {
     def truncLazy: DataFrame = truncate(df, eager = false)
   }
 
-  /** Distinct (doc_id, lang, 3-token shingle) rows, built MAP-ONLY:
+  /** Per-doc distinct-shingle ARRAYS (pre-explode), built MAP-ONLY:
     * a materialized token array (its own projection — CollapseProject
     * keeps non-cheap multiply-referenced expressions un-inlined, the
-    * SURVEY §8b lesson) → per-doc distinct shingle array → explode.
-    * Zero shuffle: array_distinct runs inside the doc row, so the
-    * explode emits already-distinct rows — where the earlier window
-    * form paid a doc_id Exchange for lead() AND a full Exchange for
-    * .distinct(). The O(tokens²) lambda-reinlining trap this family hit
-    * in round 2 (filters pushed below the projection re-evaluating the
-    * split per element) does not bite here: every consumer either cuts
-    * lineage with truncEager before reuse or filters on doc_id only,
-    * which pushes to the scan, not into the lambda. */
-  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
+    * SURVEY §8b lesson) → per-doc distinct shingle array. |docs| rows,
+    * ~10× smaller than the exploded index, so this is the unit worth
+    * checkpointing when a pipeline reuses the shingle view (the round-5
+    * map-only form re-tokenized the corpus once per consumer, which
+    * measured 2.93× baseline at sf3). Docs with < 3 tokens have no
+    * shingles and are dropped (explode of an empty array emits nothing,
+    * so this matches the exploded form's semantics exactly). */
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(TextOps.shingles(col("tk")))).as("shingle"))
+        array_distinct(TextOps.shingles(col("tk"))).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+
+  /** Distinct (doc_id, lang, 3-token shingle) rows: the exploded view
+    * of [[shingleSets]]. Zero shuffle: array_distinct runs inside the
+    * doc row, so the explode emits already-distinct rows. The
+    * O(tokens²) lambda-reinlining trap this family hit in round 2
+    * (filters pushed below the projection re-evaluating the split per
+    * element) does not bite here: every consumer either cuts lineage
+    * with truncEager before reuse or filters on doc_id only, which
+    * pushes to the scan, not into the lambda. */
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("sh_set")).as("shingle"))
 
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id
@@ -84,19 +95,25 @@ object DedupOps {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
 
-  /** MinHash signatures. Two md5s per shingle, each sliced into four
+  /** MinHash signatures, MAP-SIDE over the per-doc shingle arrays: two
+    * md5s per shingle (each its own array column — multiply-referenced
+    * non-cheap transforms stay un-inlined), each sliced into four
     * disjoint 8-hex-char (32-bit) sub-hashes → 8 independent uniform
     * hash functions at 1/4 the hashing cost; lexicographic min over
-    * fixed-width hex == numeric min. One partial-aggregating groupBy. */
-  private def signaturesFrom(sh: DataFrame): DataFrame = {
-    val hashed = sh
-      .withColumn("ma", md5(concat(lit("a:"), col("shingle"))))
-      .withColumn("mb", md5(concat(lit("b:"), col("shingle"))))
-    val aggs = (0 until H).map { i =>
-      val src = if (i < 4) col("ma") else col("mb")
-      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
-    } :+ count(lit(1)).as("n_sh") // shingle count rides the same groupBy
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    * fixed-width hex == numeric min, so array_min over the sliced
+    * arrays IS the signature. Zero shuffle — the round-5 form paid a
+    * full groupBy Exchange over the EXPLODED shingle rows for the same
+    * eight mins. */
+  private def signaturesFrom(sets: DataFrame): DataFrame = {
+    val hashed = sets
+      .withColumn("arr_a", transform(col("sh_set"), x => md5(concat(lit("a:"), x))))
+      .withColumn("arr_b", transform(col("sh_set"), x => md5(concat(lit("b:"), x))))
+    val mins = (0 until H).map { i =>
+      val src = if (i < 4) col("arr_a") else col("arr_b")
+      array_min(transform(src, x => substring(x, (i % 4) * 8 + 1, 8))).as(s"h$i")
+    }
+    hashed.select(
+      col("doc_id") +: size(col("sh_set")).cast("long").as("n_sh") +: mins: _*)
   }
 
   /** LSH band keys: md5 of each 2-row slice of the signature. */
@@ -115,15 +132,16 @@ object DedupOps {
     * 0.6) is implied by jaccard >= 0.6, so it drops no qualifying
     * pair. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // The shingle index is MAP-ONLY now: each consumer (the signature
-    // groupBy, both verification-join sides) re-derives it at scan
-    // speed, which measures FASTER than checkpointing the exploded
-    // index (sf3: the truncEager wrote ~600 MB of shingle rows before
-    // any real work; recomputation is three cheap scans instead)
-    val sh = shingleRows(s, d)
+    // ONE materialization of the per-doc shingle ARRAYS (|docs| rows,
+    // ~10× smaller than the exploded index whose checkpoint cost
+    // motivated round 5's map-only form — which in turn re-tokenized
+    // the corpus once per consumer and measured 2.93× baseline at
+    // sf3). Both consumers — the map-side signatures and the
+    // verification join — read the cached arrays.
+    val sets = shingleSets(s, d).truncEager
     // shingle counts ride along with the band keys — the ratio prune
-    // needs no extra join or recomputation of the shingle index
-    val b = bandsFrom(signaturesFrom(sh))
+    // needs no extra join or recomputation of the shingle view
+    val b = bandsFrom(signaturesFrom(sets))
     val ba = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val bb = b.select(col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"),
@@ -134,14 +152,17 @@ object DedupOps {
         ba("doc_a") < bb("doc_b") &&
         least(ba("n_a"), bb("n_b")) * 5 >= greatest(ba("n_a"), bb("n_b")) * 3)
       .select("doc_a", "doc_b", "n_a", "n_b").distinct()
-    // exact |A∩B| via the inverted index, candidates only
-    val shA = sh.select(col("doc_id").as("doc_a2"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+    // exact |A∩B| as one array_intersect per candidate pair: two
+    // doc_id equi-joins against the |docs|-row array table, instead of
+    // the round-5 double join over the EXPLODED index (|shingles| rows
+    // shuffled twice). Candidate count is band-join-bounded, so the
+    // arrays flowing through the join are O(candidates), not O(corpus).
+    val sa = sets.select(col("doc_id").as("doc_a2"), col("sh_set").as("set_a"))
+    val sb = sets.select(col("doc_id").as("doc_b2"), col("sh_set").as("set_b"))
     pruned
-      .join(shA, col("doc_a") === col("doc_a2"))
-      .join(shB, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(sa, col("doc_a") === col("doc_a2"))
+      .join(sb, col("doc_b") === col("doc_b2"))
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.6)
@@ -228,8 +249,12 @@ object DedupOps {
     // each list's ordered pairs MAP-SIDE, count per pair — one
     // computation of the shingle rows, no self-join. The df cap bounds
     // each list's pair expansion (see STOP_SHINGLE_DF_CAP).
-    val sh = shingleRows(s, d).truncEager // shared: postings + counts
-    val posting = sh
+    // checkpoint the per-doc ARRAYS (|docs| rows), not the exploded
+    // index: postings explode from the cached arrays, and the per-doc
+    // counts are a map-side size() instead of a groupBy shuffle
+    val sets = shingleSets(s, d).truncEager // shared: postings + counts
+    val posting = sets
+      .select(col("doc_id"), col("lang"), explode(col("sh_set")).as("shingle"))
       .groupBy("lang", "shingle")
       .agg(sort_array(collect_list("doc_id")).as("docs"))
       .filter(size(col("docs")) > 1 &&
@@ -241,7 +266,7 @@ object DedupOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cnt = sets.select(col("doc_id"), size(col("sh_set")).cast("long").as("n_sh"))
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
