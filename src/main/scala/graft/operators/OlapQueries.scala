@@ -169,10 +169,10 @@ object OlapQueries {
     * The exact ntile is a single-partition window over the per-customer
     * aggregate — fine up to ~10⁸ customers (a few GB of (key, decimal)
     * pairs), which covers the data model; past that the scale path is
-    * approx_percentile decile BOUNDARIES broadcast back as a range
-    * predicate (same shape as SimilarityOps' IVF coarse quantizer),
-    * trading exactness at the decile edges for full parallelism. The
-    * 10-row total-share window after it is trivially safe. */
+    * [[qParetoDist]] (range-partitioned exact rank, no single-partition
+    * sort, same oracle). This form is kept as the readable
+    * oracle-parity twin. The 10-row total-share window after the
+    * decile agg is trivially safe in both. */
   def qPareto(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perCust = orders(s, d)
@@ -180,6 +180,64 @@ object OlapQueries {
       .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
     val deciled = perCust.withColumn("decile",
       ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
+    val perDecile = deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cust_rev").as("decile_rev"))
+    perDecile
+      .withColumn("total_rev", sum("decile_rev").over(Window.partitionBy()))
+      .select(col("decile").cast("int").as("decile"), col("n_customers"),
+        col("decile_rev").cast("double").as("decile_rev"),
+        (floor(col("decile_rev").cast("double") / col("total_rev").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("rev_share"))
+  }
+
+  /** q_pareto's scale path: the SAME decile assignment (exact ntile
+    * semantics, same oracle), computed WITHOUT the single-partition
+    * sort over all customers that makes the exact form a one-reducer
+    * straggler at 100× scale. Shape:
+    *
+    *   1. range-partition the per-customer aggregate on the ntile
+    *      ordering key (cust_rev DESC, o_custkey) — P parallel sorts
+    *      of n/P rows each;
+    *   2. row_number within each range partition (Window over pid —
+    *      hash exchange, still P-way parallel);
+    *   3. global rank = local row_number + the partition's exclusive
+    *      prefix count, a P-row side table (the only single-partition
+    *      windows in the plan run over P rows and the 10 decile rows,
+    *      never the customers);
+    *   4. ntile bucket from (rank, n) by arithmetic: with q = n div k
+    *      and r = n mod k, buckets 1..r hold q+1 rows and the rest q —
+    *      ceil-division on the two rank ranges reproduces ntile
+    *      exactly, ties already resolved by the total order.
+    *
+    * Exactness needs no approx boundaries: ranks are derived from the
+    * rows' actual range-partition counts, so the sampled partition
+    * bounds only steer parallelism, never the result. */
+  def qParetoDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
+    val ranged = perCust
+      .repartitionByRange(col("cust_rev").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    // exclusive prefix sum over the P-row count table
+    val offsets = counts.withColumn("off",
+      coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = ranged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("cust_rev").desc, col("o_custkey"))))
+      .join(broadcast(offsets.select("pid", "off")), "pid")
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("n_total"))))
+      .withColumn("rank", col("off") + col("rn"))
+    val deciled = ranked.withColumn("decile", expr(
+      """CASE WHEN rank <= (n_total % 10) * ((n_total DIV 10) + 1)
+        |  THEN (rank + (n_total DIV 10)) DIV ((n_total DIV 10) + 1)
+        |  ELSE (n_total % 10)
+        |       + (rank - (n_total % 10) * ((n_total DIV 10) + 1) + (n_total DIV 10) - 1)
+        |         DIV (n_total DIV 10)
+        |END""".stripMargin))
     val perDecile = deciled.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cust_rev").as("decile_rev"))
     perDecile
@@ -225,7 +283,8 @@ object OlapQueries {
     "q14_promo_share" -> (q14PromoShare _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q_event_transitions" -> (qEventTransitions _),
-    "q_pareto" -> (qPareto _)
+    "q_pareto" -> (qPareto _),
+    "q_pareto_dist" -> (qParetoDist _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -307,6 +366,23 @@ object OlapQueries {
         |FROM nxt WHERE next_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     "q_pareto" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+        |  FROM orders GROUP BY 1),
+        |deciled AS (
+        |  SELECT cust_rev,
+        |    ntile(10) OVER (ORDER BY cust_rev DESC, o_custkey) AS decile
+        |  FROM per_cust),
+        |per_decile AS (
+        |  SELECT decile, count(*) AS n_customers, sum(cust_rev) AS decile_rev
+        |  FROM deciled GROUP BY 1)
+        |SELECT CAST(decile AS INT) AS decile, n_customers,
+        |  CAST(decile_rev AS DOUBLE) AS decile_rev,
+        |  floor(CAST(decile_rev AS DOUBLE) / CAST(sum(decile_rev) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rev_share
+        |FROM per_decile""".stripMargin,
+    // identical oracle to q_pareto: the distributed-rank form computes
+    // the same exact ntile deciles, just without the global sort
+    "q_pareto_dist" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
         |  FROM orders GROUP BY 1),

@@ -102,6 +102,26 @@ class OlapQueriesSpec extends SparkTestBase {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
       "decile 1 (top revenue) must dominate")
   }
+
+  test("pareto_dist: identical result to exact ntile, no single-partition sort of customers") {
+    val exact = OlapQueries.qPareto(spark, sf).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("decile_rev"), r.getAs[Double]("rev_share"))).toSet
+    val dist = OlapQueries.qParetoDist(spark, sf).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("decile_rev"), r.getAs[Double]("rev_share"))).toSet
+    assert(dist == exact, "distributed rank must reproduce ntile exactly")
+    val plan = OlapQueries.qParetoDist(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), "the scale path must not use the global-sort ntile")
+    assert(plan.contains("rangepartitioning(cust_rev"),
+      s"customers must be range-partitioned, not globally sorted:\n$plan")
+    // the per-customer rank window must be partitioned (by pid), never
+    // a Window whose required child distribution is a single partition
+    val rankWindow = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(rankWindow.exists(_.contains("pid")),
+      s"row_number must run per range-partition:\n$plan")
+  }
 }
 
 class PretrainOpsSpec extends SparkTestBase {
