@@ -26,6 +26,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 64 MB broadcast threshold: sized to this node (128 GiB, 32
+      // threads), not to the 10 MB default that assumes small shared
+      // executors. AQE still decides from MEASURED post-filter sizes,
+      // so the setting scales honestly — a pruned join side (q3/q5's
+      // orders⋈customer) broadcasts and the fact side never exchanges;
+      // a genuinely large side still shuffles.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,6 +44,9 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query JSON observability lines on stderr (stdout carries the
+    // bench protocol line; see ObservabilityListener)
+    ObservabilityListener.register(spark)
     // Warm-up: run every query once at the smallest SF so the timed pass
     // below measures steady-state throughput (whole-stage codegen classes
     // compiled, JIT warm) instead of one-time JVM costs — which otherwise
@@ -51,12 +62,23 @@ object Bench {
     // cover (page cache for the bigger files, size-specific JIT tiers),
     // which otherwise adds multi-x run-to-run noise to individual
     // queries. The min is the steady-state throughput.
-    def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+    // A failed query records the -1.0 sentinel, NOT its elapsed-until-
+    // failure wall time (which reads as a plausible fast result in the
+    // artifact); sentinels survive the min-of-two and are excluded
+    // from the total, with the failure count reported alongside.
+    def timedQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                   dir: String): (String, Double) = {
+      val t0 = System.nanoTime()
+      try {
+        ObservabilityListener.withTag(spark, name) { fn(spark, dir).count(): Unit }
         name -> (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: $name FAILED: $e")
+        name -> -1.0
       }
+    }
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) => timedQuery(name, fn, sfDir) }
     val p1 = timedPass()
     val p2 = timedPass()
     // Bucketed-layout variants of the big joins: one untimed save, then
@@ -67,24 +89,23 @@ object Bench {
     operators.PartitionedLayout.ensurePartitioned(spark, sfDir)
     def bucketedPass(): Map[String, Double] =
       (operators.BucketedQueries.all ++ operators.PartitionedLayout.all)
-        .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+        .map { case (name, fn) => timedQuery(name, fn, sfDir) }
     val b1 = bucketedPass()
     val b2 = bucketedPass()
+    // a sentinel in either pass poisons the pair: min(-1, t) = -1
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val bucketed = b1.map { case (k, v) => k -> math.min(v, b2(k)) }
     val qs = (results ++ bucketed).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val streamTotal = results.collect { case (k, v) if streamingLane(k) => v }.sum
+    val ok = results.filter(_._2 >= 0)
+    val nFailed = results.size - ok.size
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val streamTotal = ok.collect { case (k, v) if streamingLane(k) => v }.sum
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
-      s""""n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -100,7 +121,8 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
-      s""""n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""queries_file":"$outFile","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }

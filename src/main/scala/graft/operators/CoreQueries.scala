@@ -72,11 +72,26 @@ object CoreQueries {
     val cust = customerT.filter(col("c_mktsegment") === "BUILDING")
     val ord = ordersT.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val li = lineitemT.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-    // orders/customer are fact-scale at 100 TB — no forced broadcast;
-    // AQE auto-broadcasts them at small SF (post-filter size < threshold).
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+    // Selective side FIRST: orders⋈BUILDING-customers shrinks orders
+    // ~5× before the fact join, so lineitem crosses the wire ONCE and
+    // only 1/5 of its joined rows reach the aggregate. The aggregate
+    // sits ABOVE the orderkey join and inherits its hash partitioning
+    // (no re-exchange; round 5's plan shuffled line-grain rows a
+    // second time for a post-hoc customer join — the measured
+    // superlinear term at sf3). orders/customer are fact-scale at
+    // 100 TB — no forced broadcast: AQE broadcasts the pruned oc side
+    // when it fits (then lineitem never exchanges at all); past the
+    // threshold both sides shuffle on the order key — and on the
+    // bucketed layout the lineitem side of that SMJ reads
+    // pre-partitioned, pre-sorted buckets, zero exchange.
+    // (A lineitem pre-aggregate before the join was measured WORSE at
+    // sf3 — groupBy on the ~1:4 l_orderkey key gets almost no map-side
+    // combine, and on the bucketed layout it serializes the scan to
+    // bucket-count-way parallelism before the join can prune.)
+    val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(ord("o_orderkey"), ord("o_orderdate"))
+    li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+      .groupBy(li("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -92,21 +107,33 @@ object CoreQueries {
                                 ordersT: DataFrame, lineitemT: DataFrame): DataFrame = {
     val r = region(s, d).filter(col("r_name") === "ASIA")
     val n = nation(s, d)
-    val c = customer(s, d)
+    // Selective end of the snowflake FIRST: the 5-row ASIA nation list
+    // broadcast-prunes customers (map-only), then the orders⋈customer
+    // join runs on the PRUNED sides, so the fat lineitem join below
+    // carries only ASIA order rows (~r_name-selectivity of the
+    // date-filtered orders). Round 5's order joined lineitem⋈orders
+    // first and re-shuffled the full line-grain result on custkey —
+    // the widest exchange in the plan; here the custkey exchange moves
+    // BEFORE the fact join where its inputs are dimension-sized, and
+    // the only line-grain exchange left is the unavoidable orderkey
+    // one (zero on the bucketed layout).
+    val asiaN = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cAsia = customer(s, d)
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
     val o = ordersT.filter(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
       col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val l = lineitemT
-    val sup = supplier(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-      .join(c,
-        o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val oc = o.join(cAsia, o("o_custkey") === cAsia("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    lineitemT.join(oc, col("l_orderkey") === oc("o_orderkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === sup("s_suppkey") &&
+        col("c_nationkey") === sup("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
-
   }
 
   /** Post-aggregation filter (HAVING). */
@@ -326,9 +353,16 @@ object CoreQueries {
     // every surviving part.
     val liBrand = li.join(broadcast(p.select("p_partkey")),
       li("l_partkey") === col("p_partkey"), "left_semi")
-    val partAvg = liBrand.groupBy(col("l_partkey").as("pk"))
-      .agg(avg("l_quantity").as("avg_qty"))
-    liBrand.join(partAvg, liBrand("l_partkey") === partAvg("pk"))
+    // Decorrelate with a WINDOW avg instead of agg + self-join: the
+    // round-5 form scanned lineitem twice (once per liBrand use) and
+    // paid two l_partkey exchanges (the aggregate's and the join
+    // re-shuffle of the line rows). One scan, one exchange: the window
+    // computes the per-part avg over the same shuffled rows the filter
+    // then consumes in place.
+    import org.apache.spark.sql.expressions.Window
+    liBrand
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty", avg("l_quantity").over(Window.partitionBy("l_partkey")))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
       .agg(
         sum(col("l_extendedprice").cast(dec182)).cast("double").as("total_price"),

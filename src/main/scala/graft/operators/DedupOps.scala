@@ -65,27 +65,35 @@ object DedupOps {
     * ~10× smaller than the exploded index, so this is the unit worth
     * checkpointing when a pipeline reuses the shingle view (the round-5
     * map-only form re-tokenized the corpus once per consumer, which
-    * measured 2.93× baseline at sf3). Docs with < 3 tokens have no
-    * shingles and are dropped (explode of an empty array emits nothing,
-    * so this matches the exploded form's semantics exactly). */
+    * measured 2.93× baseline at sf3). Docs with < 3 tokens carry an
+    * empty array; do NOT filter on size(sh_set) here — a filter
+    * referencing the unmaterialized array pushes below the projection
+    * and re-evaluates the whole shingle build per row (the §8b
+    * reinlining trap, re-measured this round at 3–10× on every
+    * consumer). Exploding consumers drop empties for free; array
+    * consumers filter AFTER their checkpoint, where sh_set is a
+    * materialized column. */
   private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
         array_distinct(TextOps.shingles(col("tk"))).as("sh_set"))
-      .filter(size(col("sh_set")) > 0)
 
-  /** Distinct (doc_id, lang, 3-token shingle) rows: the exploded view
-    * of [[shingleSets]]. Zero shuffle: array_distinct runs inside the
-    * doc row, so the explode emits already-distinct rows. The
-    * O(tokens²) lambda-reinlining trap this family hit in round 2
-    * (filters pushed below the projection re-evaluating the split per
-    * element) does not bite here: every consumer either cuts lineage
-    * with truncEager before reuse or filters on doc_id only, which
-    * pushes to the scan, not into the lambda. */
+  /** Distinct (doc_id, lang, 3-token shingle) rows, built MAP-ONLY
+    * with the explode DIRECTLY over the shingle expression — NOT over
+    * a [[shingleSets]] attribute. With a bare-attribute generator
+    * input, InferFiltersFromGenerate adds `size(sh_set) > 0` below the
+    * Generate; that filter pushes under the projection and re-derives
+    * the whole shingle build per row (measured 10× on text_ngrams_top
+    * this round). With the expensive expression as the generator input
+    * the rule skips the inference (SPARK-36715 behavior) and the plan
+    * stays one clean pass. Zero shuffle: array_distinct runs inside
+    * the doc row, so the explode emits already-distinct rows. */
   private[operators] def shingleRows(s: SparkSession, d: String): DataFrame =
-    shingleSets(s, d)
-      .select(col("doc_id"), col("lang"), explode(col("sh_set")).as("shingle"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextOps.shingles(col("tk")))).as("shingle"))
 
 
   /** Exact dedup: content-hash groupBy; keeper = min doc_id
@@ -137,8 +145,11 @@ object DedupOps {
     // motivated round 5's map-only form — which in turn re-tokenized
     // the corpus once per consumer and measured 2.93× baseline at
     // sf3). Both consumers — the map-side signatures and the
-    // verification join — read the cached arrays.
-    val sets = shingleSets(s, d).truncEager
+    // verification join — read the cached arrays. The size filter runs
+    // on the MATERIALIZED column (post-checkpoint), so zero-shingle
+    // docs drop without tripping the §8b reinlining trap; it keeps the
+    // old exploded form's semantics (no signature for empty docs).
+    val sets = shingleSets(s, d).truncEager.filter(size(col("sh_set")) > 0)
     // shingle counts ride along with the band keys — the ratio prune
     // needs no extra join or recomputation of the shingle view
     val b = bandsFrom(signaturesFrom(sets))

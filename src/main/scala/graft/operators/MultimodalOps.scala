@@ -139,10 +139,20 @@ object MultimodalOps {
     * election; payload bytes never shuffle — only (doc_id, phash). A
     * production pipeline verifies candidates inside each bucket
     * (feature L1 distance), exactly like the LSH families verify
-    * theirs. */
+    * theirs.
+    *
+    * Contract with the oracle, made explicit by the `length > 0` guard
+    * on BOTH sides: (a) the corpus is ASCII (the Spark side buckets
+    * UTF-8 BYTES, the oracle per-CHARACTER ascii() — they agree only
+    * when bytes == chars, true for the synthetic corpus and for real
+    * image/audio payloads, which are bytes on both sides by nature);
+    * (b) empty payloads are excluded — unguarded, Spark would emit
+    * phash=0 for an empty doc while the oracle's unnest(range(1,1))
+    * drops it, diverging bucket 0's count. */
   def mmDedupPhash(s: SparkSession, d: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     val decoded = documents(s, d)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .mapPartitions { it =>
         it.map { r =>
@@ -171,9 +181,11 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // strlen(text) > 0 mirrors the Spark-side guard (see mmDedupPhash
+    // scaladoc); without it the two sides diverge on empty docs
     "mm_dedup_phash" ->
       """WITH chars AS (SELECT doc_id, strlen(text) AS n, text,
-        |  unnest(range(1, strlen(text)+1)) AS i FROM documents),
+        |  unnest(range(1, strlen(text)+1)) AS i FROM documents WHERE strlen(text) > 0),
         |bins AS (SELECT doc_id, n, ascii(substr(text, i, 1)) % 16 AS b FROM chars),
         |cnts AS (SELECT doc_id, any_value(n) AS n, b, count(*) AS c
         |  FROM bins GROUP BY doc_id, b),

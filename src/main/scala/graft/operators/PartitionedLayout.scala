@@ -29,6 +29,13 @@ object PartitionedLayout {
           s.conf.get("spark.sql.warehouse.dir"), lt.toLowerCase)
         val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
         if (fs.exists(loc)) fs.delete(loc, true)
+        // Timezone coupling: date_format renders in the WRITING
+        // session's spark.sql.session.timeZone (the harness pins UTC,
+        // build.sbt). A persisted warehouse read under a different
+        // session timezone would shift month-boundary rows relative to
+        // q6_forecast's timestamp window; a cross-timezone deployment
+        // should derive the partition value timezone-explicitly, e.g.
+        // date_format(to_utc_timestamp(l_shipdate, sessionTz), ...).
         lineitem(s, d)
           .withColumn("l_shipmonth", date_format(col("l_shipdate"), "yyyy-MM"))
           .write.partitionBy("l_shipmonth").mode("overwrite").saveAsTable(lt)

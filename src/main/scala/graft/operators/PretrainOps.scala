@@ -143,7 +143,16 @@ object PretrainOps {
     * any collision signal at all. */
   def textDecontaminate(s: SparkSession, d: String): DataFrame = {
     // the shared shingle index is map-only, so each side of this join
-    // is a plain scan — recomputing it per side costs no shuffle
+    // is a plain scan — recomputing it per side costs no shuffle.
+    // The forced broadcast below is justified by the DOMAIN, not the
+    // query shape: real decontamination suites (the published eval
+    // sets a lab screens against) are bounded — millions of n-grams,
+    // tens of MB — independent of corpus size. The `% 97` slice here
+    // is only a stand-in WITH THE WRONG GROWTH LAW (it scales with the
+    // corpus); a production caller must pass a real suite and, as with
+    // SimilarityOps' block cap, size-gate the broadcast
+    // (spark.sql.autoBroadcastJoinThreshold or an explicit row-count
+    // probe) rather than force it on corpus-derived data.
     val sh = DedupOps.shingleRows(s, d).select("doc_id", "shingle")
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("shingle").as("b_shingle")).distinct()

@@ -9,7 +9,15 @@ import org.apache.spark.sql.types.StructType
   * -record column instead of failing the job or being dropped
   * (PERMISSIVE — a third-party feed's bad 0.001% must not kill a
   * 1000-executor run, and silently losing it is worse). Reading a
-  * directory of part files is the same call as one file. */
+  * directory of part files is the same call as one file.
+  *
+  * Quarantine-inspection caveat (applies to [[JsonLines]] too): Spark
+  * refuses a query that references ONLY `_corrupt_record` from a raw
+  * CSV/JSON read (AnalysisException since 2.3 — the parser never
+  * materializes the raw line unless another column forces the row).
+  * `read(...).filter($"_corrupt_record".isNotNull).count()` therefore
+  * fails unless the frame is first `.cache()`d (which materializes all
+  * columns) or the filter also touches a data column. */
 object CsvSource {
 
   def write(df: DataFrame, path: String): Unit =

@@ -18,8 +18,17 @@ import org.apache.hadoop.fs.Path
   * mark leaves a VISIBLE pending marker; `pendingKeys` is the recovery
   * surface — an operator checks the write landed and either `complete`s
   * or `abandon`s the claim. On HDFS both primitives are atomic; object
-  * stores would back this with a conditional PUT, same contract. */
-class IdempotencyLedger(dir: String, conf: Configuration) {
+  * stores would back this with a conditional PUT, same contract.
+  *
+  * Completed markers expire: the reference's `mark_complete` writes a
+  * DynamoDB `ttl` attribute (idempotency_service.py:75–103,
+  * ttl_hours=24) so the table self-prunes; [[expireCompleted]] is that
+  * sweep — without it the ledger grows without bound at ingest scale.
+  *
+  * `now` is injectable for deterministic TTL tests; production uses
+  * the wall clock. */
+class IdempotencyLedger(dir: String, conf: Configuration,
+                        now: () => Long = () => System.currentTimeMillis) {
 
   private val base = new Path(dir)
   private val fs = base.getFileSystem(conf)
@@ -61,10 +70,18 @@ class IdempotencyLedger(dir: String, conf: Configuration) {
       try { fs.create(p, false).close(); true }
       catch { case _: java.io.IOException => false }
 
-  /** Flip the claim to complete (atomic rename). */
-  def complete(key: String): Unit =
+  /** Flip the claim to complete (atomic rename), stamped with the
+    * COMPLETION time: rename preserves the claim-time mtime, but the
+    * reference's TTL counts from mark_complete, so the marker is
+    * re-timestamped after the flip. (A crash between rename and
+    * setTimes leaves the claim-time mtime — TTL then fires EARLIER
+    * than nominal, the safe direction: an expired key is merely
+    * re-runnable, never wrongly skipped.) */
+  def complete(key: String): Unit = {
     require(fs.rename(marker(key, "pending"), marker(key, "complete")),
       s"no pending claim to complete for '$key'")
+    fs.setTimes(marker(key, "complete"), now(), -1)
+  }
 
   /** Drop a pending claim whose write did NOT land (crash recovery). */
   def abandon(key: String): Unit =
@@ -78,6 +95,26 @@ class IdempotencyLedger(dir: String, conf: Configuration) {
     else fs.listStatus(base).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".pending"))
       .map(n => dec(n.stripSuffix(".pending"))).sorted
+
+  /** TTL sweep over COMPLETED markers (the DynamoDB ttl-attribute
+    * analogue): markers completed more than `ttlMs` ago are deleted,
+    * making their keys claimable again — the same observable behavior
+    * as a DynamoDB item expiring. Pending markers are NEVER expired;
+    * they are the crash-recovery worklist ([[recover]]), and expiring
+    * one would let a second writer run while the first may still be
+    * mid-write. One listStatus per sweep — O(markers) metadata, no
+    * data reads. Returns the expired keys. */
+  def expireCompleted(ttlMs: Long): Seq[String] = {
+    val cutoff = now() - ttlMs
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.getPath.getName.endsWith(".complete") &&
+        st.getModificationTime < cutoff)
+      .map { st =>
+        fs.delete(st.getPath, false)
+        dec(st.getPath.getName.stripSuffix(".complete"))
+      }.sorted
+  }
 
   /** The reference's decorated-handler shape: skip if complete, claim,
     * run the write, mark complete; on failure release the claim and

@@ -31,9 +31,26 @@ class BucketedQueriesSpec extends SparkTestBase {
       ("q21", BucketedQueries.q21Bucketed, CoreQueries.q21MultiExists))
     cases.foreach { case (name, bucketed, plain) =>
       val bq = bucketed(s, sf)
-      val plan = bq.queryExecution.executedPlan.toString
-      assert(orderKeyExchange.findFirstIn(plan).isEmpty,
-        s"$name: bucketed fact join must not shuffle the order key:\n$plan")
+      val plan = bq.queryExecution.executedPlan
+      // the invariant the layout buys: LINE-GRAIN rows never re-shuffle
+      // on the order key — an order-key Exchange is allowed only if its
+      // subtree does not read the bucketed lineitem (q5's pruned
+      // orders⋈customer side exchanges a dimension-scale input back to
+      // the order key; that is the plan we want)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val lineGrainExchanges = plan.collect {
+        case e: ShuffleExchangeExec
+          if orderKeyExchange.findFirstIn(e.nodeName + " " + e.outputPartitioning).isDefined ||
+             orderKeyExchange.findFirstIn(e.simpleString(10)).isDefined =>
+          e
+      }.filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("lineitem_bkt"))
+        case _ => false
+      })
+      assert(lineGrainExchanges.isEmpty,
+        s"$name: bucketed lineitem must never re-shuffle on the order key:\n$plan")
       val got = bq.collect().map(_.toSeq).toSeq
       val want = plain(s, sf).collect().map(_.toSeq).toSeq
       assert(got.toSet == want.toSet && got.length == want.length,

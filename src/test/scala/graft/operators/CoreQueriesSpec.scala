@@ -51,20 +51,27 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 3))
   }
 
-  test("q17 per-part average aggregates only the brand-pruned fact rows") {
+  test("q17 window avg runs once over the brand-pruned fact rows (single scan)") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
     val qe = CoreQueries.q17Correlated(spark, sf).queryExecution
-    val avgAggs = qe.optimizedPlan.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.name == "avg_qty") => a
+    val liScans = qe.optimizedPlan.collect {
+      case r: LogicalRelation if r.output.exists(_.name == "l_quantity") => r
     }
-    assert(avgAggs.nonEmpty, "expected the decorrelated per-part avg aggregate")
-    avgAggs.foreach { a =>
-      val semis = a.collectFirst {
+    assert(liScans.length == 1,
+      "the window decorrelation must scan lineitem exactly once " +
+        "(the agg+self-join form scanned it twice)")
+    val avgWindows = qe.optimizedPlan.collect {
+      case w: LWindow if w.windowExpressions.exists(_.name == "avg_qty") => w
+    }
+    assert(avgWindows.nonEmpty, "expected the per-part window avg")
+    avgWindows.foreach { w =>
+      val semis = w.collectFirst {
         case j: Join if j.joinType == LeftSemi => j
       }
       assert(semis.nonEmpty,
-        "the avg aggregate must sit ABOVE the Brand#23 semi-join prune " +
+        "the window avg must sit ABOVE the Brand#23 semi-join prune " +
           "(otherwise the whole fact table shuffles into discarded groups)")
     }
   }

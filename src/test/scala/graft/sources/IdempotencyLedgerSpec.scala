@@ -72,6 +72,29 @@ class IdempotencyLedgerSpec extends SparkTestBase {
     assert(led.begin("op:lost"), "a lost claim must be retryable after recovery")
   }
 
+  test("TTL: expired complete markers free the key; fresh and pending survive") {
+    // injectable clock: complete at t0, sweep with the clock advanced
+    var clock = 1000000000L
+    val led = new IdempotencyLedger(
+      Files.createTempDirectory("graft_ledger_ttl").toString,
+      spark.sessionState.newHadoopConf(), () => clock)
+    val ttl = 24L * 3600 * 1000 // the reference's ttl_hours=24
+    assert(led.withOperation("op:old") {})
+    clock += ttl / 2
+    assert(led.withOperation("op:fresh") {})
+    assert(led.begin("op:pending")) // in-flight writer, never expires
+    clock += ttl / 2 + 1 // op:old is now past TTL, op:fresh is not
+    assert(led.expireCompleted(ttl) == Seq("op:old"))
+    assert(!led.isComplete("op:old") && led.begin("op:old"),
+      "an expired key must be claimable again (the DynamoDB-TTL contract)")
+    assert(led.isComplete("op:fresh") && !led.begin("op:fresh"),
+      "a fresh complete marker must survive the sweep")
+    assert(led.pendingKeys().contains("op:pending"),
+      "pending claims are the recovery worklist — never TTL-swept")
+    // idempotent: a second sweep at the same clock finds nothing
+    assert(led.expireCompleted(ttl).isEmpty)
+  }
+
   test("ledger + IdempotentSink: the guarded write is exactly-once end to end") {
     val s = spark
     import s.implicits._
