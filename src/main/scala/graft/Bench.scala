@@ -45,8 +45,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query JSON observability lines on stderr (stdout carries the
-    // bench protocol line; see ObservabilityListener)
-    ObservabilityListener.register(spark)
+    // bench protocol line; see ObservabilityListener) AND into a .jsonl
+    // next to the bench artifact, so per-query shuffle/spill is part of
+    // the evidence chain rather than lost in the log stream
+    val obsFile = outFile.stripSuffix(".json") + "_obs.jsonl"
+    val obsWriter = new java.io.PrintWriter(
+      new java.io.FileWriter(obsFile, /* append = */ false), /* autoFlush = */ true)
+    ObservabilityListener.register(spark, line => {
+      System.err.println(line)
+      obsWriter.synchronized { obsWriter.println(line) }
+    })
     // Warm-up: run every query once at the smallest SF so the timed pass
     // below measures steady-state throughput (whole-stage codegen classes
     // compiled, JIT warm) instead of one-time JVM costs — which otherwise
@@ -85,8 +93,12 @@ object Bench {
     // the same min-of-two protocol — the bench line carries the
     // shuffle-free join time next to its plain-scan twin. Excluded from
     // "total" (they have no oracle twin in the baseline's query set).
-    operators.BucketedQueries.ensureBucketed(spark, sfDir)
-    operators.PartitionedLayout.ensurePartitioned(spark, sfDir)
+    // tag the untimed layout builds so their shuffle volume is not
+    // attributed to the last timed query (withTag never unsets)
+    ObservabilityListener.withTag(spark, "setup:layout") {
+      operators.BucketedQueries.ensureBucketed(spark, sfDir)
+      operators.PartitionedLayout.ensurePartitioned(spark, sfDir)
+    }
     def bucketedPass(): Map[String, Double] =
       (operators.BucketedQueries.all ++ operators.PartitionedLayout.all)
         .map { case (name, fn) => timedQuery(name, fn, sfDir) }
@@ -99,7 +111,11 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
-    val nFailed = results.size - ok.size
+    // count failures across BOTH lanes: a failed bucketed query is a
+    // -1.0 in the map and must not leave the headline claiming 0
+    // failures (totals already exclude bucketed; only the counter
+    // widens)
+    val nFailed = (results ++ bucketed).count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val streamTotal = ok.collect { case (k, v) if streamingLane(k) => v }.sum
     val json =
@@ -124,6 +140,8 @@ object Bench {
       s""""n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}"""
     println(summary)
+    // stop() drains the async listener bus before the writer closes
     spark.stop()
+    obsWriter.close()
   }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * volume and spill. One JSON line per completed query action, emitted
   * to stderr (never stdout — stdout carries the bench protocol line).
   *
-  * Fields: `tag` (the harness-set query key, local property
-  * `graft.query.tag`), `func` (the triggering action), `ms` wall time,
+  * Fields: `tag` (the harness-set query key, session conf
+  * `spark.graft.queryTag`, set via [[ObservabilityListener.withTag]]),
+  * `func` (the triggering action), `ms` wall time,
   * `shuffle_write_bytes` / `spill_bytes` (summed over the executed
   * plan, including AQE query stages), `status`. Metrics are read from
   * the plan's own SQLMetrics — no extra instrumentation in the hot
@@ -52,8 +53,12 @@ class ObservabilityListener(out: String => Unit) extends QueryExecutionListener 
           val plan = qe.executedPlan
           (metricSum(plan, "shuffleBytesWritten"), metricSum(plan, "spillSize"))
         } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+      // tags/func names are currently harness-controlled identifiers,
+      // but the line must stay parseable the first time one carries a
+      // quote or backslash
+      def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
       val json =
-        s"""{"graft_obs":1,"tag":"$tag","func":"$funcName",""" +
+        s"""{"graft_obs":1,"tag":"${esc(tag)}","func":"${esc(funcName)}",""" +
         s""""ms":${if (durationNs >= 0) durationNs / 1000000 else -1},""" +
         s""""shuffle_write_bytes":$shuffleB,""" +
         s""""spill_bytes":$spillB,""" +

@@ -212,14 +212,29 @@ object OlapQueries {
     * Exactness needs no approx boundaries: ranks are derived from the
     * rows' actual range-partition counts, so the sampled partition
     * bounds only steer parallelism, never the result. */
-  def qParetoDist(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perCust = orders(s, d)
+  /** The range-partitioned per-customer aggregate feeding
+    * [[qParetoDist]]; split out so the spec can assert the range
+    * exchange on the pre-checkpoint plan (the checkpoint hides it
+    * behind a Scan ExistingRDD in the final query's executed plan). */
+  private[graft] def paretoRanged(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
-    val ranged = perCust
       .repartitionByRange(col("cust_rev").desc, col("o_custkey"))
       .withColumn("pid", spark_partition_id())
+
+  def qParetoDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import DedupOps.TruncOps
+    // Materialized ONCE: three subtrees (counts, n_total, ranked)
+    // consume (row, pid). Without truncation, each consumer re-plans
+    // the range exchange, and consistent pids would hinge on
+    // ReuseExchange deduplicating identical subtrees — range
+    // boundaries are SAMPLED (rdd-id-seeded), so with
+    // spark.sql.exchange.reuse=false each consumer could draw
+    // different boundaries and global ranks would go silently wrong.
+    // The checkpoint freezes the assignment in data.
+    val ranged = paretoRanged(s, d).truncEager
     val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
     // exclusive prefix sum over the P-row count table
     val offsets = counts.withColumn("off",

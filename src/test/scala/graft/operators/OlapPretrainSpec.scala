@@ -113,8 +113,15 @@ class OlapQueriesSpec extends SparkTestBase {
     assert(dist == exact, "distributed rank must reproduce ntile exactly")
     val plan = OlapQueries.qParetoDist(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("ntile"), "the scale path must not use the global-sort ntile")
-    assert(plan.contains("rangepartitioning(cust_rev"),
-      s"customers must be range-partitioned, not globally sorted:\n$plan")
+    // the range exchange lives in the pre-checkpoint subtree (the final
+    // plan reads the materialized RDD, so pids are frozen in data and
+    // every consumer sees the same boundaries regardless of
+    // spark.sql.exchange.reuse)
+    val rangedPlan = OlapQueries.paretoRanged(spark, sf).queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("rangepartitioning(cust_rev"),
+      s"customers must be range-partitioned, not globally sorted:\n$rangedPlan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"ranged intermediate must be materialized once (checkpoint), not re-planned per consumer:\n$plan")
     // the per-customer rank window must be partitioned (by pid), never
     // a Window whose required child distribution is a single partition
     val rankWindow = plan.linesIterator.find(l =>
