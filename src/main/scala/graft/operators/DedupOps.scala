@@ -103,25 +103,36 @@ object DedupOps {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
 
-  /** MinHash signatures, MAP-SIDE over the per-doc shingle arrays: two
-    * md5s per shingle (each its own array column — multiply-referenced
-    * non-cheap transforms stay un-inlined), each sliced into four
-    * disjoint 8-hex-char (32-bit) sub-hashes → 8 independent uniform
-    * hash functions at 1/4 the hashing cost; lexicographic min over
-    * fixed-width hex == numeric min, so array_min over the sliced
-    * arrays IS the signature. Zero shuffle — the round-5 form paid a
-    * full groupBy Exchange over the EXPLODED shingle rows for the same
-    * eight mins. */
+  /** MinHash signatures over the per-doc shingle arrays: two md5s per
+    * shingle, each sliced into four disjoint 8-hex-char (32-bit)
+    * sub-hashes → 8 independent uniform hash functions at 1/4 the
+    * hashing cost; lexicographic min over fixed-width hex == numeric
+    * min, so per-doc MIN of the sliced columns IS the signature.
+    *
+    * Form: explode the MATERIALIZED arrays → codegen'd md5/substring →
+    * groupBy(doc) of 8 mins. The whole per-shingle pipeline stays
+    * inside WholeStageCodegen; hash-aggregate partial combine reduces
+    * the shuffle to |docs| 8-min rows per partition, so the Exchange is
+    * negligible. The round-7 map-side `transform`/`array_min` lambda
+    * form avoided even that shuffle but ran INTERPRETED (no codegen for
+    * higher-order functions) and measured 2.36× baseline at sf3 — §8d's
+    * rule ("explode+groupBy beats interpreted array lambdas once the
+    * input is materialized") applies: exploding the checkpointed arrays
+    * costs no re-tokenization, which is what made the round-5 exploded
+    * form slow. */
   private def signaturesFrom(sets: DataFrame): DataFrame = {
-    val hashed = sets
-      .withColumn("arr_a", transform(col("sh_set"), x => md5(concat(lit("a:"), x))))
-      .withColumn("arr_b", transform(col("sh_set"), x => md5(concat(lit("b:"), x))))
-    val mins = (0 until H).map { i =>
-      val src = if (i < 4) col("arr_a") else col("arr_b")
-      array_min(transform(src, x => substring(x, (i % 4) * 8 + 1, 8))).as(s"h$i")
+    val ex = sets.select(col("doc_id"),
+      size(col("sh_set")).cast("long").as("n_sh"), explode(col("sh_set")).as("sh"))
+    val ha = md5(concat(lit("a:"), col("sh")))
+    val hb = md5(concat(lit("b:"), col("sh")))
+    val slices = (0 until H).map { i =>
+      substring(if (i < 4) ha else hb, (i % 4) * 8 + 1, 8).as(s"x$i")
     }
-    hashed.select(
-      col("doc_id") +: size(col("sh_set")).cast("long").as("n_sh") +: mins: _*)
+    val mins = (0 until H).map(i => min(col(s"x$i")).as(s"h$i"))
+    ex.select(col("doc_id") +: col("n_sh") +: slices: _*)
+      .groupBy("doc_id", "n_sh")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: col("n_sh") +: (0 until H).map(i => col(s"h$i")): _*)
   }
 
   /** LSH band keys: md5 of each 2-row slice of the signature. */
@@ -151,8 +162,13 @@ object DedupOps {
     // old exploded form's semantics (no signature for empty docs).
     val sets = shingleSets(s, d).truncEager.filter(size(col("sh_set")) > 0)
     // shingle counts ride along with the band keys — the ratio prune
-    // needs no extra join or recomputation of the shingle view
-    val b = bandsFrom(signaturesFrom(sets))
+    // needs no extra join or recomputation of the shingle view.
+    // The band table is materialized too: BOTH sides of the candidate
+    // self-join consume it, and without truncation each side re-runs
+    // the full signature pipeline (round 7 paid it twice per action —
+    // the dominant cost in the 16 s sf3 profile). |docs|·BANDS rows of
+    // (id, n, band hash) — tiny relative to the arrays.
+    val b = bandsFrom(signaturesFrom(sets)).truncEager
     val ba = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val bb = b.select(col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"),
