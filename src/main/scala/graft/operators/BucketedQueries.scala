@@ -15,7 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q21From) — one definition, two physical layouts. */
 object BucketedQueries {
 
-  private val BUCKETS = 8
+  // one bucket per execution thread on this node: bucket count IS the
+  // join's parallelism (no exchange re-splits it), so fewer buckets
+  // than cores serializes the whole bucketed join path — 8 buckets on
+  // 32 threads measured 3× slower on q3_bucketed at sf3. On a cluster
+  // this is sized to total executor cores (and kept a power of two so
+  // a half-sized node still divides it evenly).
+  private val BUCKETS = 32
 
   /** One bucketed save per (warehouse, sf dir): orders + lineitem
     * bucketed and sorted on the order key. Table names carry the sf tag
@@ -39,28 +45,46 @@ object BucketedQueries {
             if (fs.exists(loc)) fs.delete(loc, true)
           }
         }
-        orders(s, d).write.bucketBy(BUCKETS, "o_orderkey")
+        // repartition ONTO the bucket key first: bucketBy writes one
+        // file per (writing task × bucket), and a bucket made of
+        // multiple files loses its read-side sort guarantee — the scan
+        // reports no outputOrdering and every downstream merge join
+        // re-sorts the fact table. repartition(BUCKETS, key) uses the
+        // same murmur3 hash as the bucket spec, so each task holds
+        // exactly one bucket → one sorted file per bucket → the scan
+        // IS the sorted side, no sort operator anywhere.
+        orders(s, d).repartition(BUCKETS, org.apache.spark.sql.functions.col("o_orderkey"))
+          .write.bucketBy(BUCKETS, "o_orderkey")
           .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
-        lineitem(s, d).write.bucketBy(BUCKETS, "l_orderkey")
+        lineitem(s, d).repartition(BUCKETS, org.apache.spark.sql.functions.col("l_orderkey"))
+          .write.bucketBy(BUCKETS, "l_orderkey")
           .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
       }
     }
     (ot, lt)
   }
 
+  /** The bucketed tables are SORTED on the join key, so the merge join
+    * is exchange-free AND sort-free AND build-free — the layout's whole
+    * point. The hint pins it: under the bench's preferSortMergeJoin=
+    * false (right for shuffle joins on the plain layout) the planner
+    * would otherwise pick a shuffled-hash join here and pay a hash
+    * build over the FACT side per bucket for nothing. */
+  private def sorted(df: DataFrame): DataFrame = df.hint("merge")
+
   def q3Bucketed(s: SparkSession, d: String): DataFrame = {
     val (ot, lt) = ensureBucketed(s, d)
-    CoreQueries.q3From(customer(s, d), s.table(ot), s.table(lt))
+    CoreQueries.q3From(customer(s, d), sorted(s.table(ot)), sorted(s.table(lt)))
   }
 
   def q5Bucketed(s: SparkSession, d: String): DataFrame = {
     val (ot, lt) = ensureBucketed(s, d)
-    CoreQueries.q5From(s, d, s.table(ot), s.table(lt))
+    CoreQueries.q5From(s, d, sorted(s.table(ot)), sorted(s.table(lt)))
   }
 
   def q21Bucketed(s: SparkSession, d: String): DataFrame = {
     val (_, lt) = ensureBucketed(s, d)
-    CoreQueries.q21From(s.table(lt))
+    CoreQueries.q21From(sorted(s.table(lt)))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
