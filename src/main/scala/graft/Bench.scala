@@ -26,14 +26,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 64 MB broadcast threshold: sized to this node (128 GiB, 32
-      // threads), not to the 10 MB default that assumes small shared
-      // executors. AQE still decides from MEASURED post-filter sizes,
-      // so the setting scales honestly — a pruned join side (q3/q5's
-      // orders⋈customer) broadcasts and the fact side never exchanges;
-      // a genuinely large side still shuffles.
+      // Split broadcast thresholds by estimate quality. The STATIC
+      // planner sees compressed parquet footer sizes (~4× smaller than
+      // the in-memory rows) — a generous static threshold makes it
+      // broadcast million-row tables through the single-threaded
+      // driver-side relation build (measured: 64m static broadcast the
+      // whole 26 MB/1.5M-row sf1 orders table in q3/q5 and DOUBLED
+      // them vs. the shuffle plan). AQE decides from MEASURED
+      // post-shuffle sizes, so IT gets the node-sized 64 MB: a pruned
+      // join side (q3/q5's orders⋈customer) still converts to
+      // broadcast at runtime, and the estimate can't lie.
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_BROADCAST_THRESHOLD", "64m"))
+      // File-split sizing for a fat local node: 16 MB split target and
+      // ~zero open cost (NVMe/page cache), so a 32-file scale table
+      // scans ~32-wide instead of being packed into 4×128 MB tasks.
+      // On a real cluster the same knobs are sized to executor count;
+      // the default 128 MB/4 MB assumes remote object-store opens.
+      // (The driver's sf0.1 tables are single-row-group files — there
+      // splits can't help either engine; this matters for ScaleGen
+      // layouts, which write 32 MB row groups.)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // Hash join over sort-merge when a build side exists: at 4 GiB
+      // per thread a per-partition hash build of the SMALLER side
+      // always fits (and SHJ spills since 3.x if it doesn't), so the
+      // two sorts around every big join are pure overhead — measured
+      // ~15-20% on q3/q5 at sf3. SMJ remains for non-equi/huge-both-
+      // sides cases; AQE skew splitting applies to SHJ the same way.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -65,7 +65,13 @@ object ScaleGen {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame, files: Int): Unit = {
+      // 32 MB row groups: a scale table must expose enough independent
+      // row groups that a 32-thread scan (either engine) is not capped
+      // by file count — the round-5 layout's single-row-group 44 MB
+      // files limited every lineitem scan to 8-way parallelism, which
+      // benchmarks the layout artifact, not the engine.
       df.repartition(files).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (32L * 1024 * 1024).toString)
         .parquet(s"$dst/$t.parquet")
       println(s"SCALEGEN $t -> $dst/$t.parquet ($files files)")
     }
@@ -83,21 +89,23 @@ object ScaleGen {
     write("region", read("region"), 1)
     write("nation", read("nation"), 1)
 
-    write("customer", replicate(read("customer"), n, Map("c_custkey" -> custS)), 2)
-    write("supplier", replicate(read("supplier"), n, Map("s_suppkey" -> suppS)), 1)
-    write("part", replicate(read("part"), n, Map("p_partkey" -> partS)), 2)
+    // file counts sized so the biggest tables scan 32-wide (one file
+    // per core on this node; a real 100 TB table has thousands)
+    write("customer", replicate(read("customer"), n, Map("c_custkey" -> custS)), 4)
+    write("supplier", replicate(read("supplier"), n, Map("s_suppkey" -> suppS)), 2)
+    write("part", replicate(read("part"), n, Map("p_partkey" -> partS)), 4)
     write("orders", replicate(read("orders"), n,
-      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), 4)
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), 16)
     write("lineitem", replicate(read("lineitem"), n,
-      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), 8)
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), 32)
     write("events", replicate(read("events"), n,
-      Map("event_id" -> evS, "user_id" -> userS)), 4)
+      Map("event_id" -> evS, "user_id" -> userS)), 16)
     write("documents", replicate(read("documents"), n, Map("doc_id" -> docS),
       perReplica = (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_r" + i))
-          .withColumn("n_chars", length(col("text")).cast("long"))), 4)
-    write("embeddings", replicate(read("embeddings"), n, Map("vec_id" -> vecS)), 2)
+          .withColumn("n_chars", length(col("text")).cast("long"))), 16)
+    write("embeddings", replicate(read("embeddings"), n, Map("vec_id" -> vecS)), 4)
 
     spark.stop()
   }
