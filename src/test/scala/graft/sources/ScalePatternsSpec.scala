@@ -92,10 +92,13 @@ class ScalePatternsSpec extends SparkTestBase {
   test("orc round-trip preserves schema and rows; predicates push into the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
     val src = spark.read.parquet(s"$sf/orders.parquet")
-    src.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
+    OrcSource.write(src, dir)
+    // schema-pinned read: the production posture (see OrcSource)
+    val back = OrcSource.read(spark, dir, src.schema)
     assert(back.count() == src.count())
     assert(back.schema == src.schema)
+    // discovery read recovers the same schema from the footers
+    assert(OrcSource.read(spark, dir).schema == src.schema)
     val plan = back.filter(col("o_totalprice") > 1000.0)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"), s"ORC scan must take pushed filters:\n$plan")
