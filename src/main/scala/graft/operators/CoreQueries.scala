@@ -422,19 +422,28 @@ object CoreQueries {
     q21From(lineitem(s, d))
 
   private[operators] def q21From(lineitemT: DataFrame): DataFrame = {
-    val li = lineitemT
-    val late = li.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
-      .select(col("l_orderkey").as("lk"), col("l_suppkey").as("ls")).distinct()
-    // semi/anti-join right sides need no distinct — duplicates are
-    // irrelevant to existence checks, and each distinct is a shuffle
-    val others = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("os"))
-    val lateOthers = late.select(col("lk").as("ok2"), col("ls").as("os2"))
-    val base = late
-      .join(others, col("lk") === col("ok") && col("ls") =!= col("os"), "left_semi")
-    base
-      .join(lateOthers,
-        col("lk") === col("ok2") && col("ls") =!= col("os2"), "left_anti")
-      .groupBy(col("ls").as("suppkey"))
+    // The EXISTS/NOT-EXISTS pair collapses to per-order arithmetic: a
+    // late supplier qualifies iff its order has >1 distinct suppliers
+    // (someone else to blame it on) and exactly ONE distinct LATE
+    // supplier (itself). So lineitem is read ONCE and the only
+    // line-grain exchange is the (orderkey, suppkey) pair dedup, which
+    // partial hash aggregation shrinks map-side to the distinct pairs —
+    // the semi/anti-join form shuffled line-grain rows twice more (the
+    // EXISTS probe side and the late distinct). The per-order rollup
+    // then moves only distinct pairs, and when lineitem is bucketed on
+    // the order key BOTH aggregations reuse the scan partitioning
+    // (subset-of-grouping-keys), making the whole query exchange-free
+    // up to the final supplier-grain rollup.
+    val isLate = col("l_shipdate") > lit("1999-01-01").cast("timestamp")
+    val pairs = lineitemT
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(isLate, 1).otherwise(0)).as("has_late"))
+    pairs.groupBy("ok")
+      .agg(count(lit(1)).as("n_supp"),
+        sum("has_late").as("n_late"),
+        min(when(col("has_late") === 1, col("sk"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp").as("suppkey"))
       .agg(count(lit(1)).as("n_orders"))
   }
 

@@ -9,8 +9,8 @@ import graft.SparkTestBase
 class BucketedQueriesSpec extends SparkTestBase {
 
   // a single-key Exchange on any order-key column (original or aliased);
-  // multi-key exchanges (q21's (lk, ls) distinct) and other keys (custkey
-  // aggregates) are legitimate and allowed
+  // multi-key exchanges (q21's (ok, sk) pair dedup) and other keys
+  // (custkey aggregates) are legitimate and allowed
   private val orderKeyExchange =
     """Exchange hashpartitioning\((?:l_orderkey|o_orderkey|lk|ok|ok2)#\d+L?, \d+\)""".r
 
