@@ -264,6 +264,63 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
+  /** 64-bit SimHash per doc, as two 32-bit halves (both engines then
+    * stay in non-negative BIGINT arithmetic — no signed-64 packing
+    * edge cases). Bits come from the low TWO bits of each md5 nibble
+    * (graft_parity_sums at nBits=64: slot 2j = low bit of nibble j,
+    * slot 2j+1 = second bit); sh_lo takes the low-bit hyperplanes in
+    * md5 nibble order, sh_hi the second-bit ones. */
+  private[operators] def simhash64(s: SparkSession, d: String): DataFrame = {
+    val lo = (1 to 32).map(j =>
+      when(element_at(col("sums"), 2 * j - 1) >= 0, lit(1L << (32 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi = (1 to 32).map(j =>
+      when(element_at(col("sums"), 2 * j) >= 0, lit(1L << (32 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    paritySums(s, d, 64).select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi"))
+  }
+
+  /** The SCALE path of dedup_simhash_pairs: the standard near-dup
+    * configuration (64-bit SimHash, Hamming <= 3 — Manku, Jain & Das
+    * Sarma, WWW'07) banded as 4 x 16 bits. Same pigeonhole
+    * exhaustiveness as the 32-bit form, but the blocking key space is
+    * 4x65536 instead of 4x256 — candidate buckets are 256x smaller, so
+    * the O(sum bucket^2) verification stays flat as the corpus grows
+    * instead of absorbing n^2/1024. At 32 bits a web-scale corpus
+    * saturates every band value and the banded join degenerates toward
+    * all-pairs; this is the form that survives 100 TB (the 32-bit op is
+    * kept as the cross-round continuity twin). Bands 0-1 slice sh_lo,
+    * bands 2-3 slice sh_hi; Hamming = popcount(lo-xor) +
+    * popcount(hi-xor). */
+  def dedupSimhash64Pairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash64(s, d).truncEager
+    val bandVal = (b: Int) =>
+      if (b < 2) shiftright(col("sh_lo"), 16 * b).bitwiseAND(65535)
+      else shiftright(col("sh_hi"), 16 * (b - 2)).bitwiseAND(65535)
+    val banded = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("bk.band_id"), col("bk.band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
+    val b = banded.select(col("band_id").as("band_id_b"), col("band_val").as("band_val_b"),
+      col("doc_id").as("doc_b"), col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
+    // first-matching-band emission (see the 32-bit form): each pair
+    // appears exactly once, no post-join dedup shuffle
+    val firstMatch = expr(
+      """band_id = (CASE WHEN ((lo_a ^ lo_b) & 65535) = 0 THEN 0
+        |  WHEN (shiftright(lo_a ^ lo_b, 16) & 65535) = 0 THEN 1
+        |  WHEN ((hi_a ^ hi_b) & 65535) = 0 THEN 2
+        |  ELSE 3 END)""".stripMargin)
+    a.join(b,
+        col("band_id") === col("band_id_b") && col("band_val") === col("band_val_b") &&
+        col("doc_a") < col("doc_b") && firstMatch)
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
     * inverted index — pairs sharing no shingle never materialize (they
     * cannot pass the threshold) — then a length-band block (n_sh div
@@ -369,6 +426,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_simhash64_pairs" -> (dedupSimhash64Pairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
   )
 
@@ -494,6 +552,38 @@ object DedupOps {
          |  ON a.band_id = b2.band_id AND a.band_val = b2.band_val
          | AND a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.sh, b2.sh)) <= 3""".stripMargin
+    },
+    "dedup_simhash64_pairs" -> {
+      // low bit of md5 nibble j -> sh_lo bit j; second bit -> sh_hi
+      // bit j (matches graft_parity_sums nBits=64 slot layout)
+      val sumsLo = (1 to 32).map(j =>
+        s"sum(2 * ((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) % 2) - 1) AS a$j")
+        .mkString(",\n  ")
+      val sumsHi = (1 to 32).map(j =>
+        s"sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) // 2) % 2) - 1) AS b$j")
+        .mkString(",\n  ")
+      val valLo = (1 to 32).map(j =>
+        s"CASE WHEN a$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
+      val valHi = (1 to 32).map(j =>
+        s"CASE WHEN b$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sums AS (SELECT doc_id,
+         |  $sumsLo,
+         |  $sumsHi
+         |  FROM tok GROUP BY doc_id),
+         |vals AS (SELECT doc_id, CAST($valLo AS BIGINT) AS sh_lo,
+         |  CAST($valHi AS BIGINT) AS sh_hi FROM sums),
+         |banded AS (
+         |  SELECT doc_id, sh_lo, sh_hi, b.band_id,
+         |    CASE WHEN b.band_id < 2 THEN (sh_lo >> (16 * b.band_id)) & 65535
+         |         ELSE (sh_hi >> (16 * (b.band_id - 2))) & 65535 END AS band_val
+         |  FROM vals, (SELECT unnest([0,1,2,3]) AS band_id) b)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh_lo, b2.sh_lo)) + bit_count(xor(a.sh_hi, b2.sh_hi)) AS INT) AS hamming
+         |FROM banded a JOIN banded b2
+         |  ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+         | AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b2.sh_lo)) + bit_count(xor(a.sh_hi, b2.sh_hi)) <= 3""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"""$shingleSetsCte,

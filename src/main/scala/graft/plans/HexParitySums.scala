@@ -40,8 +40,9 @@ case class HexParitySums(
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_parity_sums expects a string argument, got ${child.dataType.simpleString}")
-    else if (nBits < 1 || nBits > 32)
-      TypeCheckResult.TypeCheckFailure(s"graft_parity_sums nBits must be in [1,32], got $nBits")
+    else if (nBits < 1 || nBits > 64 || (nBits > 32 && nBits % 2 != 0))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_parity_sums nBits must be in [1,32] or an even value in (32,64], got $nBits")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -60,12 +61,29 @@ case class HexParitySums(
       // nibble's low bit ('a'=0x61 odd ASCII but value 10: 0x61&1=1 ≠ 0),
       // so decode the nibble value explicitly rather than trusting ASCII
       // parity.
-      var j = 0
-      while (j < nBits) {
-        val c = s.getByte(j)
-        val nib = if (c <= '9') c - '0' else c - 'a' + 10
-        buf(j) += (if ((nib & 1) == 1) 1L else -1L)
-        j += 1
+      if (nBits <= 32) {
+        // one bit per nibble: slot j = low-bit parity of nibble j
+        var j = 0
+        while (j < nBits) {
+          val c = s.getByte(j)
+          val nib = if (c <= '9') c - '0' else c - 'a' + 10
+          buf(j) += (if ((nib & 1) == 1) 1L else -1L)
+          j += 1
+        }
+      } else {
+        // two bits per nibble (an md5 digest has only 32 nibbles, so a
+        // 64-bit sketch reads each nibble's low TWO bits — still
+        // independent uniform hyperplanes): slot 2j = low bit of nibble
+        // j, slot 2j+1 = second bit
+        val nNib = nBits / 2
+        var j = 0
+        while (j < nNib) {
+          val c = s.getByte(j)
+          val nib = if (c <= '9') c - '0' else c - 'a' + 10
+          buf(2 * j) += (if ((nib & 1) == 1) 1L else -1L)
+          buf(2 * j + 1) += (if ((nib & 2) == 2) 1L else -1L)
+          j += 1
+        }
       }
     }
     buf

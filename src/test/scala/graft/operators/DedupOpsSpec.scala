@@ -55,6 +55,28 @@ class DedupOpsSpec extends SparkTestBase {
     assert(brute.nonEmpty)
   }
 
+  test("simhash64 pairs: 16-bit-banded retrieval is EXHAUSTIVE for hamming <= 3") {
+    val banded = DedupOps.dedupSimhash64Pairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    // brute-force ground truth over the two 32-bit halves
+    val sigs = DedupOps.simhash64(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sh_lo"), r.getAs[Long]("sh_hi")))
+    val brute = (for {
+      (a, la, ha) <- sigs; (b, lb, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}; " +
+        s"missed=${(brute.keySet -- banded.keySet).take(5)}")
+    // the 64-bit threshold is strict: the planted exact-family dups
+    // must still surface (brute non-empty proves the fixture exercises
+    // the operator, not just the empty intersection)
+    assert(brute.nonEmpty)
+  }
+
   test("cluster election: every near-dup pair shares one keeper, keeper is min") {
     val reps = DedupOps.dedupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
