@@ -223,7 +223,46 @@ object PretrainOps {
       .agg((floor(avg(col("v").cast("double")) * 1e4 + 0.5) / 1e4).as("c"),
         count(lit(1)).as("n_vecs"))
 
+  /** GPT-style sequence packing (concat-and-chunk): documents are
+    * concatenated in doc_id order and cut into fixed 4096-token
+    * context windows; each doc reports its global token offset and the
+    * first/last window it lands in — the exact bookkeeping a training
+    * data loader needs to map documents to packed sequences.
+    *
+    * The global running sum is the q_pareto_dist pattern, NOT a
+    * single-partition window: range-partition on doc_id (materialized
+    * once so the pids are frozen in data — boundaries are sampled, see
+    * OlapQueries.qParetoDist), per-partition running sum, then a
+    * broadcast P-row exclusive-prefix offset join. The widest sort is
+    * n/P rows; a plain `Window.orderBy(doc_id)` would funnel the whole
+    * corpus through one task, the textbook 100 TB failure. */
+  def pretrainSeqPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import DedupOps.TruncOps
+    val ranged = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .truncEager
+    val counts = ranged.groupBy("pid").agg(sum("n_tokens").as("ptoks"))
+    // exclusive prefix sum over the P-row per-partition totals
+    val offsets = counts.withColumn("off",
+      coalesce(sum("ptoks").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranged
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets.select("pid", "off")), "pid")
+      .withColumn("start_tok", col("off") + col("local_cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr("start_tok DIV 4096").as("seq_first"),
+        expr("(start_tok + n_tokens - 1) DIV 4096").as("seq_last"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_decontaminate" -> (textDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
@@ -235,6 +274,17 @@ object PretrainOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pretrain_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 4096 AS seq_first,
+        |  (start_tok + n_tokens - 1) // 4096 AS seq_last
+        |FROM c""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),

@@ -200,9 +200,44 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Exactly-once ingest dedup under at-least-once delivery: the event
+    * stream is unioned with itself (every event delivered twice — the
+    * redelivery a real queue/at-least-once source produces) and
+    * deduplicated by event_id with `dropDuplicatesWithinWatermark`.
+    * That operator is THE bounded-state streaming dedup: state for an
+    * id is evictable once the watermark passes its event time + delay,
+    * so state size tracks the redelivery window, not stream history —
+    * a plain `dropDuplicates` keeps every id forever, the unbounded-
+    * state failure mode on a continuous 100 TB ingest. The contract is
+    * correspondingly honest: duplicates arriving within the watermark
+    * window are dropped; a redelivery later than the watermark delay is
+    * an upstream SLA violation (size the delay to the queue's
+    * redelivery bound). Under Trigger.AvailableNow here, both copies
+    * land inside the watermark and the output is exactly the distinct
+    * events — which is what the oracle checks. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.events(s, d).schema
+    def src = s.readStream.schema(schema).parquet(streamDir(d, "events"))
+    val deduped = src.unionAll(src)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_s"), col("event_type"))
+    val name = replaceOwnedView(s, "dedup_")
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> (streamWindowedAgg _),
-    "stream_sessions" -> (streamSessions _)
+    "stream_sessions" -> (streamSessions _),
+    "stream_dedup" -> (streamDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +267,9 @@ object StreamOps {
         |   -- watermark is max(event) - 30 min delay, and a timeout
         |   -- fires when it passes last event + 30 min gap
         |   OR sess_end + 1800 < (SELECT max(ts_s) - 1800 FROM ev)""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |FROM events""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  event_type, count(*) AS n_events,

@@ -269,6 +269,34 @@ class PretrainOpsSpec extends SparkTestBase {
   }
 }
 
+class SeqPackSpec extends graft.SparkTestBase {
+  test("seq pack: offsets form an exact concatenation, windows consistent, no global sort") {
+    val rows = PretrainOps.pretrainSeqPack(spark, sf).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    // concat-and-chunk invariant: each doc starts where the previous ended
+    var expected = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == expected,
+        s"doc ${r.getAs[Long]("doc_id")} starts at ${r.getAs[Long]("start_tok")}, expected $expected")
+      expected += r.getAs[Long]("n_tokens")
+      val first = r.getAs[Long]("seq_first"); val last = r.getAs[Long]("seq_last")
+      assert(first == r.getAs[Long]("start_tok") / 4096)
+      assert(last == (r.getAs[Long]("start_tok") + r.getAs[Long]("n_tokens") - 1) / 4096)
+      assert(first <= last)
+    }
+    // scale shape: the running sum must be range-partitioned + prefix-
+    // offset, never a Window requiring a single partition of the corpus
+    val plan = PretrainOps.pretrainSeqPack(spark, sf).queryExecution.executedPlan.toString
+    val cumWindow = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("local_cum"))
+    assert(cumWindow.exists(_.contains("pid")),
+      s"running sum must run per range-partition:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"ranged intermediate must be materialized once (frozen pids):\n$plan")
+  }
+}
+
 class MmDedupPhashSpec extends graft.SparkTestBase {
   test("phash buckets: groups of >=2, keeper is the min doc, hash within 16 bits") {
     val rows = MultimodalOps.mmDedupPhash(spark, sf).collect()

@@ -23,6 +23,21 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream dedup: doubled delivery collapses to exactly the distinct events") {
+    val out = StreamOps.streamDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_s"), r.getAs[String]("event_type")))
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "ts div 1000000000 AS ts_s", "event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_s"), r.getAs[String]("event_type")))
+    // the union delivered every event twice; dedup must emit each once
+    assert(out.length == batch.length,
+      s"expected ${batch.length} deduped events, got ${out.length}")
+    assert(out.toSet == batch.toSet)
+  }
+
   test("stateful sessionization closes sessions on gaps and keeps state across batches") {
     val s = spark
     import s.implicits._
