@@ -63,10 +63,16 @@ object QTime {
       // this VM swing 1.5-2× on 1-4 s queries; scale artifacts use 3
       val passes = sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").toInt
       val ts = (1 to passes).map(_ => timed())
-      val cnt = fn(spark, sfDir).count()
+      val executed = fn(spark, sfDir)
+      val cnt = executed.count()
       out(n) = (ts.min, cnt)
       val detail = ts.zipWithIndex.map { case (t, i) => f"p${i + 1}=$t%.2f" }.mkString(" ")
       println(f"QTIME $n%-24s ${ts.min}%8.2f s  ($detail) rows=$cnt")
+      // SPARK_GRAFT_QTIME_EXPLAIN=1: dump the POST-execution physical
+      // plan (AQE's final shape — coalesced reads, runtime join picks —
+      // which a pre-execution explain never shows)
+      if (sys.env.contains("SPARK_GRAFT_QTIME_EXPLAIN"))
+        println(executed.queryExecution.executedPlan.toString)
     }
     sys.env.get("SPARK_GRAFT_QTIME_OUT").foreach { f =>
       val qs = out.map { case (k, (sec, rows)) =>

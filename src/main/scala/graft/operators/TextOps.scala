@@ -244,24 +244,50 @@ object TextOps {
     * outgrow executor memory, at which point the fallback is a
     * sort-merge join whose shuffle key is a Zipf-hot token — "the"
     * lands every occurrence on one partition, the textbook skew kill.
-    * A broadcast hash join never shuffles the token stream at all. */
+    * A broadcast hash join never shuffles the token stream at all.
+    *
+    * Tokens are keyed by xxhash64, not by string, on BOTH sides of the
+    * frequency pipeline: the vocab groupBy's hash map and the scoring
+    * join's probes work on fixed-width longs instead of hashing and
+    * comparing UTF8 strings per occurrence — measured 0.71 s vs 1.15 s
+    * at sf3 (the string forms, every variant: double-tokenize,
+    * per-(doc,tok) pre-agg, checkpointed token stream, all landed
+    * 1.2–3.7 s; the byte cost of string keys in the agg + probe was
+    * the real bottleneck, not the tokenize count). Two distinct tokens
+    * colliding would merge their tf's: P ≈ |V|²/2⁶⁵ — at a 10M-token
+    * real-corpus vocab that's ~3·10⁻⁶ for ONE collision anywhere, and
+    * the blast radius is one slightly-off frequency inside a quality
+    * score; the oracle gate cross-checks against exact-string DuckDB
+    * per round, so a collision cannot pass silently.
+    *
+    * The corpus-size normalization is applied AFTER the per-doc
+    * aggregate: mean ln(tf/total) = mean ln(tf) − ln(total), so the
+    * 1-row total crosses a broadcast nested-loop join at |docs| grain
+    * (150k rows at sf3) instead of token grain (8.1M) — the pre-fix
+    * plan pushed every token row through the BNLJ. */
   def textLogprob(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.groupBy(col("tok").as("tok_v"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val vocab = toks.groupBy(col("h").as("h_v")).agg(count(lit(1)).as("tf"))
     // corpus size = Σ tf over the (tiny) vocab — a broadcast scalar,
-    // fully declarative: no driver action, no extra corpus scan
+    // fully declarative: no driver action, no extra corpus scan (the
+    // vocab exchange is canonically identical in both consumers, so
+    // stage reuse runs the token count once)
     val totalDf = vocab.agg(sum("tf").cast("double").as("total_toks"))
     // ln + an explicit ln(10) double literal on BOTH sides (engines'
     // log10 intrinsics differ in the last ulp more often than ln);
     // the fixed-point floor-round absorbs accumulation-order noise
+    // (splitting ln(tf/total) into ln(tf) − ln(total) is the same
+    // sum in a different order)
     val ln10 = 2.302585092994046
-    toks.join(broadcast(vocab), col("tok") === col("tok_v"))
-      .crossJoin(broadcast(totalDf))
+    toks.join(broadcast(vocab), col("h") === col("h_v"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        (floor(avg(log(col("tf").cast("double") / col("total_toks"))) / ln10 * 10000 + 0.5) / 10000)
+        avg(log(col("tf").cast("double"))).as("mean_ln_tf"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor((col("mean_ln_tf") - log(col("total_toks"))) / ln10 * 10000 + 0.5) / 10000)
           .as("mean_logp"))
   }
 
