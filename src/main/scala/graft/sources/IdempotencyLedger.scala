@@ -131,10 +131,13 @@ class IdempotencyLedger(dir: String, conf: Configuration,
     * crash between write and mark): `landed(key)` checks the actual
     * target (e.g. the operation's rows are present); landed claims are
     * marked complete — the write happened, only the mark was lost —
-    * and the rest are abandoned so a retry can claim them. Returns
+    * and the rest are abandoned so a retry can claim them. `keyFilter`
+    * scopes the pass to one caller's keyspace — a shared ledger's
+    * other operations keep their claims. Returns
     * (completed, abandoned). */
-  def recover(landed: String => Boolean): (Seq[String], Seq[String]) = {
-    val (ok, lost) = pendingKeys().partition(landed)
+  def recover(landed: String => Boolean,
+              keyFilter: String => Boolean = _ => true): (Seq[String], Seq[String]) = {
+    val (ok, lost) = pendingKeys().filter(keyFilter).partition(landed)
     ok.foreach(complete)
     lost.foreach(abandon)
     (ok, lost)

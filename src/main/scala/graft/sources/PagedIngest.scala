@@ -19,11 +19,18 @@ import org.apache.hadoop.fs.Path
   *    distributed engine then reads via [[JsonLines.read]]'s
   *    quarantine path. Parallelism at 100 TB comes from MANY feeds ×
   *    many staging dirs, not from racing one feed's pages.
-  *  - `fetchPage` is injected ((page, perPage) → one JSON object
-  *    string per record; throws on transport failure). The HTTP
-  *    client, auth headers and JSON-array splitting live in the
-  *    adapter — specs inject a fake server (the reference tests mock
+  *  - `fetchPage` is injected ((page, perPage, headers) → one JSON
+  *    object string per record; throws on transport failure). The
+  *    HTTP client and JSON-array splitting live in the adapter —
+  *    specs inject a fake server (the reference tests mock
   *    `requests.get` the same way, tests/test_services.py:174).
+  *  - Auth is a `headers` PROVIDER, resolved before EVERY attempt
+  *    (the reference resolves credentials per invocation,
+  *    handler.py:30-55): an attempt rejected for stale credentials
+  *    retries with freshly-resolved headers, so secret rotation
+  *    mid-run heals inside the normal retry budget.
+  *    [[IngestConfig.credentialHeaders]] builds the secrets-store >
+  *    env > anonymous chain.
   *  - Retry is per page, bounded, with exponential backoff; the
   *    attempt that exhausts the budget rethrows (the reference wraps
   *    and raises, it never silently drops a page). `sleep` is
@@ -32,6 +39,13 @@ import org.apache.hadoop.fs.Path
   *    (pending→write→complete, crash-safe): a re-run after a partial
   *    failure skips landed pages and fetches the rest — the
   *    reference's check/mark_complete bracket around the S3 put.
+  *  - Recovery pre-pass: before paging, every PENDING claim of this
+  *    dest (a previous run crashed between begin and complete) is
+  *    resolved via [[IdempotencyLedger.recover]] against the actual
+  *    page file — landed claims become complete, lost ones are
+  *    abandoned so THIS run re-fetches the page. Without it a stale
+  *    claim makes `withOperation` return false and the page would be
+  *    counted "skipped" while never landing — silent data loss.
   *  - Termination: a short or empty page ends the feed (the REST
   *    convention the reference's per_page/page parameters imply),
   *    `maxPages` bounds a feed that never ends.
@@ -44,13 +58,31 @@ object PagedIngest {
       pagesFetched: Int,    // pages this run landed
       pagesSkipped: Int,    // pages already complete in the ledger
       records: Long,        // records landed by this run
-      retries: Int)         // failed attempts that were retried
+      retries: Int,         // failed attempts that were retried
+      recovered: Int = 0,   // stale claims resolved by the pre-pass
+      abandoned: Int = 0)   // stale claims released for re-fetch
 
+  /** Headerless compatibility form — adapters that manage their own
+    * auth. */
   def ingest(
       fetchPage: (Int, Int) => Seq[String],
       dest: String,
       conf: Configuration,
       ledger: IdempotencyLedger,
+      perPage: Int = 100,
+      maxPages: Int = 100000,
+      maxRetries: Int = 3,
+      backoffMs: Long = 1000L,
+      sleep: Long => Unit = Thread.sleep): IngestReport =
+    ingestAuth((p, pp, _) => fetchPage(p, pp), dest, conf, ledger,
+      () => Map.empty, perPage, maxPages, maxRetries, backoffMs, sleep)
+
+  def ingestAuth(
+      fetchPage: (Int, Int, Map[String, String]) => Seq[String],
+      dest: String,
+      conf: Configuration,
+      ledger: IdempotencyLedger,
+      headers: () => Map[String, String],
       perPage: Int = 100,
       maxPages: Int = 100000,
       maxRetries: Int = 3,
@@ -62,6 +94,16 @@ object PagedIngest {
     val fs = base.getFileSystem(conf)
     fs.mkdirs(base)
 
+    val keyPrefix = s"paged_ingest:$dest:page="
+    def pageFile(page: Int) = new Path(base, f"page-$page%05d.jsonl")
+
+    // resolve THIS dest's stale pending claims before paging: claim
+    // with a landed page file → complete; claim without → abandon so
+    // the loop below re-fetches it (other dests' claims untouched)
+    val (rec, aband) = ledger.recover(
+      key => fs.exists(pageFile(key.stripPrefix(keyPrefix).toInt)),
+      key => key.startsWith(keyPrefix))
+
     var fetched = 0
     var skipped = 0
     var records = 0L
@@ -70,7 +112,9 @@ object PagedIngest {
     def fetchWithRetry(page: Int): Seq[String] = {
       var attempt = 0
       while (true) {
-        try return fetchPage(page, perPage)
+        // headers re-resolve per attempt: a stale-credential failure
+        // retries with the current secret, not the one from attempt 1
+        try return fetchPage(page, perPage, headers())
         catch {
           case scala.util.control.NonFatal(e) =>
             attempt += 1
@@ -113,6 +157,6 @@ object PagedIngest {
         }
       }
     }
-    IngestReport(fetched, skipped, records, retries)
+    IngestReport(fetched, skipped, records, retries, rec.size, aband.size)
   }
 }
