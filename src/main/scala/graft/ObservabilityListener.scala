@@ -14,13 +14,18 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * volume and spill. One JSON line per completed query action, emitted
   * to stderr (never stdout — stdout carries the bench protocol line).
   *
-  * Fields: `tag` (the harness-set query key, session conf
-  * `spark.graft.queryTag`, set via [[ObservabilityListener.withTag]]),
-  * `func` (the triggering action), `ms` wall time,
-  * `shuffle_write_bytes` / `spill_bytes` (summed over the executed
-  * plan, including AQE query stages), `status`. Metrics are read from
-  * the plan's own SQLMetrics — no extra instrumentation in the hot
-  * path, the listener only aggregates what Spark already collected. */
+  * Fields: `run_id` (one correlation id per pipeline/harness run,
+  * session conf `spark.graft.runId`, stamped by
+  * [[ObservabilityListener.withRun]] and by `PipelineRunner.run` — the
+  * decorator's `correlation_id = str(uuid.uuid4())` analogue,
+  * utils/decorators.py:33-45), `tag` (the harness-set query key,
+  * session conf `spark.graft.queryTag`, set via
+  * [[ObservabilityListener.withTag]]), `func` (the triggering action),
+  * `ms` wall time, `shuffle_write_bytes` / `spill_bytes` (summed over
+  * the executed plan, including AQE query stages), `status`. Metrics
+  * are read from the plan's own SQLMetrics — no extra instrumentation
+  * in the hot path, the listener only aggregates what Spark already
+  * collected. */
 class ObservabilityListener(out: String => Unit) extends QueryExecutionListener {
 
   def this() = this(line => System.err.println(line))
@@ -46,6 +51,7 @@ class ObservabilityListener(out: String => Unit) extends QueryExecutionListener 
   private def emit(funcName: String, qe: QueryExecution, durationNs: Long, ok: Boolean): Unit =
     try {
       val tag = qe.sparkSession.conf.getOption("spark.graft.queryTag").getOrElse("")
+      val runId = qe.sparkSession.conf.getOption("spark.graft.runId").getOrElse("")
       // a FAILED query may not have a materialized physical plan at
       // all (optimizer-time errors) — the line must still go out
       val (shuffleB, spillB) =
@@ -58,7 +64,7 @@ class ObservabilityListener(out: String => Unit) extends QueryExecutionListener 
       // quote or backslash
       def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
       val json =
-        s"""{"graft_obs":1,"tag":"${esc(tag)}","func":"${esc(funcName)}",""" +
+        s"""{"graft_obs":1,"run_id":"${esc(runId)}","tag":"${esc(tag)}","func":"${esc(funcName)}",""" +
         s""""ms":${if (durationNs >= 0) durationNs / 1000000 else -1},""" +
         s""""shuffle_write_bytes":$shuffleB,""" +
         s""""spill_bytes":$spillB,""" +
@@ -94,6 +100,19 @@ object ObservabilityListener {
     // may deliver the event after body returns, and an unset tag would
     // blank it; the tag stays until the next withTag overwrites it
     spark.conf.set("spark.graft.queryTag", tag)
+    body
+  }
+
+  /** Fresh correlation id — one per logical run, never per query. */
+  def newRunId(): String = java.util.UUID.randomUUID().toString
+
+  /** Run `body` with the run correlation id in the session conf: every
+    * observability line emitted while it executes carries `run_id`, so
+    * one id threads a whole multi-step pipeline's queries together —
+    * the reference decorator's correlation_id (utils/decorators.py:33).
+    * Same non-unset rationale as [[withTag]]. */
+  def withRun[T](spark: SparkSession, runId: String)(body: => T): T = {
+    spark.conf.set("spark.graft.runId", runId)
     body
   }
 

@@ -27,13 +27,26 @@ object PipelineRunner {
                         transform: DataFrame => DataFrame,
                         maxRetries: Int = 2)
 
-  final case class StepReport(name: String, attempts: Int, resumed: Boolean)
+  final case class StepReport(name: String, attempts: Int, resumed: Boolean,
+                              runId: String = "")
 
   /** Run the chain; returns the final output plus a per-step report.
     * Step i reads step i−1's materialized parquet, so lineage is cut at
-    * every boundary (a retry re-runs ONE step, not the chain). */
-  def run(input: DataFrame, steps: Seq[Step], workDir: String): (DataFrame, Seq[StepReport]) = {
+    * every boundary (a retry re-runs ONE step, not the chain).
+    *
+    * One correlation `runId` (the reference decorator's
+    * correlation_id, utils/decorators.py:33-45) stamps the whole run:
+    * every StepReport carries it, it is set as the session's
+    * `spark.graft.runId` so every [[graft.ObservabilityListener]] line
+    * emitted by the steps' queries carries the same id, and the
+    * exhausted-retries error names it — a 100-step run debugs by one
+    * grep. Callers pass their own id to join several pipelines under
+    * one umbrella run; the default mints a fresh one. */
+  def run(input: DataFrame, steps: Seq[Step], workDir: String,
+          runId: String = graft.ObservabilityListener.newRunId())
+      : (DataFrame, Seq[StepReport]) = {
     val spark = input.sparkSession
+    spark.conf.set("spark.graft.runId", runId)
     val fs = new Path(workDir).getFileSystem(spark.sessionState.newHadoopConf())
     var cur = input
     val reports = Seq.newBuilder[StepReport]
@@ -41,7 +54,7 @@ object PipelineRunner {
       val out = new Path(workDir, st.name)
       if (fs.exists(new Path(out, "_SUCCESS"))) {
         cur = spark.read.parquet(out.toString)
-        reports += StepReport(st.name, attempts = 0, resumed = true)
+        reports += StepReport(st.name, attempts = 0, resumed = true, runId)
       } else {
         var attempt = 0
         var lastErr: Throwable = null
@@ -68,9 +81,10 @@ object PipelineRunner {
         }
         if (!done)
           throw new IllegalStateException(
-            s"step '${st.name}' failed after ${st.maxRetries + 1} attempts", lastErr)
+            s"step '${st.name}' failed after ${st.maxRetries + 1} attempts (run $runId)",
+            lastErr)
         cur = spark.read.parquet(out.toString)
-        reports += StepReport(st.name, attempts = attempt, resumed = false)
+        reports += StepReport(st.name, attempts = attempt, resumed = false, runId)
       }
     }
     (cur, reports.result())

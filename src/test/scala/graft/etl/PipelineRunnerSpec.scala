@@ -88,4 +88,35 @@ class PipelineRunnerSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("boom") && e.getCause.getMessage.contains("permanent"))
   }
+
+  test("one correlation id threads step reports, observability lines and errors") {
+    val wd = Files.createTempDirectory("graft_steps_runid").toString
+    val (_, lines) = graft.ObservabilityListener.buffering(spark)
+    val (_, reports) = PipelineRunner.run(docs, Seq(
+      PipelineRunner.Step("tokenize", tokenize),
+      PipelineRunner.Step("aggregate", aggregate)), wd, runId = "run-abc-123")
+    // every step report carries the run id
+    assert(reports.map(_.runId).distinct == Seq("run-abc-123"))
+    // every observability line emitted during the run carries it too
+    // (listener bus is async — give it a beat)
+    var waited = 0
+    while (lines.isEmpty && waited < 100) { Thread.sleep(50); waited += 1 }
+    import scala.jdk.CollectionConverters._
+    val runLines = lines.asScala.toVector
+    assert(runLines.nonEmpty)
+    assert(runLines.forall(_.contains(""""run_id":"run-abc-123"""")),
+      s"unstamped line: ${runLines.find(!_.contains("run-abc-123"))}")
+    // a fresh run mints a fresh id (distinct per invocation)
+    val wd2 = Files.createTempDirectory("graft_steps_runid2").toString
+    val (_, r2) = PipelineRunner.run(docs,
+      Seq(PipelineRunner.Step("tokenize", tokenize)), wd2)
+    assert(r2.head.runId.nonEmpty && r2.head.runId != "run-abc-123")
+    // the exhausted-retries error names the run
+    val e = intercept[IllegalStateException] {
+      PipelineRunner.run(docs,
+        Seq(PipelineRunner.Step("boom", _ => sys.error("nope"), maxRetries = 0)),
+        Files.createTempDirectory("graft_steps_runid3").toString, runId = "run-err-9")
+    }
+    assert(e.getMessage.contains("run-err-9"))
+  }
 }
