@@ -72,17 +72,52 @@ object SimilarityOps {
       when(dot(v, pl) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+  /** Multi-table configuration: T independent signature tables of
+    * ANN_BITS hyperplanes each (plane j of table t is global plane
+    * t·ANN_BITS+j — same md5 derivation, so the oracle rebuilds all
+    * T·ANN_BITS planes from one grid). A vector is a candidate if it
+    * shares ANY table's full signature with the query. Matched-pair
+    * budget is tuned to the old single-table form: one 8-bit table
+    * matches a random pair with p=2⁻⁸; four 10-bit tables match with
+    * p≈4·2⁻¹⁰ — the SAME expected candidate count, but the OR over
+    * independent tables catches near neighbors that any single
+    * signature's unlucky plane split drops, which is where a lone
+    * table's recall cliff comes from (multi-table LSH is the standard
+    * production remedy; recall measured against the exact baseline in
+    * SimilaritySpec). */
+  private val ANN_TABLES = 4
+  private val ANN_BITS = 10
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame =
+    simAnnLshTables(s, d, ANN_TABLES, ANN_BITS)
+
+  /** Parameterized form (spec compares recall of table counts at equal
+    * budget). Each pair is emitted by its FIRST matching table only —
+    * the per-branch guard "no earlier table matched" replaces a
+    * post-union distinct: both sides' signatures ride the join row, so
+    * the guard is a codegen'd string compare, not a shuffle (the
+    * dedup_simhash_pairs trick). */
+  private[operators] def simAnnLshTables(s: SparkSession, d: String,
+      tables: Int, bits: Int): DataFrame = {
     val emb = embeddings(s, d)
-      .withColumn("bucket", lshSig(col("embedding"), bits = 8, dim = 64))
+      .withColumn("sig", lshSig(col("embedding"), bits = tables * bits, dim = 64))
     val q = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket").as("qbucket"))
+        col("sig").as("qsig"))
     val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-      col("bucket"))
+      col("sig"))
+    def slice(c: Column, t: Int): Column = substring(c, t * bits + 1, bits)
+    val candPairs = (0 until tables).map { t =>
+      val noEarlier = (0 until t)
+        .map(p => slice(col("sig"), p) =!= slice(col("qsig"), p))
+        .foldLeft(lit(true))(_ && _)
+      cands.join(broadcast(q),
+          slice(col("sig"), t) === slice(col("qsig"), t) && col("vid") =!= col("qid"))
+        .filter(noEarlier)
+        .select(col("qid"), col("vid"), col("qe"), col("ve"))
+    }.reduce(_ union _)
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
-    cands.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
+    candPairs
       .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
@@ -240,12 +275,15 @@ object SimilarityOps {
          |  SELECT qid, vid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
          |  FROM sims) WHERE rk <= $K""".stripMargin,
+    // candidate set = union over the 4 tables of full-signature
+    // matches; the OR join yields each pair once, the same set the
+    // Spark side's first-matching-table union emits
     "sim_ann_lsh" ->
       s"""WITH planes AS (
          |  SELECT j, k,
          |    CASE WHEN (strpos('0123456789abcdef', substr(md5(j || ':' || k), 2, 1)) - 1) % 2 = 1
          |         THEN 1.0 ELSE -1.0 END AS hv
-         |  FROM range(0, 8) t1(j), range(0, 64) t2(k)),
+         |  FROM range(0, ${ANN_TABLES * ANN_BITS}) t1(j), range(0, 64) t2(k)),
          |flatv AS (SELECT vec_id, unnest(embedding) AS x,
          |  unnest(range(0, len(embedding))) AS k FROM embeddings),
          |dots AS (SELECT vec_id, j, sum(CAST(x AS DOUBLE) * hv) AS dp
@@ -257,7 +295,10 @@ object SimilarityOps {
          |  FROM embeddings e JOIN sigs g ON e.vec_id = g.vec_id WHERE e.vec_id < $NQ),
          |c AS (SELECT e.vec_id AS vid, e.embedding AS ve, g.bucket
          |  FROM embeddings e JOIN sigs g ON e.vec_id = g.vec_id),
-         |pairs AS (SELECT qid, vid, qe, ve FROM q JOIN c ON bucket = qbucket AND vid <> qid),
+         |pairs AS (SELECT qid, vid, qe, ve FROM q JOIN c ON vid <> qid AND (${
+           (0 until ANN_TABLES).map(t =>
+             s"substr(bucket, ${t * ANN_BITS + 1}, $ANN_BITS) = substr(qbucket, ${t * ANN_BITS + 1}, $ANN_BITS)")
+             .mkString(" OR ")})),
          |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
          |sims AS (SELECT qid, vid,
          |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
