@@ -6,16 +6,18 @@ import org.apache.spark.sql.SparkSession
   * JSON written to a file (stdout tail-capture truncated round 3's
   * artifact to 66/93 timings; the file is the complete record).
   *
-  * The JSON carries lane subtotals next to the headline total: the four
-  * `stream_*` queries run a real streaming engine + filesystem sink per
+  * The JSON carries lane subtotals next to the headline total: every
+  * `stream_*` query runs a real streaming engine + filesystem sink per
   * call (fixed startup the plain-SQL oracle never pays), so their lane
   * is budgeted separately from the batch lane when comparing against a
   * batch-SQL baseline. `value` remains the honest all-in total.
   */
 object Bench {
-  private val streamingLane = Set(
-    "stream_windowed_agg", "stream_sessions",
-    "stream_ingest_idempotent", "stream_ingest_merge")
+  // derived from the streaming registries so a new stream op can never
+  // land in the batch lane unnoticed (round 8 added stream_dedup and
+  // this set — then hand-listed — silently misattributed it)
+  private val streamingLane: Set[String] =
+    streaming.StreamOps.queries.keySet ++ streaming.StreamIngest.queries.keySet
 
   private def r4(v: Double): Double = math.rint(v * 10000) / 10000
 

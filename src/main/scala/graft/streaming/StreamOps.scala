@@ -214,10 +214,22 @@ object StreamOps {
     * an upstream SLA violation (size the delay to the queue's
     * redelivery bound). Under Trigger.AvailableNow here, both copies
     * land inside the watermark and the output is exactly the distinct
-    * events — which is what the oracle checks. */
+    * events — which is what the oracle checks.
+    *
+    * `maxFilesPerTrigger` is pinned high enough that AvailableNow
+    * processes each source's files in ONE micro-batch: if the file
+    * source split a copy across batches, a copy processed after the
+    * watermark advanced past its event_time + 1h would be admitted as
+    * a fresh row — the oracle's exact-distinct contract only holds
+    * batch-atomically. (A live deployment doesn't get that guarantee
+    * from config; it sizes the delay to the real redelivery window.)
+    * The oracle additionally assumes event_id is unique in the base
+    * events table — asserted in StreamingSpec. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val schema = Tables.events(s, d).schema
-    def src = s.readStream.schema(schema).parquet(streamDir(d, "events"))
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 100000)
+      .parquet(streamDir(d, "events"))
     val deduped = src.unionAll(src)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")

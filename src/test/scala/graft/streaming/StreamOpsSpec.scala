@@ -36,6 +36,10 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out.length == batch.length,
       s"expected ${batch.length} deduped events, got ${out.length}")
     assert(out.toSet == batch.toSet)
+    // the exact-distinct contract rides on event_id being unique in the
+    // base table (otherwise "distinct events" and "distinct ids" differ)
+    assert(batch.map(_._1).distinct.length == batch.length,
+      "events.event_id must be unique for the dedup oracle to be exact")
   }
 
   test("stateful sessionization closes sessions on gaps and keeps state across batches") {

@@ -27,6 +27,14 @@ SUBSET17 = [
 
 FLOOR_SEC = 0.5
 
+# Measured-for-continuity ops whose plan the engine no longer recommends
+# (a declared successor exists in the same family); they are reported in
+# a `legacy` lane and EXCLUDED from the headline totals so the artifact
+# tracks recommended plans. dedup_simhash_pairs (32-bit, n^2/1024 bucket
+# degeneration) is superseded by dedup_simhash64_pairs (Manku 4x16-bit
+# blocking, SURVEY §8e).
+LEGACY = {"dedup_simhash_pairs"}
+
 
 def main():
     out_path, sf_label, rnd, spark_path = sys.argv[1:5]
@@ -60,7 +68,9 @@ def main():
         d = sum(queries[n]["duckdb_sec"] for n in names)
         return round(s, 2), round(d, 2), round(s / d, 3)
 
-    s_all, d_all, r_all = totals(list(queries))
+    headline_names = [n for n in queries if n not in LEGACY]
+    legacy = {n: queries[n] for n in queries if n in LEGACY}
+    s_all, d_all, r_all = totals(headline_names)
     doc = {
         "sf": sf_label,
         "round": int(rnd),
@@ -77,12 +87,20 @@ def main():
             "spark_total_sec": s_all,
             "duckdb_total_sec": d_all,
             "ratio": r_all,
-            "n_compared": len(queries),
+            "n_compared": len(headline_names),
         },
         "layout_twins": twins,
-        "queries": dict(sorted(queries.items())),
+        "legacy": {
+            "note": ("measured for continuity, excluded from headline - "
+                     "superseded plans (see LEGACY in this tool)"),
+            "queries": dict(sorted(legacy.items())),
+        },
+        "queries": dict(sorted(
+            (n, q) for n, q in queries.items() if n not in LEGACY)),
     }
     if all(n in queries for n in SUBSET17):
+        # subset membership is frozen for cross-round continuity, so it
+        # still includes legacy-lane ops
         s17, d17, r17 = totals(SUBSET17)
         doc["round4_subset"] = {
             "note": "the 17-query subset tracked since round 4",
