@@ -72,6 +72,94 @@ object PretrainOps {
         col("top_frac") <= 0.12 && col("dup_frac") <= 0.55)
   }
 
+  /** Gopher's n-gram repetition rules (Rae et al. 2021, §A1.1) — the
+    * within-document half the token-level gate above can't see: a doc
+    * that loops one phrase has a modest duplicate-TOKEN fraction but a
+    * high duplicate-N-GRAM fraction. Per n ∈ {2,3}: the share of
+    * n-gram instances whose n-gram occurs ≥2× in the doc, and the top
+    * n-gram's instance share. (The paper scores character coverage
+    * over n = 2..10; the instance-share form here keeps the whole
+    * metric in exact integer arithmetic — same signal, no
+    * summation-order hazard, and two representative n are enough for
+    * a gate.) Map-only like the token rules: n-grams are built inside
+    * the row (slice over a sequence) and counted against the row's own
+    * distinct set — O(distinct·g) per doc, bounded by web-document
+    * lengths; only seven numbers per doc leave the scan, so this runs
+    * at scan speed over 100 TB. Arrays materialize once per select
+    * stage (the §8b CollapseProject rule). */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    def grams(tk: Column, n: Int): Column =
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n))))
+    // per-distinct-gram occurrence counts, computed within the row
+    def cnts(ng: Column): Column =
+      transform(array_distinct(ng), t => size(filter(ng, x => x === t)))
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val base = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        grams(col("tk"), 2).as("n2"), grams(col("tk"), 3).as("n3"))
+    val c = base.select(col("doc_id"),
+      size(col("n2")).cast("long").as("g2"), cnts(col("n2")).as("c2"),
+      size(col("n3")).cast("long").as("g3"), cnts(col("n3")).as("c3"))
+    // dup instances = g − singleton grams (Σ_{c≥2} c = g − Σ_{c=1} 1)
+    val m = c.select(col("doc_id"), col("g2"), col("g3"),
+      array_max(col("c2")).cast("long").as("top2"),
+      (col("g2") - size(filter(col("c2"), x => x === 1))).as("dup2"),
+      array_max(col("c3")).cast("long").as("top3"),
+      (col("g3") - size(filter(col("c3"), x => x === 1))).as("dup3"))
+    m.select(col("doc_id"), col("g2").as("n_2grams"),
+      r4(col("dup2").cast("double") / col("g2")).as("dup2_frac"),
+      r4(col("top2").cast("double") / col("g2")).as("top2_frac"),
+      r4(col("dup3").cast("double") / col("g3")).as("dup3_frac"),
+      r4(col("top3").cast("double") / col("g3")).as("top3_frac"))
+      // thresholds fitted to the synthetic corpus so both classes are
+      // populated (production: calibrate on held-out data, as above)
+      .withColumn("keep_doc",
+        col("dup2_frac") <= 0.12 && col("top2_frac") <= 0.0625 &&
+        col("dup3_frac") <= 0.06)
+  }
+
+  /** Fixed-window duplicated-span coverage — the scalable approximation
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every rolling
+    * 8-token window is hashed; a window whose hash appears in ≥2
+    * distinct documents is a duplicated-span instance, and the per-doc
+    * duplicated fraction is the removal budget a span-cutting pass
+    * would act on. Complements dedup_cdc_chunks: CDC cuts
+    * edit-resilient variable chunks and reports the top offenders;
+    * fixed windows measure per-document COVERAGE, which is what the
+    * keep/trim/drop decision needs.
+    *
+    * Scale shape: windows are hashed INSIDE the row (map-only) and only
+    * (hash, doc_id) pairs leave the scan — the W× text amplification
+    * never hits the wire as strings. Then (a) one (hash, doc)-keyed
+    * aggregate with map-side combine collapses within-doc repeats, (b)
+    * cross-doc frequency is a count-over-window on the hash partition
+    * of that output — the distinct-pair stream, the narrowest the
+    * answer can be computed from, with no join back, (c) the doc
+    * rollup recovers n_windows as Σcnt, so the corpus is scanned
+    * exactly once. Three balanced hash exchanges, no driver state. */
+  def dedupSpanWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 8
+    val win = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - (W - 1)),
+          i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("h"))
+    val pairs = win.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+    val withDf = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("h")))
+    withDf.groupBy("doc_id").agg(
+      sum("cnt").as("n_windows"),
+      sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        floor(col("n_dup").cast("double") / col("n_windows") * 1e4 + 0.5) / 1e4)
+  }
+
   /** Content-defined chunking (CDC) duplicated-substring report — the
     * sub-document exact-dedup technique: rolling-hash boundaries cut
     * each doc into variable-length chunks whose edges survive local
@@ -264,6 +352,8 @@ object PretrainOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
+    "text_repetition" -> (textRepetition _),
+    "dedup_span_windows" -> (dedupSpanWindows _),
     "text_decontaminate" -> (textDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
@@ -274,6 +364,42 @@ object PretrainOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |n2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM t WHERE len(tk) >= 3),
+        |c2 AS (SELECT doc_id, ng, count(*) AS c FROM n2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS g2,
+        |    CAST(max(c) AS BIGINT) AS top2,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+        |  FROM c2 GROUP BY 1),
+        |n3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS ng FROM t WHERE len(tk) >= 3),
+        |c3 AS (SELECT doc_id, ng, count(*) AS c FROM n3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS g3,
+        |    CAST(max(c) AS BIGINT) AS top3,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+        |  FROM c3 GROUP BY 1),
+        |m AS (SELECT doc_id, g2 AS n_2grams,
+        |    floor(CAST(dup2 AS DOUBLE) / g2 * 1e4 + 0.5) / 1e4 AS dup2_frac,
+        |    floor(CAST(top2 AS DOUBLE) / g2 * 1e4 + 0.5) / 1e4 AS top2_frac,
+        |    floor(CAST(dup3 AS DOUBLE) / g3 * 1e4 + 0.5) / 1e4 AS dup3_frac,
+        |    floor(CAST(top3 AS DOUBLE) / g3 * 1e4 + 0.5) / 1e4 AS top3_frac
+        |  FROM a2 JOIN a3 USING (doc_id))
+        |SELECT doc_id, n_2grams, dup2_frac, top2_frac, dup3_frac, top3_frac,
+        |  (dup2_frac <= 0.12 AND top2_frac <= 0.0625 AND dup3_frac <= 0.06) AS keep_doc
+        |FROM m""".stripMargin,
+    "dedup_span_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
+        |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h FROM t WHERE len(tk) >= 8),
+        |pd AS (SELECT doc_id, h, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |x AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY h) AS df FROM pd)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+        |  floor(CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) * 1e4 + 0.5) / 1e4 AS dup_frac
+        |FROM x GROUP BY 1""".stripMargin,
     "pretrain_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

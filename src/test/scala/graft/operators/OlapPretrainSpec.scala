@@ -267,6 +267,58 @@ class PretrainOpsSpec extends SparkTestBase {
     val perLabel = rows.groupBy(_.getAs[Int]("label")).view.mapValues(_.length)
     assert(perLabel.values.forall(_ == dim))
   }
+
+  test("repetition rules: map-only plan, both keep classes, JVM recompute on one doc") {
+    val df = PretrainOps.textRepetition(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "per-doc n-gram rules must not shuffle")
+    val byKeep = df.groupBy("keep_doc").count().collect()
+      .map(r => r.getAs[Boolean]("keep_doc") -> r.getAs[Long]("count")).toMap
+    assert(byKeep.getOrElse(true, 0L) > 0 && byKeep.getOrElse(false, 0L) > 0,
+      "thresholds must split the corpus, not rubber-stamp it")
+    val r = df.filter(col("doc_id") === 0).head()
+    val tk = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text").split(" ")
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def stats(n: Int): (Long, Double, Double, Double) = {
+      val grams = tk.sliding(n).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(identity).values.map(_.size)
+      val g = grams.size.toDouble
+      (grams.size.toLong, r4(cnt.filter(_ >= 2).sum / g), r4(cnt.max / g), g)
+    }
+    val (g2, dup2, top2, _) = stats(2)
+    val (_, dup3, top3, _) = stats(3)
+    assert(r.getAs[Long]("n_2grams") == g2)
+    assert(r.getAs[Double]("dup2_frac") == dup2)
+    assert(r.getAs[Double]("top2_frac") == top2)
+    assert(r.getAs[Double]("dup3_frac") == dup3)
+    assert(r.getAs[Double]("top3_frac") == top3)
+  }
+
+  test("span windows: per-doc coverage matches a brute-force recompute; no join back") {
+    val df = PretrainOps.dedupSpanWindows(spark, sf)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup")))).toMap
+    // brute force: every 8-token window of every doc, cross-doc dup test
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.size >= 8).toMap
+    val wins = docs.view.mapValues(_.sliding(8).map(_.mkString(" ")).toSeq).toMap
+    val docsPerWin = wins.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(got.keySet == wins.keySet)
+    wins.foreach { case (id, ws) =>
+      val nDup = ws.count(w => docsPerWin(w) >= 2)
+      assert(got(id) == ((ws.size.toLong, nDup.toLong)),
+        s"doc $id: expected (${ws.size}, $nDup), got ${got(id)}")
+    }
+    // the corpus must be scanned once: n_windows is recovered from the
+    // pair aggregate, not a second scan joined back
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"span coverage must not join back to the corpus:\n$plan")
+  }
 }
 
 class SeqPackSpec extends graft.SparkTestBase {
