@@ -321,6 +321,56 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
+  /** Incremental (cross-generation) near-dup dedup — the shape a
+    * continuously-crawled corpus actually runs: only the NEW
+    * generation (here sources src16+; production: the latest crawl) is
+    * screened, each new doc against the OLD generation's simhash
+    * index, never old×old. Per new doc: the count of old docs within
+    * Hamming ≤ 3 of its 64-bit simhash and the keep verdict.
+    *
+    * Scale shape: the banded join's left side is 4·|new| rows and the
+    * right side 4·|old| BAND-KEY rows — in production the old side is
+    * a signature table materialized once per generation (16 bytes/doc
+    * + band keys), so a daily delta pass costs O(new + matches), not a
+    * corpus rescan. First-matching-band emission (the simhash64 trick;
+    * generations are disjoint so no doc_a<doc_b tiebreak) means each
+    * (new, old) pair lands exactly once — the per-doc count needs no
+    * DISTINCT — and zero-match docs are restored by a doc-grain left
+    * join against the |new|-row signature slice. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash64(s, d)
+      .join(documents(s, d).select(col("doc_id"),
+        (substring(col("source"), 4, 8).cast("int") >= 16).as("is_new")), "doc_id")
+      .truncEager
+    val bandVal = (b: Int) =>
+      if (b < 2) shiftright(col("sh_lo"), 16 * b).bitwiseAND(65535)
+      else shiftright(col("sh_hi"), 16 * (b - 2)).bitwiseAND(65535)
+    val banded = sig.select(col("doc_id"), col("is_new"), col("sh_lo"), col("sh_hi"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*)).as("bk"))
+      .select(col("doc_id"), col("is_new"), col("sh_lo"), col("sh_hi"),
+        col("bk.band_id"), col("bk.band_val"))
+    val nw = banded.filter(col("is_new")).select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_new"), col("sh_lo").as("lo_n"), col("sh_hi").as("hi_n"))
+    val old = banded.filter(!col("is_new")).select(
+      col("band_id").as("band_id_o"), col("band_val").as("band_val_o"),
+      col("doc_id").as("doc_old"), col("sh_lo").as("lo_o"), col("sh_hi").as("hi_o"))
+    val firstMatch = expr(
+      """band_id = (CASE WHEN ((lo_n ^ lo_o) & 65535) = 0 THEN 0
+        |  WHEN (shiftright(lo_n ^ lo_o, 16) & 65535) = 0 THEN 1
+        |  WHEN ((hi_n ^ hi_o) & 65535) = 0 THEN 2
+        |  ELSE 3 END)""".stripMargin)
+    val matches = nw.join(old,
+        col("band_id") === col("band_id_o") && col("band_val") === col("band_val_o") &&
+        firstMatch &&
+        expr("bit_count(lo_n ^ lo_o) + bit_count(hi_n ^ hi_o)") <= 3)
+      .groupBy("doc_new").agg(count(lit(1)).as("n_near"))
+    sig.filter(col("is_new")).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("doc_new"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .withColumn("keep_doc", col("n_near") === 0)
+  }
+
   /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
     * inverted index — pairs sharing no shingle never materialize (they
     * cannot pass the threshold) — then a length-band block (n_sh div
@@ -427,8 +477,33 @@ object DedupOps {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash64_pairs" -> (dedupSimhash64Pairs _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
   )
+
+  /** Shared oracle CTE: per-doc 64-bit simhash as two 32-bit halves —
+    * low bit of md5 nibble j -> sh_lo bit j, second bit -> sh_hi bit j
+    * (matches graft_parity_sums nBits=64 slot layout). Used by the
+    * simhash64 pair and incremental oracles. */
+  private val simhash64ValsCte: String = {
+    val sumsLo = (1 to 32).map(j =>
+      s"sum(2 * ((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) % 2) - 1) AS a$j")
+      .mkString(",\n  ")
+    val sumsHi = (1 to 32).map(j =>
+      s"sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) // 2) % 2) - 1) AS b$j")
+      .mkString(",\n  ")
+    val valLo = (1 to 32).map(j =>
+      s"CASE WHEN a$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
+    val valHi = (1 to 32).map(j =>
+      s"CASE WHEN b$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sums AS (SELECT doc_id,
+       |  $sumsLo,
+       |  $sumsHi
+       |  FROM tok GROUP BY doc_id),
+       |vals AS (SELECT doc_id, CAST($valLo AS BIGINT) AS sh_lo,
+       |  CAST($valHi AS BIGINT) AS sh_hi FROM sums)""".stripMargin
+  }
 
   private val shingleSetsCte =
     """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
@@ -554,25 +629,7 @@ object DedupOps {
          |WHERE bit_count(xor(a.sh, b2.sh)) <= 3""".stripMargin
     },
     "dedup_simhash64_pairs" -> {
-      // low bit of md5 nibble j -> sh_lo bit j; second bit -> sh_hi
-      // bit j (matches graft_parity_sums nBits=64 slot layout)
-      val sumsLo = (1 to 32).map(j =>
-        s"sum(2 * ((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) % 2) - 1) AS a$j")
-        .mkString(",\n  ")
-      val sumsHi = (1 to 32).map(j =>
-        s"sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) // 2) % 2) - 1) AS b$j")
-        .mkString(",\n  ")
-      val valLo = (1 to 32).map(j =>
-        s"CASE WHEN a$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
-      val valHi = (1 to 32).map(j =>
-        s"CASE WHEN b$j >= 0 THEN ${1L << (32 - j)} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |sums AS (SELECT doc_id,
-         |  $sumsLo,
-         |  $sumsHi
-         |  FROM tok GROUP BY doc_id),
-         |vals AS (SELECT doc_id, CAST($valLo AS BIGINT) AS sh_lo,
-         |  CAST($valHi AS BIGINT) AS sh_hi FROM sums),
+      s"""$simhash64ValsCte,
          |banded AS (
          |  SELECT doc_id, sh_lo, sh_hi, b.band_id,
          |    CASE WHEN b.band_id < 2 THEN (sh_lo >> (16 * b.band_id)) & 65535
@@ -584,6 +641,27 @@ object DedupOps {
          |  ON a.band_id = b2.band_id AND a.band_val = b2.band_val
          | AND a.doc_id < b2.doc_id
          |WHERE bit_count(xor(a.sh_lo, b2.sh_lo)) + bit_count(xor(a.sh_hi, b2.sh_hi)) <= 3""".stripMargin
+    },
+    "dedup_incremental" -> {
+      s"""$simhash64ValsCte,
+         |gen AS (SELECT v.doc_id, v.sh_lo, v.sh_hi,
+         |    CAST(substr(d.source, 4) AS INT) >= 16 AS is_new
+         |  FROM vals v JOIN documents d ON v.doc_id = d.doc_id),
+         |banded AS (
+         |  SELECT doc_id, is_new, sh_lo, sh_hi, b.band_id,
+         |    CASE WHEN b.band_id < 2 THEN (sh_lo >> (16 * b.band_id)) & 65535
+         |         ELSE (sh_hi >> (16 * (b.band_id - 2))) & 65535 END AS band_val
+         |  FROM gen, (SELECT unnest([0,1,2,3]) AS band_id) b),
+         |pairs AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM banded n JOIN banded o
+         |    ON n.band_id = o.band_id AND n.band_val = o.band_val
+         |   AND n.is_new AND NOT o.is_new
+         |  WHERE bit_count(xor(n.sh_lo, o.sh_lo)) + bit_count(xor(n.sh_hi, o.sh_hi)) <= 3),
+         |m AS (SELECT doc_new, CAST(count(*) AS BIGINT) AS n_near FROM pairs GROUP BY 1)
+         |SELECT g.doc_id, COALESCE(m.n_near, 0) AS n_near,
+         |  COALESCE(m.n_near, 0) = 0 AS keep_doc
+         |FROM gen g LEFT JOIN m ON g.doc_id = m.doc_new
+         |WHERE g.is_new""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       s"""$shingleSetsCte,

@@ -77,6 +77,32 @@ class DedupOpsSpec extends SparkTestBase {
     assert(brute.nonEmpty)
   }
 
+  test("incremental dedup: per-new-doc old-match counts equal brute force, one row per new doc") {
+    val got = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_near"), r.getAs[Boolean]("keep_doc")))).toMap
+    val gen = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1).drop(3).toInt >= 16)).toMap
+    val sigs = DedupOps.simhash64(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sh_lo"), r.getAs[Long]("sh_hi")))
+    val newSigs = sigs.filter(s => gen(s._1))
+    val oldSigs = sigs.filter(s => !gen(s._1))
+    assert(got.keySet == newSigs.map(_._1).toSet,
+      "exactly one verdict row per new-generation doc")
+    newSigs.foreach { case (n, ln, hn) =>
+      val brute = oldSigs.count { case (_, lo, ho) =>
+        java.lang.Long.bitCount(ln ^ lo) + java.lang.Long.bitCount(hn ^ ho) <= 3
+      }
+      assert(got(n) == ((brute.toLong, brute == 0)),
+        s"doc $n: expected $brute old matches, got ${got(n)}")
+    }
+    // the fixture must exercise both verdicts
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "corpus must contain both kept and dropped new docs")
+  }
+
   test("cluster election: every near-dup pair shares one keeper, keeper is min") {
     val reps = DedupOps.dedupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
