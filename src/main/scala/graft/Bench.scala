@@ -62,6 +62,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts NTZ->TZ normalization (Tables.tsToNanos) is exact only
+      // under a pinned UTC session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       // fresh warehouse per run: bucketed saves from a previous JVM
       // would otherwise collide (in-memory catalog forgets the table,
       // its location on disk persists -> LOCATION_ALREADY_EXISTS)

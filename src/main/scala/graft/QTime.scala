@@ -38,6 +38,9 @@ object QTime {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts NTZ->TZ normalization (Tables.tsToNanos) is exact only
+      // under a pinned UTC session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       // fresh warehouse per run: bucketed saves from a previous JVM
       // would otherwise collide (Bench.scala has the same rationale)
       .config("spark.sql.warehouse.dir",

@@ -60,6 +60,9 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts NTZ->TZ normalization (Tables.tsToNanos) is exact only
+      // under a pinned UTC session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

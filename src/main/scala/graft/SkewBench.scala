@@ -82,6 +82,9 @@ object SkewBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts NTZ->TZ normalization (Tables.tsToNanos) is exact only
+      // under a pinned UTC session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     gen(spark, src, dst, n)

@@ -237,7 +237,8 @@ object CoreQueries {
   def qSessionizeEvents(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    // ts arrives as long nanos (nanosAsLong); integer div is exact —
+    // ts arrives as long nanos (normalized in Tables.events from
+    // whatever the parquet layout ships); integer div is exact —
     // no double rounding at 1e18 magnitudes.
     val ev = events(s, d)
       .select(col("user_id"), col("event_id"),

@@ -58,8 +58,9 @@ object StreamIngest {
   }
 
   private def eventStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(Tables.events(s, d).schema)
-      .parquet(StreamOps.streamDir(d, "events"))
+    Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRaw(s, d).schema)
+          .parquet(StreamOps.streamDir(d, "events")))
       .selectExpr("event_id", "user_id", "event_type",
         "ts div 1000000000 AS ts_s", "value")
 

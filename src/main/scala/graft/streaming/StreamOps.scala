@@ -85,9 +85,10 @@ object StreamOps {
     * Semantics are identical to the batch hourly rollup — that is the
     * oracle. */
   def streamWindowedAgg(s: SparkSession, d: String): DataFrame = {
-    val schema = Tables.events(s, d).schema
-    val stream = s.readStream.schema(schema).parquet(streamDir(d, "events"))
-      // ts is long nanos (nanosAsLong): exact µs conversion for event time
+    val schema = Tables.eventsRaw(s, d).schema
+    val stream = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(streamDir(d, "events")))
+      // ts normalized to long nanos: exact µs conversion for event time
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -180,9 +181,9 @@ object StreamOps {
     * is oracle-checked, not just spec-tested. */
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ds = s.readStream
-      .schema(Tables.events(s, d).schema)
-      .parquet(streamDir(d, "events"))
+    val ds = Tables.normalizeEventTs(s.readStream
+        .schema(Tables.eventsRaw(s, d).schema)
+        .parquet(streamDir(d, "events")))
       .selectExpr("user_id", "ts div 1000000000 AS ts_s", "value",
         "timestamp_seconds(ts div 1000000000) AS event_time")
       .withWatermark("event_time", "30 minutes")
@@ -226,10 +227,10 @@ object StreamOps {
     * The oracle additionally assumes event_id is unique in the base
     * events table — asserted in StreamingSpec. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val schema = Tables.events(s, d).schema
-    def src = s.readStream.schema(schema)
+    val schema = Tables.eventsRaw(s, d).schema
+    def src = Tables.normalizeEventTs(s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 100000)
-      .parquet(streamDir(d, "events"))
+      .parquet(streamDir(d, "events")))
     val deduped = src.unionAll(src)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")

@@ -33,7 +33,7 @@ class CoreQueriesSpec extends SparkTestBase {
   test("event sessionization: intra-session gaps <= 30 min, sessions ordered") {
     val sess = CoreQueries.qSessionizeEvents(spark, sf).collect()
     // recompute expected session count for one user from raw events
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000000000").as("s"), col("event_id"))
       .filter(col("user_id") === 0)
       .collect().map(r => (r.getLong(1), r.getLong(2))).sorted

@@ -37,12 +37,12 @@ class ExtendedQueriesSpec extends SparkTestBase {
 
   test("unpivot emits exactly 5 metric rows per user and inverts the pivot") {
     val un = ExtendedQueries.qUnpivot(spark, sf)
-    val users = spark.read.parquet(s"$sf/events.parquet")
+    val users = graft.Tables.events(spark, sf)
       .select("user_id").distinct().count()
     assert(un.count() == users * 5)
     // total of melted counts == total events
     val total = un.agg(sum("n")).head().getLong(0)
-    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+    assert(total == graft.Tables.events(spark, sf).count())
   }
 
   test("date funcs: month_end is >= date and in the same month") {
@@ -54,7 +54,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
 
   test("arg extremes: top event really has the partition's max value") {
     val ext = ExtendedQueries.qArgExtremes(spark, sf)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select(col("event_id").as("top_event_id"), col("value").as("v"),
         col("event_type").as("et"))
     val joined = ext.join(ev,
@@ -94,7 +94,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
   test("sketches: approx distinct within 5% of exact, approx median within exact p40..p60") {
     val approx = ExtendedQueries.qSketchDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = spark.read.parquet(s"$sf/events.parquet")
+    val exact = graft.Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
@@ -103,7 +103,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
     val q = ExtendedQueries.qSketchQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val bounds = spark.read.parquet(s"$sf/events.parquet")
+    val bounds = graft.Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(percentile(col("value"), lit(0.4)).as("lo"),
         percentile(col("value"), lit(0.6)).as("hi"))
@@ -116,7 +116,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
   test("first/last/nth values agree with a direct per-user recompute") {
     val rows = ExtendedQueries.qFirstLast(spark, sf)
       .filter(col("user_id") === 3).collect()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .filter(col("user_id") === 3)
       .select(expr("ts div 1000000000").as("ts_s"), col("event_id"), col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -131,7 +131,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
     val binned = ExtendedQueries.qRangeJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("s_event"), r.getAs[Long]("p_event"))).toSeq
     // naive recompute from raw events
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
         col("event_type")).collect()
     val byUser = ev.groupBy(_.getAs[Long]("user_id"))
@@ -178,7 +178,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
   test("mode: one row per user, the mode count dominates every other type's count") {
     val modes = ExtendedQueries.qMode(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("mode_n")).toMap
-    val counts = spark.read.parquet(s"$sf/events.parquet")
+    val counts = graft.Tables.events(spark, sf)
       .groupBy("user_id", "event_type").count().collect()
       .groupBy(_.getAs[Long]("user_id"))
     assert(modes.size == counts.size)
@@ -191,7 +191,7 @@ class ExtendedQueriesSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val salted = ExtendedQueries.qSaltedAgg(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val direct = spark.read.parquet(s"$sf/events.parquet")
+    val direct = graft.Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("t"),
         count(lit(1)).as("n"))

@@ -72,7 +72,7 @@ class OlapQueriesSpec extends SparkTestBase {
   test("event transitions: counts conserve the event stream minus one per user") {
     val df = OlapQueries.qEventTransitions(spark, sf)
     val total = df.agg(sum("n_transitions")).head().getLong(0)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
     val nEvents = ev.count()
     val nUsers = ev.select("user_id").distinct().count()
     assert(total == nEvents - nUsers,

@@ -107,7 +107,7 @@ class ScalePatternsSpec extends SparkTestBase {
   test("two-phase salted aggregation equals direct aggregation under key skew") {
     // every row shares ONE key — worst-case skew; the salted plan fans
     // the hot key across 16 partial groups before the final combine.
-    val skewed = spark.read.parquet(s"$sf/events.parquet")
+    val skewed = graft.Tables.events(spark, sf)
       .select(lit("hot").as("k"), col("value").cast("decimal(18,2)").as("v"))
     val direct = skewed.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("n"))
     val salted = skewed

@@ -12,7 +12,7 @@ class StreamOpsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("event_type")) ->
         (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
       .toMap
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.Tables.events(spark, sf)
       .groupBy((expr("ts div 1000 div 3600000000") * 3600).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
@@ -27,7 +27,7 @@ class StreamOpsSpec extends SparkTestBase {
     val out = StreamOps.streamDedup(spark, sf).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
         r.getAs[Long]("ts_s"), r.getAs[String]("event_type")))
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.Tables.events(spark, sf)
       .selectExpr("event_id", "user_id", "ts div 1000000000 AS ts_s", "event_type")
       .collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
