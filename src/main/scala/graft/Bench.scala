@@ -83,6 +83,19 @@ object Bench {
       System.err.println(line)
       obsWriter.synchronized { obsWriter.println(line) }
     })
+    // one correlation id threads EVERY obs line of this bench run —
+    // warm-up, timed passes, layout builds (withRun's conf stays set
+    // for the session; see its non-unset rationale)
+    val runId = ObservabilityListener.newRunId()
+    ObservabilityListener.withRun(spark, runId)(())
+    // Testdata-contract preflight: fail loudly with the drifted
+    // table.column named, before burning bench passes on a broken read
+    // (mirrors Verify; the reference validates its contract at startup)
+    Preflight.check(spark, sfDir) match {
+      case drift if drift.nonEmpty =>
+        System.err.println("bench: TESTDATA CONTRACT DRIFT:\n  " + drift.mkString("\n  "))
+      case _ => ()
+    }
     // Warm-up: run every query once at the smallest SF so the timed pass
     // below measures steady-state throughput (whole-stage codegen classes
     // compiled, JIT warm) instead of one-time JVM costs — which otherwise
@@ -115,10 +128,14 @@ object Bench {
     }
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) => timedQuery(name, fn, sfDir) }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // min-of-THREE: single-run sf0.1 numbers on this VM swing up to
+    // ~2.4× with machine load (r9→r10 drifted 40% on identical code);
+    // a third pass measurably tightens the min, and the artifact
+    // carries loadavg (below) so residual swings are attributable.
+    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val allPasses = (1 to passes).map(_ => timedPass())
     // Bucketed-layout variants of the big joins: one untimed save, then
-    // the same min-of-two protocol — the bench line carries the
+    // the same min-of-N protocol — the bench line carries the
     // shuffle-free join time next to its plain-scan twin. Excluded from
     // "total" (they have no oracle twin in the baseline's query set).
     // tag the untimed layout builds so their shuffle volume is not
@@ -130,11 +147,12 @@ object Bench {
     def bucketedPass(): Map[String, Double] =
       (operators.BucketedQueries.all ++ operators.PartitionedLayout.all)
         .map { case (name, fn) => timedQuery(name, fn, sfDir) }
-    val b1 = bucketedPass()
-    val b2 = bucketedPass()
-    // a sentinel in either pass poisons the pair: min(-1, t) = -1
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val bucketed = b1.map { case (k, v) => k -> math.min(v, b2(k)) }
+    val allBucketed = (1 to passes).map(_ => bucketedPass())
+    // a sentinel in ANY pass poisons the key: min(-1, t) = -1
+    def minOf(ps: Seq[Map[String, Double]]): Map[String, Double] =
+      ps.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val results = minOf(allPasses)
+    val bucketed = minOf(allBucketed)
     val qs = (results ++ bucketed).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
@@ -146,10 +164,19 @@ object Bench {
     val nFailed = (results ++ bucketed).count(_._2 < 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val streamTotal = ok.collect { case (k, v) if streamingLane(k) => v }.sum
+    // machine-load marker: 1-min loadavg at measurement end, so an
+    // inflated total is attributable to a busy VM instead of reading as
+    // a code regression (the r9/r10 artifacts drifted 40% on identical
+    // code with no way to tell)
+    val load1 = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+    } catch { case _: Exception => -1.0 }
+    val proto = s""""protocol":{"passes":$passes,"load1":$load1,"run_id":"$runId"}"""
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
-      s""""n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"n_failed":$nFailed,$proto,"queries":$qs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -165,11 +192,16 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
-      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""n_queries":${results.size},"n_failed":$nFailed,$proto,""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}"""
     println(summary)
     // stop() drains the async listener bus before the writer closes
     spark.stop()
     obsWriter.close()
+    // a bench with failed queries is a FAILED bench: exit nonzero so
+    // the harness records a red run instead of a plausible-looking
+    // total over a partial surface (round 10 shipped rc 0 with
+    // n_failed: 17)
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure posture (round-10 lesson — a silent schema drift took out 17
+  * queries and the artifact still read all-green):
+  *  - a preflight asserts the testdata contract up front and names the
+  *    drifted table.column in ONE clear message;
+  *  - a failed query writes an `_ERROR.txt` manifest into its dump dir
+  *    instead of nothing, so the compare sees a present-but-empty dump
+  *    and reports a failure rather than silently skipping the key.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -14,11 +23,22 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+      // legacy layouts ship events.ts as parquet TIMESTAMP(NANOS):
+      // read those as long nanos (current timestamp[us] data is
+      // normalized by Tables.events instead)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Testdata-contract preflight: on drift, emit ONE named error (to
+    // stderr and the out dir) — then still attempt every query, so one
+    // drifted table costs its consumers, not the whole artifact.
+    val drift = Preflight.check(spark, sfDir)
+    if (drift.nonEmpty) {
+      val msg = "TESTDATA CONTRACT DRIFT at " + sfDir + ":\n  " + drift.mkString("\n  ")
+      System.err.println(s"[verify] $msg")
+      Files.writeString(Paths.get(s"$outDir/_PREFLIGHT_DRIFT.txt"), msg): Unit
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_ == name) }
       .foreach { case (name, fn) =>
@@ -26,6 +46,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // error manifest: dump dir exists but holds no parquet -> the
+        // compare reports the key as FAILED instead of dropping it
+        try {
+          new java.io.File(s"$outDir/$name").mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"),
+            s"$name failed: ${e}\n" +
+              (if (drift.nonEmpty) "note: testdata contract drift detected — see _PREFLIGHT_DRIFT.txt\n" else "")): Unit
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

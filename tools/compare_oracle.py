@@ -66,7 +66,15 @@ def main(sf_dir, out_dir):
         qname = name.rstrip("/").split("/")[-1]
         spark_files = glob.glob(f"{name}/*.parquet")
         if not spark_files:
-            results[qname] = "NO_SPARK_OUTPUT"
+            # Verify writes an _ERROR.txt manifest for a failed query —
+            # surface its first line instead of a bare sentinel
+            err = ""
+            try:
+                with open(f"{name}/_ERROR.txt") as fh:
+                    err = " " + fh.readline().strip()[:200]
+            except OSError:
+                pass
+            results[qname] = "NO_SPARK_OUTPUT" + err
             continue
         srel = con.sql(f"SELECT * FROM read_parquet('{name}/*.parquet')")
         scols, srows = srel.columns, srel.fetchall()
@@ -99,6 +107,13 @@ def main(sf_dir, out_dir):
             results[qname] = f"VALUE_MISMATCH ({sum(1 for a,b in zip(sr,orr) if a!=b)} rows) {detail}"
         else:
             results[qname] = f"OK ({len(sr)} rows)" + (" EMPTY!" if not sr else "")
+    # A declared oracle key with NO dump dir at all is a FAILURE, not a
+    # skip: round 10 read 102/102 green while 17 queries silently wrote
+    # nothing (the failed-query manifest in Verify makes this mostly a
+    # backstop now).
+    for qname in oracle:
+        if qname not in results:
+            results[qname] = "MISSING_DUMP (query wrote no output dir)"
     bad = 0
     for k in sorted(results):
         status = results[k]
