@@ -470,7 +470,29 @@ object DedupOps {
       .withColumn("is_keeper", (col("doc_id") === col("cluster_rep")).cast("int"))
   }
 
+  /** Canonical-document election inside near-dup clusters: the survivor
+    * of each cluster is the highest-quality member (here: longest text,
+    * doc_id tiebreak), not the arbitrary min-id representative — the
+    * policy step a production dedup actually ships (keep the best copy,
+    * drop the rest).
+    *
+    * Scale: the election is a row_number over cluster_rep — near-dup
+    * clusters are small by construction (LSH candidates at τ=0.6), so
+    * the per-group sort is a handful of rows and the groups themselves
+    * shuffle-balance across executors; the documents join is equi-keyed
+    * on doc_id. No global sort, no driver-side data. */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    dedupClusters(s, d).select("doc_id", "cluster_rep")
+      .join(documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select("doc_id", "cluster_rep", "n_chars", "is_canonical")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -558,6 +580,24 @@ object DedupOps {
          |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
          |FROM scored
          |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6""".stripMargin,
+    "dedup_canonical" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT doc_a, doc_b FROM scored
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
+         |edges AS (SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+         |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+         |),
+         |clusters AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+         |  FROM reach GROUP BY src)
+         |SELECT c.doc_id, c.cluster_rep, d.n_chars,
+         |  row_number() OVER (PARTITION BY c.cluster_rep
+         |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_canonical
+         |FROM clusters c JOIN documents d USING (doc_id)""".stripMargin,
     "dedup_clusters" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (SELECT doc_a, doc_b FROM scored

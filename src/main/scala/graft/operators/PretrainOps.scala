@@ -349,7 +349,32 @@ object PretrainOps {
         expr("(start_tok + n_tokens - 1) DIV 4096").as("seq_last"))
   }
 
+  /** Reproducible corpus shuffle-shard: every document gets a
+    * deterministic shard (md5 bucket) and a position within its shard
+    * (md5 rank, doc_id tiebreak) — the training-data-loader layout step
+    * that turns a corpus into N randomized, individually-ordered input
+    * shards, identically on every re-run (no RNG state, resumable).
+    *
+    * Scale: shard assignment is map-only and pushable; the within-shard
+    * ordering is a row_number per shard key, and shard count is a
+    * config sized well above executor count in production (thousands),
+    * so per-group sorts stay small and spread — never one global sort.
+    * 10 shards here keeps the test-SF oracle readable. */
+  def pretrainShuffleShard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nib = (i: Int) =>
+      s"(instr('0123456789abcdef', substring(md5(concat('shard:', doc_id)), $i, 1)) - 1)"
+    val w = Window.partitionBy("shard").orderBy(col("rank_key"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(s"(${nib(1)} * 16 + ${nib(2)}) % 10").cast("long").as("shard"),
+        substring(md5(concat(lit("shard:"), col("doc_id"))), 3, 8).as("rank_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
     "text_repetition" -> (textRepetition _),
@@ -364,6 +389,15 @@ object PretrainOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pretrain_shuffle_shard" ->
+      """WITH s AS (SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5('shard:' || doc_id), 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(md5('shard:' || doc_id), 2, 1)) - 1)) % 10 AS shard,
+        |    substr(md5('shard:' || doc_id), 3, 8) AS rank_key
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rank_key, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |n2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),

@@ -134,4 +134,22 @@ class DedupOpsSpec extends SparkTestBase {
         "reliable checkpoints must be written under spark.graft.checkpointDir")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  test("canonical election: one canonical per cluster, and it is the longest member") {
+    val rows = DedupOps.dedupCanonical(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("n_chars"), r.getAs[Boolean]("is_canonical")))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length == 1, s"cluster $rep must elect exactly one canonical")
+      val best = members.map(_._3).max
+      assert(canon.head._3 == best,
+        s"cluster $rep canonical must have max n_chars ($best)")
+      // deterministic tiebreak: among max-length members, lowest doc_id
+      val tied = members.filter(_._3 == best).map(_._1).min
+      assert(canon.head._1 == tied)
+    }
+  }
 }

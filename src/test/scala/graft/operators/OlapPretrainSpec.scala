@@ -321,6 +321,27 @@ class PretrainOpsSpec extends SparkTestBase {
   }
 }
 
+class ShuffleShardSpec extends graft.SparkTestBase {
+  test("shuffle-shard: total preserved, positions dense per shard, deterministic") {
+    val rows = PretrainOps.pretrainShuffleShard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document lands in exactly one shard")
+    assert(rows.map(_._2).distinct.sorted.forall(s => s >= 0 && s < 10))
+    // positions within a shard are exactly 1..n (dense, no gaps/dupes)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // reproducible: a second run assigns identical (shard, pos) per doc
+    val again = PretrainOps.pretrainShuffleShard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // shard sizes roughly balanced (md5 uniformity): max under 3x min
+    val sizes = rows.groupBy(_._2).map(_._2.length)
+    assert(sizes.max < 3 * math.max(sizes.min, 1))
+  }
+}
+
 class SeqPackSpec extends graft.SparkTestBase {
   test("seq pack: offsets form an exact concatenation, windows consistent, no global sort") {
     val rows = PretrainOps.pretrainSeqPack(spark, sf).collect()
