@@ -373,7 +373,36 @@ object PretrainOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Composite quality gate: the three independent per-doc signals —
+    * Gopher token rules, n-gram repetition rules, and the
+    * length/stopword quality score — combined into one score in [0,1]
+    * (each gate one vote, exact thirds in 1e4 fixed point) and a
+    * unanimous keep verdict. This is the filter-ensemble shape a
+    * production pretrain pipeline actually gates on: signals stay
+    * individually named (debuggable, re-weightable) and the oracle
+    * reuses each signal's own SQL verbatim as a CTE, so the composite
+    * can never drift from its parts.
+    *
+    * Scale: each input is a map-only scan; the composite is two
+    * doc_id equi-joins of same-keyed, same-sized projections (AQE
+    * converts them to broadcast/co-partitioned as sizes allow). A
+    * fused single-pass variant would save two scans at the cost of
+    * duplicating every signal expression — at 100 TB you'd fuse; the
+    * named-op join keeps the contract testable per signal. */
+  def pretrainQualityScore(s: SparkSession, d: String): DataFrame = {
+    val g = textGopherRules(s, d).select(col("doc_id"), col("keep_doc").as("gopher_keep"))
+    val r = textRepetition(s, d).select(col("doc_id"), col("keep_doc").as("rep_keep"))
+    val q = TextOps.textQuality(s, d).select(col("doc_id"),
+      (col("quality_score") >= 0.5).as("qual_keep"))
+    g.join(r, "doc_id").join(q, "doc_id")
+      .select(col("doc_id"), col("gopher_keep"), col("rep_keep"), col("qual_keep"),
+        (floor((col("gopher_keep").cast("int") + col("rep_keep").cast("int") +
+          col("qual_keep").cast("int")).cast("double") / 3.0 * 1e4 + 0.5) / 1e4).as("score"),
+        (col("gopher_keep") && col("rep_keep") && col("qual_keep")).as("keep_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pretrain_quality_score" -> (pretrainQualityScore _),
     "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -388,7 +417,7 @@ object PretrainOps {
     "pretrain_pipeline_stats" -> (pretrainPipelineStats _)
   )
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "pretrain_shuffle_shard" ->
       """WITH s AS (SELECT doc_id,
         |    ((strpos('0123456789abcdef', substr(md5('shard:' || doc_id), 1, 1)) - 1) * 16 +
@@ -549,4 +578,20 @@ object PretrainOps {
         |UNION ALL SELECT 2, 'dedup', count(*) FROM keepers
         |UNION ALL SELECT 3, 'sample', count(*) FROM sampled""".stripMargin
   )
+
+  // The composite gate's oracle embeds each signal's own SQL verbatim
+  // (nested WITH inside a CTE — DuckDB-supported), so the composite and
+  // its parts cannot diverge.
+  val oracle: Map[String, String] = baseOracle + ("pretrain_quality_score" ->
+    s"""WITH g AS (${baseOracle("text_gopher_rules")}),
+       |r AS (${baseOracle("text_repetition")}),
+       |q AS (${TextOps.oracle("text_quality")}),
+       |j AS (SELECT g.doc_id, g.keep_doc AS gopher_keep, r.keep_doc AS rep_keep,
+       |    (q.quality_score >= 0.5) AS qual_keep
+       |  FROM g JOIN r ON g.doc_id = r.doc_id JOIN q ON g.doc_id = q.doc_id)
+       |SELECT doc_id, gopher_keep, rep_keep, qual_keep,
+       |  floor((CAST(gopher_keep AS INT) + CAST(rep_keep AS INT) + CAST(qual_keep AS INT))
+       |    / 3.0 * 1e4 + 0.5) / 1e4 AS score,
+       |  (gopher_keep AND rep_keep AND qual_keep) AS keep_doc
+       |FROM j""".stripMargin)
 }

@@ -321,6 +321,25 @@ class PretrainOpsSpec extends SparkTestBase {
   }
 }
 
+class QualityScoreSpec extends graft.SparkTestBase {
+  test("composite quality score: exact thirds, unanimous keep, agrees with its parts") {
+    val rows = PretrainOps.pretrainQualityScore(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    val allowed = Set(0.0, 0.3333, 0.6667, 1.0)
+    rows.foreach { r =>
+      val votes = Seq("gopher_keep", "rep_keep", "qual_keep").map(r.getAs[Boolean])
+      assert(allowed.contains(r.getAs[Double]("score")))
+      assert(r.getAs[Double]("score") ==
+        math.floor(votes.count(identity) / 3.0 * 1e4 + 0.5) / 1e4)
+      assert(r.getAs[Boolean]("keep_doc") == votes.forall(identity))
+    }
+    // parts agreement on the gopher signal
+    val gopher = PretrainOps.textGopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    rows.foreach(r => assert(r.getAs[Boolean]("gopher_keep") == gopher(r.getAs[Long]("doc_id"))))
+  }
+}
+
 class ShuffleShardSpec extends graft.SparkTestBase {
   test("shuffle-shard: total preserved, positions dense per shard, deterministic") {
     val rows = PretrainOps.pretrainShuffleShard(spark, sf).collect()
