@@ -247,10 +247,29 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Streaming top-k: the hourly per-type counts come from the REAL
+    * streaming engine (the windowed-agg pipeline above — watermarked
+    * event-time windows driven with AvailableNow), and the top-3 rank
+    * per window is a serving-side batch view over the sink table. That
+    * split is the production shape: rank is not a streaming-stateful
+    * operation (a late event can demote an emitted row), so the engine
+    * maintains counts and the consumer ranks at read time. Deterministic
+    * tiebreak (count desc, event_type) keeps the oracle exact. */
+  def streamTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start_s")
+      .orderBy(col("n_events").desc, col("event_type"))
+    streamWindowedAgg(s, d)
+      .select("window_start_s", "event_type", "n_events")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_sessions" -> (streamSessions _),
-    "stream_dedup" -> (streamDedup _)
+    "stream_dedup" -> (streamDedup _),
+    "stream_topk" -> (streamTopk _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -288,6 +307,16 @@ object StreamOps {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start_s, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY window_start_s
+        |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT window_start_s, event_type, n_events, rk
+        |FROM r WHERE rk <= 3""".stripMargin
   )
 }

@@ -23,6 +23,26 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream top-k: at most 3 per window, ranks dense, counts match batch") {
+    import org.apache.spark.sql.functions._
+    val rows = StreamOps.streamTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("rk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ws) =>
+      val rks = ws.map(_._4).sorted.toSeq
+      assert(rks == (1L to ws.length) && ws.length <= 3)
+      // ranks follow counts (desc): rk 1 has the window's max count
+      assert(ws.maxBy(_._3)._3 == ws.find(_._4 == 1L).get._3)
+    }
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy((expr("ts div 1000 div 3600000000") * 3600).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { case (w, et, n, _) => assert(batch((w, et)) == n) }
+  }
+
   test("stream dedup: doubled delivery collapses to exactly the distinct events") {
     val out = StreamOps.streamDedup(spark, sf).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
