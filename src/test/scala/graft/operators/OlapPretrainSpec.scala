@@ -338,6 +338,12 @@ class QualityScoreSpec extends graft.SparkTestBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
     rows.foreach(r => assert(r.getAs[Boolean]("gopher_keep") == gopher(r.getAs[Long]("doc_id"))))
   }
+
+  test("composite plan: doc_id equi-joins only, never a cartesian") {
+    val plan = PretrainOps.pretrainQualityScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
 
 class ShuffleShardSpec extends graft.SparkTestBase {
@@ -358,6 +364,14 @@ class ShuffleShardSpec extends graft.SparkTestBase {
     // shard sizes roughly balanced (md5 uniformity): max under 3x min
     val sizes = rows.groupBy(_._2).map(_._2.length)
     assert(sizes.max < 3 * math.max(sizes.min, 1))
+  }
+
+  test("shuffle-shard plan: map-only assignment, exactly one shard shuffle") {
+    val plan = PretrainOps.pretrainShuffleShard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length == 1,
+      s"expected ONE shuffle (on shard) in:\n$plan")
   }
 }
 
