@@ -289,7 +289,39 @@ object OlapQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q13 shape: distribution of customers by order count,
+    * INCLUDING zero-order customers — the left outer join + count of
+    * the nullable side is the point (an inner join silently drops the
+    * zero bucket). Two aggregations: the first shuffles on custkey
+    * (customer-grain, balanced); the second is over the tiny count
+    * histogram. (The reference Q13's o_comment NOT LIKE filter is
+    * dropped — the lean schema carries no comment column.) */
+  def q13OrderDist(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_custkey")
+      .join(orders(s, d).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds a threshold, with customer attribution. The heavy step is
+    * the lineitem self-aggregation on orderkey; the qualifying-order
+    * set is tiny (~1% here), so the follow-up joins run on a pruned
+    * fact — the classic aggregate-then-join ordering that a
+    * join-then-aggregate plan would pay the full fact width for. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec184)).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_dist" -> (q13OrderDist _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_salted_join" -> (qSaltedJoin _),
     "q6_forecast" -> (q6Forecast _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -303,6 +335,20 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_order_dist" ->
+      """WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

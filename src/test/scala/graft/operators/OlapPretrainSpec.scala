@@ -69,6 +69,28 @@ class OlapQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q13: zero-order customers appear in the c_count=0 bucket, totals conserve") {
+    val rows = OlapQueries.q13OrderDist(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(rows.values.sum == graft.Tables.customer(spark, sf).count(),
+      "every customer lands in exactly one bucket")
+    val withOrders = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.getOrElse(0L, 0L) == graft.Tables.customer(spark, sf).count() - withOrders,
+      "the zero bucket is exactly the customers with no orders")
+  }
+
+  test("q18: every emitted order really exceeds the quantity threshold") {
+    val rows = OlapQueries.q18LargeOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 250.0))
+    // attribution joins preserve the qualifying-order count
+    val nBig = graft.Tables.lineitem(spark, sf).groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+      .filter(org.apache.spark.sql.functions.col("s") > 250.0).count()
+    assert(rows.length == nBig)
+  }
+
   test("event transitions: counts conserve the event stream minus one per user") {
     val df = OlapQueries.qEventTransitions(spark, sf)
     val total = df.agg(sum("n_transitions")).head().getLong(0)
