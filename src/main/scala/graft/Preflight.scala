@@ -126,4 +126,26 @@ object Preflight {
       throw new IllegalStateException(
         s"testdata contract violated at $dir:\n  " + drift.mkString("\n  "))
   }
+
+  /** Standalone gate: `runMain graft.Preflight <dataDir>` — prints OK or
+    * every drift finding, exit 0/1. The first thing to run when a round's
+    * queries start failing for no apparent reason. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val drift = check(spark, dir)
+    spark.stop()
+    if (drift.isEmpty) println(s"PREFLIGHT OK: $dir matches the 10-table contract")
+    else {
+      println(s"PREFLIGHT DRIFT at $dir:")
+      drift.foreach(f => println(s"  $f"))
+      sys.exit(1)
+    }
+  }
 }
