@@ -296,12 +296,19 @@ object OlapQueries {
     * (customer-grain, balanced); the second is over the tiny count
     * histogram. (The reference Q13's o_comment NOT LIKE filter is
     * dropped — the lean schema carries no comment column.) */
-  def q13OrderDist(s: SparkSession, d: String): DataFrame =
+  def q13OrderDist(s: SparkSession, d: String): DataFrame = {
+    // aggregate BELOW the join: orders collapse to (custkey, n) first
+    // (partial agg map-side, one orderkey-free shuffle of custkey
+    // counts), so the left join moves customer-grain rows on both
+    // sides instead of every order — at 100 TB orders is the fact and
+    // this is the difference between joining 10^11 rows and 10^8.
+    val perCust = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
     customer(s, d).select("c_custkey")
-      .join(orders(s, d).select("o_custkey", "o_orderkey"),
-        col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
 
   /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
     * exceeds a threshold, with customer attribution. The heavy step is
