@@ -40,6 +40,14 @@ import org.apache.spark.sql.functions._
   *    splits it and the join parallelizes: the no-code-change
   *    mitigation works, but only when thresholds are tuned against
   *    compressed sizes (or salting is used and no tuning is needed).
+  *    ROUND-11 MEASUREMENT: on the regenerated driver data even
+  *    512 KB no longer clears — the hot key's blocks compress below
+  *    it and the tuned lane ties the naive one (~1.85 s vs 1.9-2.0 s)
+  *    while salting still wins 2×+ (0.81-0.94 s). The threshold
+  *    mitigation is LAYOUT-SENSITIVE (re-tune after any upstream
+  *    encoding change); the salted plan is not — which is the reason
+  *    the engine ships the salted pattern as a first-class operator
+  *    rather than leaning on thresholds.
   *  - join_salted: the explicit pre-AQE fix — fact salted mod 32, dim
   *    exploded ×32, equi-join on (user_id, salt): every engine's
   *    portable form of the same rebalance, immune to the compression
