@@ -298,6 +298,27 @@ object PretrainOps {
         (floor(col("w") / sum("w").over(all) * 1e4 + 0.5) / 1e4).as("sample_frac"))
   }
 
+  /** Per-language epoch plan: how many passes over each language's
+    * data a temperature-balanced (α=0.5) mixture implies. Token mass
+    * per language (exact integer sum) → actual share → α-smoothed
+    * target share → `epochs = target/actual`: low-resource languages
+    * get >1 epochs (upsampled), dominant ones <1 — the concrete repeat
+    * factors a data loader executes, where mix_language_balance only
+    * states the target fractions. Everything beyond the one fact-scan
+    * aggregate runs on the per-language table (a handful of rows). */
+  def mixEpochPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("n_tokens"))
+      .withColumn("frac0", col("n_tokens").cast("double") / sum("n_tokens").over(all))
+      .withColumn("w", sqrt(col("frac0")) / sum(sqrt(col("frac0"))).over(all))
+      .select(col("lang"), col("n_tokens"),
+        (floor(col("w") * 1e4 + 0.5) / 1e4).as("target_frac"),
+        (floor(col("w") / col("frac0") * 1e4 + 0.5) / 1e4).as("epochs"))
+  }
+
   /** Per-label embedding centroids — the assignment-step aggregate of
     * k-means / semantic dedup. Vectors are posexploded to (label, dim,
     * value) so the shuffle moves scalar triplets keyed by (label, dim),
@@ -412,12 +433,26 @@ object PretrainOps {
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_language_balance" -> (mixLanguageBalance _),
+    "mix_epoch_plan" -> (mixEpochPlan _),
     "sim_centroids" -> (simCentroids _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "pretrain_pipeline_stats" -> (pretrainPipelineStats _)
   )
 
   private val baseOracle: Map[String, String] = Map(
+    "mix_epoch_plan" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS frac0,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS sw
+        |  FROM c),
+        |n AS (SELECT lang, n_tokens, frac0, sw / sum(sw) OVER () AS w FROM t)
+        |SELECT lang, n_tokens,
+        |  floor(w * 1e4 + 0.5) / 1e4 AS target_frac,
+        |  floor(w / frac0 * 1e4 + 0.5) / 1e4 AS epochs
+        |FROM n""".stripMargin,
     "pretrain_shuffle_shard" ->
       """WITH s AS (SELECT doc_id,
         |    ((strpos('0123456789abcdef', substr(md5('shard:' || doc_id), 1, 1)) - 1) * 16 +

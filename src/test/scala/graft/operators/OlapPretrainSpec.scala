@@ -368,6 +368,26 @@ class QualityScoreSpec extends graft.SparkTestBase {
   }
 }
 
+class MixEpochPlanSpec extends graft.SparkTestBase {
+  test("epoch plan: targets sum to 1, epochs upsample the rare languages") {
+    val rows = PretrainOps.mixEpochPlan(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("target_frac"), r.getAs[Double]("epochs")))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-2)
+    // alpha < 1 compresses the distribution: the token-richest language
+    // is downsampled (epochs < 1), the poorest upsampled (epochs > 1)
+    assert(rows.maxBy(_._2)._4 < 1.0)
+    assert(rows.minBy(_._2)._4 > 1.0)
+    // executing the plan reproduces the target mix: epochs x actual
+    // share = target share (up to the fixed-point rounding)
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (_, nt, tf, ep) =>
+      assert(math.abs(ep * (nt / total) - tf) < 2e-4)
+    }
+  }
+}
+
 class ShuffleShardSpec extends graft.SparkTestBase {
   test("shuffle-shard: total preserved, positions dense per shard, deterministic") {
     val rows = PretrainOps.pretrainShuffleShard(spark, sf).collect()
