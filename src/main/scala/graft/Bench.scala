@@ -25,6 +25,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // parsed BEFORE the session/warm-up so a malformed value fails fast
+    // with a NAMED error instead of an anonymous NumberFormatException
+    // after minutes of warm-up (min-of-THREE default: single-run sf0.1
+    // numbers on this VM swing up to ~2.4× with machine load)
+    val passes = math.max(2, sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 3
+      case Some(v) => scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'"))
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,7 +102,13 @@ object Bench {
     // (mirrors Verify; the reference validates its contract at startup)
     Preflight.check(spark, sfDir) match {
       case drift if drift.nonEmpty =>
+        // exit NOW: burning a warm-up plus N timed passes on a broken
+        // read produces a plausible-looking artifact over garbage — a
+        // drifted contract is a red run, not a measurement
         System.err.println("bench: TESTDATA CONTRACT DRIFT:\n  " + drift.mkString("\n  "))
+        obsWriter.close()
+        spark.stop()
+        sys.exit(2)
       case _ => ()
     }
     // Warm-up: run every query once at the smallest SF so the timed pass
@@ -132,7 +147,6 @@ object Bench {
     // ~2.4× with machine load (r9→r10 drifted 40% on identical code);
     // a third pass measurably tightens the min, and the artifact
     // carries loadavg (below) so residual swings are attributable.
-    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val allPasses = (1 to passes).map(_ => timedPass())
     // Bucketed-layout variants of the big joins: one untimed save, then
     // the same min-of-N protocol — the bench line carries the

@@ -39,9 +39,21 @@ object Verify {
       System.err.println(s"[verify] $msg")
       Files.writeString(Paths.get(s"$outDir/_PREFLIGHT_DRIFT.txt"), msg): Unit
     }
+    // partial-run marker: the compare tool skips its MISSING_DUMP
+    // backstop when a single-query dev run declares itself partial —
+    // otherwise every `only` run fails with ~100 bogus missing entries
+    only.foreach(n =>
+      Files.writeString(Paths.get(s"$outDir/_ONLY.txt"), n + "\n"): Unit)
+    def clearRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(clearRec))
+      f.delete(): Unit
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_ == name) }
       .foreach { case (name, fn) =>
+      // clear the per-query dir first: a stale _ERROR.txt (or any prior
+      // content) must not survive into this run's dump
+      clearRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -299,6 +299,57 @@ object ExtendedQueries {
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"),
         count(lit(1)).as("n"))
 
+  /** Frequent-items sketch for corpus-wide top-k — the declared 100 TB
+    * lane for the text_ngrams_top shape when even the hash-keyed exact
+    * first pass (TextOps.textNgramsTop phase 1) is too much shuffle:
+    * per-partition Misra-Gries summaries (bounded memory, one pass, the
+    * one justified mapPartitions shape — imperative per-partition
+    * state), candidate union, then an EXACT recount of candidates only.
+    *
+    * Guarantee (spec-proved, SketchSpec): within a partition, an item
+    * with local count > N_p/(capacity+1) survives its summary (each
+    * decrement event destroys capacity+1 instances); summing over
+    * partitions, any item with GLOBAL count > N/(capacity+1) must
+    * exceed the local threshold somewhere, so the candidate union
+    * contains every such heavy hitter. The recount is exact, so output
+    * counts are true counts — the only approximation is which tail
+    * items make the candidate list. Candidate volume is ≤
+    * capacity·partitions rows: broadcast-joinable at any corpus size
+    * (capacity and partition count are config, not data-driven). */
+  /** The per-partition Misra-Gries pass alone (exposed for the spec's
+    * bound check): one bounded-memory sweep per partition, distinct
+    * union of surviving keys. */
+  private[operators] def mgCandidates(s: SparkSession, d: String,
+                                      capacity: Int): DataFrame = {
+    import s.implicits._
+    DedupOps.shingleRows(s, d).select("shingle").as[String]
+      .mapPartitions { it =>
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { x =>
+          cnt.get(x) match {
+            case Some(v) => cnt(x) = v + 1
+            case None if cnt.size < capacity => cnt(x) = 1L
+            case None => // Misra-Gries decrement-all step (x absorbs its own)
+              cnt.mapValuesInPlace((_, v) => v - 1)
+              cnt.filterInPlace((_, v) => v > 0)
+          }
+        }
+        cnt.keysIterator
+      }
+      .toDF("cand").distinct()
+  }
+
+  def qSketchTopk(s: SparkSession, d: String,
+                  k: Int = 20, capacity: Int = 256): DataFrame = {
+    val cands = mgCandidates(s, d, capacity)
+    DedupOps.shingleRows(s, d)
+      .join(broadcast(cands), col("shingle") === col("cand"), "left_semi")
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** Ordered collect: each user's event-type journey as a string,
     * deterministic after the shuffle — collect_list alone has no
     * ordering guarantee, so the list is sorted by a (event_id) sort

@@ -59,20 +59,34 @@ object OlapQueries {
 
   /** TPC-H Q7 shape: nation-pair shipping volume across two years.
     * nation is broadcast twice (25 rows by the data model — a safe
-    * forced broadcast at any corpus scale); supplier/customer ride
-    * AQE; the only unavoidable shuffles are the two fact joins and the
-    * final (supp_nation, cust_nation, year) aggregate. */
+    * forced broadcast at any corpus scale). Every join input is
+    * EXPLICITLY slimmed to the columns the query touches before it
+    * enters a join: the r11 plan let orders/customer ride into the
+    * fact-fact shuffles un-projected (a fact-scale Exchange moving
+    * columns the aggregate never reads), which column pruning alone did
+    * not close. supplier slims to (s_suppkey, s_nationkey) — 16 B/row —
+    * and is force-broadcast: a dimension that narrow stays
+    * broadcast-viable far past the static threshold's compressed-size
+    * estimates (if it ever outgrew executor memory, drop the hint and
+    * the same slim projection rides the shuffle join). The remaining
+    * shuffles move 2-column rows: the two fact joins and the final
+    * (supp_nation, cust_nation, year) aggregate. */
   def q7Volume(s: SparkSession, d: String): DataFrame = {
     val l = lineitem(s, d).filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
       col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
     val supN = nation(s, d).select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val custN = nation(s, d).select(
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-    l.join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))

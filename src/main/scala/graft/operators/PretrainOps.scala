@@ -61,15 +61,10 @@ object PretrainOps {
       aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"))
     stats.select(
       col("doc_id"), col("lang"), col("fp"), col("n_tokens"),
-      (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * 1e4 + 0.5) / 1e4)
-        .as("dup_frac"),
-      (floor(col("top_cnt").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
-        .as("top_frac"),
-      (floor(col("sum_tok_len").cast("double") / col("n_tokens") * 1e4 + 0.5) / 1e4)
-        .as("mean_tok_len"))
-      .withColumn("keep_doc",
-        col("n_tokens") >= 40 && col("mean_tok_len") <= 5.0 &&
-        col("top_frac") <= 0.12 && col("dup_frac") <= 0.55)
+      r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
+      r4(col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"),
+      r4(col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_tok_len"))
+      .withColumn("keep_doc", gopherKeep)
   }
 
   /** Gopher's n-gram repetition rules (Rae et al. 2021, §A1.1) — the
@@ -87,14 +82,26 @@ object PretrainOps {
     * lengths; only seven numbers per doc leave the scan, so this runs
     * at scan speed over 100 TB. Arrays materialize once per select
     * stage (the §8b CollapseProject rule). */
+  // n-gram machinery + keep thresholds at object level: the named
+  // signal ops AND the fused single-pass gate (pretrainQualityFused)
+  // evaluate the SAME definitions, so twin and parts cannot drift.
+  private def grams(tk: Column, n: Int): Column =
+    transform(sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", slice(tk, i, lit(n))))
+  // per-distinct-gram occurrence counts, computed within the row
+  private def cnts(ng: Column): Column =
+    transform(array_distinct(ng), t => size(filter(ng, x => x === t)))
+  private def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+  // keep gates over their named frac columns — thresholds live ONCE
+  // (fitted to the synthetic corpus; production calibrates held-out)
+  private def gopherKeep: Column =
+    col("n_tokens") >= 40 && col("mean_tok_len") <= 5.0 &&
+      col("top_frac") <= 0.12 && col("dup_frac") <= 0.55
+  private def repKeep: Column =
+    col("dup2_frac") <= 0.12 && col("top2_frac") <= 0.0625 &&
+      col("dup3_frac") <= 0.06
+
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    def grams(tk: Column, n: Int): Column =
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n))))
-    // per-distinct-gram occurrence counts, computed within the row
-    def cnts(ng: Column): Column =
-      transform(array_distinct(ng), t => size(filter(ng, x => x === t)))
-    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
     val base = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -114,11 +121,7 @@ object PretrainOps {
       r4(col("top2").cast("double") / col("g2")).as("top2_frac"),
       r4(col("dup3").cast("double") / col("g3")).as("dup3_frac"),
       r4(col("top3").cast("double") / col("g3")).as("top3_frac"))
-      // thresholds fitted to the synthetic corpus so both classes are
-      // populated (production: calibrate on held-out data, as above)
-      .withColumn("keep_doc",
-        col("dup2_frac") <= 0.12 && col("top2_frac") <= 0.0625 &&
-        col("dup3_frac") <= 0.06)
+      .withColumn("keep_doc", repKeep)
   }
 
   /** Fixed-window duplicated-span coverage — the scalable approximation
@@ -406,10 +409,10 @@ object PretrainOps {
     *
     * Scale: each input is a map-only scan; the composite is two
     * doc_id equi-joins of same-keyed, same-sized projections (AQE
-    * converts them to broadcast/co-partitioned as sizes allow). A
-    * fused single-pass variant would save two scans at the cost of
-    * duplicating every signal expression — at 100 TB you'd fuse; the
-    * named-op join keeps the contract testable per signal. */
+    * converts them to broadcast/co-partitioned as sizes allow). The
+    * DEPLOYABLE form at 100 TB is [[pretrainQualityFused]] — one scan,
+    * zero joins, same oracle; this named-op join form keeps the
+    * contract testable per signal. */
   def pretrainQualityScore(s: SparkSession, d: String): DataFrame = {
     val g = textGopherRules(s, d).select(col("doc_id"), col("keep_doc").as("gopher_keep"))
     val r = textRepetition(s, d).select(col("doc_id"), col("keep_doc").as("rep_keep"))
@@ -417,13 +420,69 @@ object PretrainOps {
       (col("quality_score") >= 0.5).as("qual_keep"))
     g.join(r, "doc_id").join(q, "doc_id")
       .select(col("doc_id"), col("gopher_keep"), col("rep_keep"), col("qual_keep"),
-        (floor((col("gopher_keep").cast("int") + col("rep_keep").cast("int") +
-          col("qual_keep").cast("int")).cast("double") / 3.0 * 1e4 + 0.5) / 1e4).as("score"),
+        r4((col("gopher_keep").cast("int") + col("rep_keep").cast("int") +
+          col("qual_keep").cast("int")).cast("double") / 3.0).as("score"),
+        (col("gopher_keep") && col("rep_keep") && col("qual_keep")).as("keep_doc"))
+  }
+
+  /** Fused single-pass twin of [[pretrainQualityScore]]: the same three
+    * signals — Gopher token rules, n-gram repetition rules, quality
+    * score — evaluated in ONE scan of documents with ZERO joins, the
+    * form a 100 TB deployment runs (the named-op composite above pays
+    * three scans and two doc_id joins to keep each signal individually
+    * testable). Same oracle SQL as the composite, so the fusion is
+    * hash-gated against the joined form every round; the building
+    * blocks (grams/cnts/r4/stopCount, gopherKeep/repKeep) are the
+    * object-level definitions the named ops themselves evaluate.
+    *
+    * Staged selects (tk, then the n-gram arrays, then per-array
+    * scalars) keep each expensive array materialized once per row —
+    * the §8b CollapseProject rule; everything is per-row array math,
+    * so the plan is a single WholeStageCodegen-free map over the scan
+    * (HOF lambdas interpret, as in the named ops) with only seven
+    * scalars per doc surviving. */
+  def pretrainQualityFused(s: SparkSession, d: String): DataFrame = {
+    // textRepetition's domain (≥3 tokens) — the composite's inner joins
+    // restrict it the same way
+    val base = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("tk"),
+        grams(col("tk"), 2).as("n2"), grams(col("tk"), 3).as("n3"))
+    val c = base.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+      array_max(transform(array_distinct(col("tk")),
+        t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_cnt"),
+      aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"),
+      TextOps.stopCount(col("tk")).as("n_stop"),
+      size(col("n2")).cast("long").as("g2"), cnts(col("n2")).as("c2"),
+      size(col("n3")).cast("long").as("g3"), cnts(col("n3")).as("c3"))
+    val fracs = c.select(col("doc_id"),
+      col("n_tokens"),
+      r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
+      r4(col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"),
+      r4(col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_tok_len"),
+      round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4).as("quality_score"),
+      r4((col("g2") - size(filter(col("c2"), x => x === 1))).cast("double") / col("g2"))
+        .as("dup2_frac"),
+      r4(array_max(col("c2")).cast("double") / col("g2")).as("top2_frac"),
+      r4((col("g3") - size(filter(col("c3"), x => x === 1))).cast("double") / col("g3"))
+        .as("dup3_frac"))
+    fracs
+      .select(col("doc_id"),
+        gopherKeep.as("gopher_keep"), repKeep.as("rep_keep"),
+        (col("quality_score") >= 0.5).as("qual_keep"))
+      .select(col("doc_id"), col("gopher_keep"), col("rep_keep"), col("qual_keep"),
+        r4((col("gopher_keep").cast("int") + col("rep_keep").cast("int") +
+          col("qual_keep").cast("int")).cast("double") / 3.0).as("score"),
         (col("gopher_keep") && col("rep_keep") && col("qual_keep")).as("keep_doc"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pretrain_quality_score" -> (pretrainQualityScore _),
+    "pretrain_quality_fused" -> (pretrainQualityFused _),
     "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -616,8 +675,10 @@ object PretrainOps {
 
   // The composite gate's oracle embeds each signal's own SQL verbatim
   // (nested WITH inside a CTE — DuckDB-supported), so the composite and
-  // its parts cannot diverge.
-  val oracle: Map[String, String] = baseOracle + ("pretrain_quality_score" ->
+  // its parts cannot diverge. The fused single-pass twin is gated by
+  // the IDENTICAL oracle: fusion is an execution-plan choice, not a
+  // semantic one, and the shared SQL makes that checkable per round.
+  private val qualityScoreOracle: String =
     s"""WITH g AS (${baseOracle("text_gopher_rules")}),
        |r AS (${baseOracle("text_repetition")}),
        |q AS (${TextOps.oracle("text_quality")}),
@@ -628,5 +689,9 @@ object PretrainOps {
        |  floor((CAST(gopher_keep AS INT) + CAST(rep_keep AS INT) + CAST(qual_keep AS INT))
        |    / 3.0 * 1e4 + 0.5) / 1e4 AS score,
        |  (gopher_keep AND rep_keep AND qual_keep) AS keep_doc
-       |FROM j""".stripMargin)
+       |FROM j""".stripMargin
+
+  val oracle: Map[String, String] = baseOracle +
+    ("pretrain_quality_score" -> qualityScoreOracle) +
+    ("pretrain_quality_fused" -> qualityScoreOracle)
 }

@@ -28,6 +28,26 @@ object TextOps {
   private def countIn(words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words.map(lit): _*))).cast("long")
 
+  /** Stopword count over a materialized token array — ONE definition
+    * consumed by textQuality and the fused quality gate
+    * (PretrainOps.pretrainQualityFused), so the signal cannot drift
+    * between the named op and its single-pass twin. */
+  private[operators] def stopCount(tk: Column): Column =
+    size(filter(tk, x => x.isin(stopwords.map(lit): _*))).cast("long")
+
+  /** 64-bit shingle hashes WITHOUT building the shingle strings:
+    * xxhash64 over the three token columns hashes the struct directly —
+    * no concat allocation per position. Same empty-array guard as
+    * [[shingles]] (sequence counts DOWN below 3 tokens). Phase-1 fuel
+    * for [[textNgramsTop]]: candidate selection only ever needs the
+    * hash, so the string build is deferred to the candidate-bounded
+    * second pass. */
+  private[operators] def shingleHashes(tk: Column): Column =
+    when(size(tk) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2),
+        i => xxhash64(element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+
   /** Whitespace tokens + BPE-ish regex tokens (runs of letters, runs of
     * digits, single other non-space chars). */
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -43,7 +63,7 @@ object TextOps {
   def textQuality(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
-        size(toks).cast("long").as("n_tokens"), countIn(stopwords).as("n_stop"))
+        size(toks).cast("long").as("n_tokens"), stopCount(toks).as("n_stop"))
       .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
         round(col("n_chars_m").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
@@ -88,13 +108,78 @@ object TextOps {
         coalesce(array_min(transform(shingles(col("tk")), x => md5(x))), lit("")).as("fp_min_shingle"))
 
   /** Corpus-wide top-20 trigram shingles by document frequency
-    * (deterministic tiebreak on the shingle itself). */
-  def textNgramsTop(s: SparkSession, d: String): DataFrame =
-    DedupOps.shingleRows(s, d)
+    * (deterministic tiebreak on the shingle itself).
+    *
+    * Two-phase candidate plan. The r11 single `groupBy(shingle)`
+    * shuffled the ENTIRE distinct (doc, shingle) stream as strings —
+    * map-side combine is useless when shingles rarely repeat within a
+    * partition, so the Exchange grew with corpus token count (3.93× at
+    * sf3, super-linear): the one plan that could not survive 100 TB.
+    *
+    * Phase 1 aggregates 64-bit shingle hashes ([[shingleHashes]] — no
+    * string is even built): the Exchange moves fixed-width (hash,
+    * count) pairs and the hash-aggregate probes longs, not UTF8
+    * strings. The top-K hash counts (K=100 for 20 outputs) pick the
+    * candidate set. Phase 2 rebuilds shingle STRINGS only at token
+    * positions whose hash lands in that set (an InSet over ≤100 longs,
+    * false for ~all positions) and exact-counts the surviving stream —
+    * a few hundred rows regardless of corpus size.
+    *
+    * Exactness is PROVED per run, not assumed: a shingle outside the
+    * candidate set has df ≤ count(its hash) ≤ T, the K-th candidate
+    * hash count (collisions only merge counts upward, so the bound
+    * survives them). If the 20th exact candidate df exceeds T — or the
+    * corpus has fewer than K distinct hashes, making the candidate set
+    * exhaustive — the result is provably the exact top-20; otherwise (a
+    * tie plateau spanning ranks 20..K) the full-shuffle aggregate runs
+    * as the backstop. Driver-side data is ≤K scalar rows + the 20-row
+    * result, the same posture as the CC loop's convergence sums. */
+  def textNgramsTop(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val K = 100
+    def exactGlobal: DataFrame = DedupOps.shingleRows(s, d)
       .groupBy("shingle")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(20)
+    // phase 1: candidate hashes. explode over the expression directly
+    // (not a materialized attribute) — same SPARK-36715 posture as
+    // DedupOps.shingleRows, keeps InferFiltersFromGenerate from
+    // re-deriving the array below the projection.
+    val top = documents(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(array_distinct(shingleHashes(col("tk")))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hc"))
+      .orderBy(col("hc").desc)
+      .limit(K)
+      .collect()
+    if (top.isEmpty) return exactGlobal // empty corpus: trivial either way
+    val cands = top.map(_.getLong(0)).toSeq
+    val exhaustive = top.length < K // every distinct hash is a candidate
+    val tMin = top.map(_.getLong(1)).min
+    // phase 2: bounded exact recount. Token positions filter on the
+    // hash InSet FIRST; strings are concat'd only for survivors.
+    val exact = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        when(size(col("tk")) < 3, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("tk")) - 2),
+            i => xxhash64(element_at(col("tk"), i), element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2)).isin(cands: _*))).as("pos"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("pos"),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(20)
+      .truncEager // 20 rows — the completeness check below must not re-scan
+    val out = exact.collect()
+    val provablyComplete = exhaustive ||
+      (out.length == 20 && out(19).getLong(1) > tMin)
+    if (provablyComplete) exact else exactGlobal
+  }
 
   /** PII-style scrubbing: numbers and emails masked with typed
     * placeholders (the standard pre-training redaction pass, applied

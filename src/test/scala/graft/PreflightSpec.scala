@@ -11,21 +11,30 @@ class PreflightSpec extends SparkTestBase {
 
   test("a drifted table produces ONE named finding, not opaque per-query errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
-    // copy the real tables, then drift events: drop `value`, retype ts
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
-      Tables.t(spark, sf, t).write.parquet(s"$dir/$t.parquet")
-    Tables.t(spark, sf, "events")
-      .drop("value")
-      .withColumn("ts", col("ts").cast("string"))
-      .write.parquet(s"$dir/events.parquet")
-    val drift = Preflight.check(spark, dir)
-    assert(drift.exists(_.startsWith("events.value: MISSING")), drift.mkString("; "))
-    assert(drift.exists(_.startsWith("events.ts: type drift")), drift.mkString("; "))
-    // only the drifted table is implicated
-    assert(drift.forall(_.startsWith("events.")), drift.mkString("; "))
-    val ex = intercept[IllegalStateException](Preflight.assertContract(spark, dir))
-    assert(ex.getMessage.contains("events.ts"))
+    try {
+      // copy the real tables, then drift events: drop `value`, retype ts
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "documents", "embeddings"))
+        Tables.t(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+      Tables.t(spark, sf, "events")
+        .drop("value")
+        .withColumn("ts", col("ts").cast("string"))
+        .write.parquet(s"$dir/events.parquet")
+      val drift = Preflight.check(spark, dir)
+      assert(drift.exists(_.startsWith("events.value: MISSING")), drift.mkString("; "))
+      assert(drift.exists(_.startsWith("events.ts: type drift")), drift.mkString("; "))
+      // only the drifted table is implicated
+      assert(drift.forall(_.startsWith("events.")), drift.mkString("; "))
+      val ex = intercept[IllegalStateException](Preflight.assertContract(spark, dir))
+      assert(ex.getMessage.contains("events.ts"))
+    } finally {
+      // full testdata copies must not accumulate in /tmp across runs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("ts layout variants all normalize to long nanos") {

@@ -113,6 +113,36 @@ class ExtendedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch topk: MG candidates contain every global heavy hitter; output counts are exact") {
+    val exactMap = DedupOps.shingleRows(spark, sf)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exactMap.values.sum
+    // capacity chosen so the decrement path runs (distinct shingles >>
+    // capacity at sf0.001) AND the heavy set is non-empty — both are
+    // asserted below so corpus drift makes this spec loudly non-vacuous
+    // instead of silently weaker
+    val cap = 4096
+    val thresh = n.toDouble / (cap + 1)
+    val heavy = exactMap.filter(_._2 > thresh).keySet
+    assert(exactMap.size > cap,
+      s"corpus drifted: ${exactMap.size} distinct shingles no longer exercise capacity $cap")
+    assert(heavy.nonEmpty, s"corpus drifted: no shingle exceeds N/(cap+1)=$thresh — re-fit cap")
+    val cands = ExtendedQueries.mgCandidates(spark, sf, cap)
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.subsetOf(cands),
+      s"MG bound violated — missed heavy hitters: ${(heavy -- cands).take(5)}")
+    // recount is exact: every output row carries its TRUE doc_freq, and
+    // when the k-th exact df clears the bound the top-k is fully exact
+    val k = 10
+    val exactTop = exactMap.toSeq.sortBy { case (sh, c) => (-c, sh) }.take(k)
+    assert(exactTop.last._2 > thresh,
+      s"corpus drifted: exact top-$k no longer provably heavy — re-fit cap/k")
+    val out = ExtendedQueries.qSketchTopk(spark, sf, k = k, capacity = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == exactTop)
+  }
+
   test("first/last/nth values agree with a direct per-user recompute") {
     val rows = ExtendedQueries.qFirstLast(spark, sf)
       .filter(col("user_id") === 3).collect()

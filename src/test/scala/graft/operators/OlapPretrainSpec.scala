@@ -443,6 +443,22 @@ class SeqPackSpec extends graft.SparkTestBase {
     assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
       s"ranged intermediate must be materialized once (frozen pids):\n$plan")
   }
+
+  test("quality fused twin: identical rows to the composite, one scan, zero joins") {
+    val fused = PretrainOps.pretrainQualityFused(spark, sf)
+    val composite = PretrainOps.pretrainQualityScore(spark, sf)
+    assert(fused.count() == composite.count())
+    assert(fused.except(composite).isEmpty && composite.except(fused).isEmpty,
+      "fused twin diverged from the named-op composite")
+    // the deployable property: ONE pass over documents, no joins at all
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = fused.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      s"fused plan must not join:\n$plan")
+    val scans = plan.collect { case r: LogicalRelation => r }
+    assert(scans.length == 1, s"fused plan must scan documents ONCE:\n$plan")
+  }
 }
 
 class MmDedupPhashSpec extends graft.SparkTestBase {

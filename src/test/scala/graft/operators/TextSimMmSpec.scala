@@ -100,6 +100,17 @@ class TextOpsSpec extends SparkTestBase {
       .head().getAs[String]("fp_md5")
     assert(got == expected)
   }
+
+  test("ngrams top: two-phase candidate plan equals the full global aggregate") {
+    val fast = TextOps.textNgramsTop(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = DedupOps.shingleRows(spark, sf)
+      .groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fast == exact,
+      s"two-phase result diverged:\nfast=$fast\nexact=$exact")
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
