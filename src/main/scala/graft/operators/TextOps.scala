@@ -35,18 +35,6 @@ object TextOps {
   private[operators] def stopCount(tk: Column): Column =
     size(filter(tk, x => x.isin(stopwords.map(lit): _*))).cast("long")
 
-  /** 64-bit shingle hashes WITHOUT building the shingle strings:
-    * xxhash64 over the three token columns hashes the struct directly —
-    * no concat allocation per position. Same empty-array guard as
-    * [[shingles]] (sequence counts DOWN below 3 tokens). Phase-1 fuel
-    * for [[textNgramsTop]]: candidate selection only ever needs the
-    * hash, so the string build is deferred to the candidate-bounded
-    * second pass. */
-  private[operators] def shingleHashes(tk: Column): Column =
-    when(size(tk) < 3, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), size(tk) - 2),
-        i => xxhash64(element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
 
   /** Whitespace tokens + BPE-ish regex tokens (runs of letters, runs of
     * digits, single other non-space chars). */
@@ -116,60 +104,64 @@ object TextOps {
     * partition, so the Exchange grew with corpus token count (3.93× at
     * sf3, super-linear): the one plan that could not survive 100 TB.
     *
-    * Phase 1 aggregates 64-bit shingle hashes ([[shingleHashes]] — no
-    * string is even built): the Exchange moves fixed-width (hash,
-    * count) pairs and the hash-aggregate probes longs, not UTF8
-    * strings. The top-K hash counts (K=100 for 20 outputs) pick the
-    * candidate set. Phase 2 rebuilds shingle STRINGS only at token
-    * positions whose hash lands in that set (an InSet over ≤100 longs,
-    * false for ~all positions) and exact-counts the surviving stream —
-    * a few hundred rows regardless of corpus size.
+    * Phase 1 aggregates 64-bit shingle hashes (the native
+    * `graft_shingle_hashes` expression, plans/ShingleExprs.scala — one
+    * imperative byte sweep per doc, no token array, no string build,
+    * no interpreted HOF dispatch): the Exchange moves fixed-width
+    * (hash, count) pairs and the hash-aggregate probes longs, not UTF8
+    * strings. Candidates are EVERY hash whose count reaches t20, the
+    * 20th-largest hash count — threshold-based, NOT top-K: a df-tie
+    * plateau at rank 20 (replicated corpora produce these
+    * structurally — the ScaleGen layout puts each replica's top
+    * shingle at the same df) must land inside the candidate set
+    * however wide it is. Phase 2 rebuilds shingle STRINGS only at
+    * token positions whose hash lands in the candidate set
+    * (`graft_candidate_shingles`: binary-search per window, byte-slice
+    * copy only on a match) and exact-counts the surviving stream — a
+    * bounded second pass regardless of corpus size.
     *
     * Exactness is PROVED per run, not assumed: a shingle outside the
-    * candidate set has df ≤ count(its hash) ≤ T, the K-th candidate
-    * hash count (collisions only merge counts upward, so the bound
-    * survives them). If the 20th exact candidate df exceeds T — or the
-    * corpus has fewer than K distinct hashes, making the candidate set
-    * exhaustive — the result is provably the exact top-20; otherwise (a
-    * tie plateau spanning ranks 20..K) the full-shuffle aggregate runs
-    * as the backstop. Driver-side data is ≤K scalar rows + the 20-row
+    * candidate set has df ≤ count(its hash) < t20 (collisions only
+    * merge counts upward, so the bound survives them). If the 20th
+    * exact candidate df ≥ t20, every excluded shingle sorts strictly
+    * below row 20 — ties included — so the result is provably the
+    * exact top-20; otherwise (or when the t20 plateau overflows the
+    * CAP-row collect) the full-shuffle aggregate runs as the
+    * backstop. Driver-side data is ≤CAP scalar rows + the 20-row
     * result, the same posture as the CC loop's convergence sums. */
   def textNgramsTop(s: SparkSession, d: String): DataFrame = {
     import DedupOps.TruncOps
-    val K = 100
+    val CAP = 2048
     def exactGlobal: DataFrame = DedupOps.shingleRows(s, d)
       .groupBy("shingle")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(20)
-    // phase 1: candidate hashes. explode over the expression directly
-    // (not a materialized attribute) — same SPARK-36715 posture as
-    // DedupOps.shingleRows, keeps InferFiltersFromGenerate from
-    // re-deriving the array below the projection.
+    graft.plans.ShingleExprs.register(s)
+    // phase 1: candidate hashes — one native byte sweep per doc, the
+    // explode emits per-doc-distinct longs
     val top = documents(s, d)
-      .select(split(col("text"), " ").as("tk"))
-      .select(explode(array_distinct(shingleHashes(col("tk")))).as("h"))
+      .select(explode(expr("graft_shingle_hashes(text)")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("hc"))
       .orderBy(col("hc").desc)
-      .limit(K)
+      .limit(CAP)
       .collect()
     if (top.isEmpty) return exactGlobal // empty corpus: trivial either way
-    val cands = top.map(_.getLong(0)).toSeq
-    val exhaustive = top.length < K // every distinct hash is a candidate
-    val tMin = top.map(_.getLong(1)).min
-    // phase 2: bounded exact recount. Token positions filter on the
-    // hash InSet FIRST; strings are concat'd only for survivors.
+    val t20 = top(math.min(19, top.length - 1)).getLong(1)
+    // the t20 plateau may extend past the collected CAP rows: then some
+    // ≥t20 hash is missing from the candidate set and no completeness
+    // proof is possible — a corpus that flat takes the backstop
+    if (top.length == CAP && top.last.getLong(1) >= t20) return exactGlobal
+    val cands = top.filter(_.getLong(1) >= t20).map(_.getLong(0)).toSeq
+    // fewer than 20 hashes ⇒ t20 is the global minimum ⇒ every hash is
+    // a candidate and the recount is exhaustive by construction
+    val exhaustive = top.length < 20
+    // phase 2: bounded exact recount — strings materialize only at
+    // candidate-matching windows (per-doc-distinct by the expression)
+    val candSql = cands.mkString("array(", "L,", "L)")
     val exact = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("tk"),
-        when(size(col("tk")) < 3, array().cast("array<int>"))
-          .otherwise(filter(sequence(lit(1), size(col("tk")) - 2),
-            i => xxhash64(element_at(col("tk"), i), element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2)).isin(cands: _*))).as("pos"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(col("pos"),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))).as("shingle"))
+        explode(expr(s"graft_candidate_shingles(text, $candSql)")).as("shingle"))
       .groupBy("shingle")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle"))
@@ -177,7 +169,7 @@ object TextOps {
       .truncEager // 20 rows — the completeness check below must not re-scan
     val out = exact.collect()
     val provablyComplete = exhaustive ||
-      (out.length == 20 && out(19).getLong(1) > tMin)
+      (out.length == 20 && out(19).getLong(1) >= t20)
     if (provablyComplete) exact else exactGlobal
   }
 
