@@ -412,15 +412,6 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Cluster election over the near-dup pair graph: connected
-    * components with the min doc_id as each cluster's keeper — the
-    * step a production dedup runs after pair generation, so "A≈B,
-    * B≈C" collapses to one keeper even when A and C never paired.
-    *
-    * Iterative label propagation (rep ← min(rep) over neighbors+self)
-    * to a fixpoint: O(diameter) rounds, each a join+groupBy — the
-    * standard distributed CC shape, converging in a handful of rounds
-    * on near-dup graphs whose components are tiny. */
   /** Materialized cluster table, shared across queries in the session.
     * In production the CC output is a written table: dedup_clusters
     * materializes it once and the canonical-election policy pass READS
@@ -434,12 +425,19 @@ object DedupOps {
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, d).select("doc_a", "doc_b")
-    // localCheckpoint truncates the LSH lineage: without it every
-    // iteration (and its convergence count) would re-run the whole
-    // minhash pipeline — O(rounds²) recomputes. On a cluster this is
-    // a reliable-checkpoint (or cached) edge list, same shape.
+  /** Iterative min-label-propagation connected components over a pair
+    * list (any two id columns; symmetric closure taken here). Returns
+    * (doc_id, rep) for every node that appears in a pair. Shared by the
+    * text near-dup clustering (dedupClusters) and the embedding-space
+    * semantic dedup (SimilarityOps.dedupSemantic) — one CC
+    * implementation, two candidate graphs. */
+  private[operators] def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    // localCheckpoint truncates the candidate-generation lineage:
+    // without it every iteration (and its convergence count) would
+    // re-run the whole pair pipeline — O(rounds²) recomputes. On a
+    // cluster this is a reliable-checkpoint (or cached) edge list,
+    // same shape.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
@@ -479,6 +477,19 @@ object DedupOps {
       prevSum = s
       rounds += 1
     }
+    reps.select("doc_id", "rep")
+  }
+
+  /** Cluster election over the near-dup pair graph: connected
+    * components with the min doc_id as each cluster's keeper — the
+    * step a production dedup runs after pair generation, so "A≈B,
+    * B≈C" collapses to one keeper even when A and C never paired.
+    * Iterative label propagation (rep ← min(rep) over neighbors+self)
+    * to a fixpoint: O(diameter) rounds, each a join+groupBy — the
+    * standard distributed CC shape, converging in a handful of rounds
+    * on near-dup graphs whose components are tiny. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val reps = connectedComponents(dedupMinhashLsh(s, d).select("doc_a", "doc_b"))
     val clusters = reps.select(col("doc_id"), col("rep").as("cluster_rep"))
       .withColumn("is_keeper", (col("doc_id") === col("cluster_rep")).cast("int"))
     clusterMemo.put((s, d), clusters)

@@ -480,7 +480,108 @@ object PretrainOps {
         (col("gopher_keep") && col("rep_keep") && col("qual_keep")).as("keep_doc"))
   }
 
+  /** Per-language quality cap: the N highest-quality documents of each
+    * language (score desc, doc_id tiebreak) — the "top-k per domain"
+    * selection step a curated pretrain mix runs after scoring.
+    *
+    * Scale shape: a naive `row_number` over lang partitions sorts the
+    * ENTIRE corpus in (langs) tasks — the per-group top-N analogue of
+    * the single-partition-window failure. Here each input partition
+    * keeps a bounded per-lang heap (any global top-N row is by
+    * definition in its own partition's local top-N), so the exchange
+    * carries ≤ N·langs candidates per partition — constant in corpus
+    * size — and the exact rank runs on that tiny candidate set. Same
+    * candidates-then-exact structure as qSketchTopk / textNgramsTop;
+    * mapPartitions is justified by the bounded imperative heap state. */
+  def sampleQualityTopk(s: SparkSession, d: String, n: Int = 40): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        TextOps.stopCount(col("tk")).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4)
+          .as("quality_score"))
+    // max-heap by "badness" (lowest score first, highest doc_id on
+    // ties): head is the worst kept row, evicted when a better arrives
+    val badness = Ordering.by[(Long, String, Long, Double), (Double, Long)](
+      r => (-r._4, r._1))
+    val cands = scored.as[(Long, String, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, String, Long, Double)]]
+        it.foreach { r =>
+          val pq = heaps.getOrElseUpdate(r._2,
+            scala.collection.mutable.PriorityQueue.empty(badness))
+          if (pq.size < n) pq.enqueue(r)
+          else if (badness.lt(r, pq.head)) { pq.dequeue(); pq.enqueue(r) }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("doc_id", "lang", "n_tokens", "quality_score")
+    cands
+      .withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("quality_score"), col("rk"))
+  }
+
+  /** Per-language token-budget cut: spend a global budget (25% of the
+    * corpus's token mass) across languages by the α=0.5-smoothed share
+    * (the [[mixEpochPlan]] weights), selecting each language's
+    * documents in deterministic hash order until its quota is crossed
+    * (the first crossing document is included). This turns the mixture
+    * PLAN into the concrete document list a data loader materializes.
+    *
+    * Determinism across engines: the quota is integer arithmetic —
+    * the 1e4-fixed-point weight (wq) times token total, `DIV`-scaled —
+    * and the running token sum is an exact integer, so the cut
+    * comparison `cum − n_tokens < quota` has no floating boundary.
+    *
+    * Scale shape: the per-language running sum uses the seq_pack
+    * distributed prefix-sum pattern — range-partition on (lang, hash
+    * order), per-partition sums, broadcast exclusive offsets — never a
+    * per-language global-sort window (one language can be half the
+    * corpus; its window would funnel through one task). */
+  def mixTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import DedupOps.TruncOps
+    val all = Window.partitionBy()
+    val nt = documents(s, d).select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      substring(md5(concat(lit("budget:"), col("doc_id"))), 1, 8).as("rk"))
+    val quotas = nt.groupBy("lang").agg(sum("n_tokens").as("lt"))
+      .withColumn("frac0", col("lt").cast("double") / sum("lt").over(all))
+      .withColumn("w", sqrt(col("frac0")) / sum(sqrt(col("frac0"))).over(all))
+      .withColumn("wq", floor(col("w") * 1e4 + 0.5).cast("long"))
+      .withColumn("t_toks", sum("lt").over(all))
+      .select(col("lang").as("q_lang"),
+        expr("(wq * t_toks * 25) DIV 1000000").as("quota"))
+    val ranged = nt.repartitionByRange(col("lang"), col("rk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .truncEager
+    val offsets = ranged.groupBy("lang", "pid").agg(sum("n_tokens").as("ptoks"))
+      .withColumn("off",
+        coalesce(sum("ptoks").over(Window.partitionBy("lang").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranged
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("lang", "pid").orderBy("rk", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets.select("lang", "pid", "off")), Seq("lang", "pid"))
+      .withColumn("cum_tokens", col("off") + col("local_cum"))
+      .join(broadcast(quotas), col("lang") === col("q_lang"))
+      .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quality_topk" -> (sampleQualityTopk(_, _)),
+    "mix_token_budget" -> (mixTokenBudget _),
     "pretrain_quality_score" -> (pretrainQualityScore _),
     "pretrain_quality_fused" -> (pretrainQualityFused _),
     "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
@@ -499,6 +600,41 @@ object PretrainOps {
   )
 
   private val baseOracle: Map[String, String] = Map(
+    "sample_quality_topk" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','r','s'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT lang, doc_id, n_tokens,
+        |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+        |      (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality_score
+        |  FROM base),
+        |r AS (SELECT lang, doc_id, n_tokens, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM q)
+        |SELECT lang, doc_id, n_tokens, quality_score, rk FROM r WHERE rk <= 40""".stripMargin,
+    "mix_token_budget" ->
+      """WITH nt AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    substr(md5('budget:' || doc_id), 1, 8) AS rk
+        |  FROM documents),
+        |lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lt FROM nt GROUP BY lang),
+        |w AS (SELECT lang,
+        |    CAST(lt AS DOUBLE) / sum(lt) OVER () AS frac0,
+        |    sqrt(CAST(lt AS DOUBLE) / sum(lt) OVER ()) AS sw,
+        |    CAST(sum(lt) OVER () AS BIGINT) AS t_toks
+        |  FROM lt),
+        |q AS (SELECT lang,
+        |    (CAST(floor(sw / sum(sw) OVER () * 1e4 + 0.5) AS BIGINT) * t_toks * 25) // 1000000 AS quota
+        |  FROM w),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM nt)
+        |SELECT c.lang AS lang, doc_id, n_tokens, cum_tokens
+        |FROM c JOIN q ON c.lang = q.lang
+        |WHERE cum_tokens - n_tokens < quota""".stripMargin,
     "mix_epoch_plan" ->
       """WITH c AS (SELECT lang,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -257,10 +257,26 @@ object SimilarityOps {
     "sim_cosine_topk" -> (simCosineTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
-    "dedup_embedding" -> (dedupEmbedding _)
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _)
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): the
+    * embedding-cosine near-dup pairs become an undirected graph, its
+    * connected components are semantic-duplicate groups, and each
+    * group elects one keeper (min vec_id) — so "A≈B, B≈C" keeps one
+    * representative even when A and C never crossed the cosine bar.
+    * Pair generation is [[dedupEmbedding]] (label-blocked, LSH-capped
+    * — never all-pairs); clustering is the SAME iterative CC the text
+    * near-dup family runs (DedupOps.connectedComponents), so both
+    * modalities share one scale-proven component step. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    DedupOps.connectedComponents(
+        dedupEmbedding(s, d).select(col("vec_a"), col("vec_b")))
+      .select(col("doc_id").as("vec_id"), col("rep").as("cluster_rep"))
+      .withColumn("is_keeper", (col("vec_id") === col("cluster_rep")).cast("int"))
+
+  private val baseOracle: Map[String, String] = Map(
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
          |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve
@@ -377,4 +393,24 @@ object SimilarityOps {
          |  FROM flat GROUP BY label, vec_a, vec_b)
          |SELECT label, vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.4""".stripMargin
   )
+
+  // dedup_semantic embeds the dedup_embedding pair SQL verbatim as a
+  // CTE (nested WITH — DuckDB-supported, same device as the quality
+  // composite), then runs the same recursive-reachability CC the
+  // dedup_clusters oracle uses: the op and its pair generator cannot
+  // drift.
+  val oracle: Map[String, String] = baseOracle +
+    ("dedup_semantic" ->
+      s"""WITH RECURSIVE pairs0 AS (${baseOracle("dedup_embedding")}),
+         |edges AS (SELECT vec_a, vec_b FROM pairs0
+         |  UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs0),
+         |nodes AS (SELECT DISTINCT vec_a AS vec_id FROM edges),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.vec_b AS dst FROM reach r JOIN edges e ON r.dst = e.vec_a
+         |)
+         |SELECT src AS vec_id, min(dst) AS cluster_rep,
+         |  CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS INT) AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin)
 }

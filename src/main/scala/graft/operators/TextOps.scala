@@ -368,7 +368,46 @@ object TextOps {
           .as("mean_logp"))
   }
 
+  /** Bigram-LM fluency score: per-document mean log10 P(w_i | w_{i-1})
+    * under the corpus's own MLE bigram model (context counts are
+    * bigram-start occurrences, so Σ_cur c2(prev,cur) = c1(prev) and
+    * every probability is well-defined and ≤ 1). The conditional form
+    * separates fluent word ORDER from mere word frequency — the signal
+    * [[textLogprob]]'s unigram model cannot see — and is the next rung
+    * of the standard LM-based quality-filter ladder.
+    *
+    * Scale shape mirrors textLogprob: bigrams are keyed by xxhash64
+    * longs on both the count and probe sides (fixed-width aggregation
+    * keys, no string bytes in the shuffle; collision risk |V|²/2⁶⁵,
+    * cross-checked by the exact-string oracle every round). Both count
+    * tables join back on long keys — at this SF they broadcast; at
+    * 100 TB they are hash-partitioned equi-joins on uniform keys. The
+    * mean is fixed-point floor-rounded (1e4) to absorb summation-order
+    * ulps between engines. */
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tk) - 2),
+          |  i -> named_struct('h1', xxhash64(tk[i]),
+          |                    'h2', xxhash64(tk[i], tk[i+1])))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"))
+    val ctx = bi.groupBy(col("h1").as("c_h1")).agg(count(lit(1)).as("n1"))
+    val big = bi.groupBy(col("h2").as("c_h2")).agg(count(lit(1)).as("n2"))
+    // ln + explicit ln(10) literal on both sides (textLogprob rationale)
+    val ln10 = 2.302585092994046
+    bi.join(big, col("h2") === col("c_h2"))
+      .join(ctx, col("h1") === col("c_h1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("n2").cast("double")) - log(col("n1").cast("double"))).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("m") / ln10 * 10000 + 0.5) / 10000).as("mean_logp2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_logprob" -> (textBigramLogprob _),
     "text_sentences" -> (textSentences _),
     "text_casing" -> (textCasing _),
     "text_line_dedup" -> (textLineDedup _),
@@ -383,6 +422,22 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // parallel equal-length unnests zip in DuckDB (text_line_dedup uses
+    // the same idiom); chr(31) separates bigram halves unambiguously
+    "text_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || chr(31) || t[i+1])) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        |c2 AS (SELECT bg, count(*) AS n2 FROM big GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(avg(ln(CAST(n2 AS DOUBLE)) - ln(CAST(n1 AS DOUBLE)))
+        |    / 2.302585092994046 * 10000 + 0.5) / 10000 AS mean_logp2
+        |FROM big JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),

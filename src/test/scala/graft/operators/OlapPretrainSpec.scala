@@ -461,6 +461,109 @@ class SeqPackSpec extends graft.SparkTestBase {
   }
 }
 
+class QualityTopkSpec extends graft.SparkTestBase {
+  test("quality topk: identical to the naive global window, bounded per lang") {
+    import org.apache.spark.sql.expressions.Window
+    val got = PretrainOps.sampleQualityTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._5))
+    // naive form: full per-lang window over every scored row
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), " "),
+          x => x.isin("the", "a", "r", "s"))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4)
+          .as("quality_score"))
+    val naive = scored.withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 40)
+      .select("lang", "doc_id", "n_tokens", "quality_score", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._5))
+    assert(got.nonEmpty && (got sameElements naive),
+      "candidate-heap plan must equal the naive global window")
+    // per-lang caps and contiguous ranks
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length <= 40, s"$lang exceeds the cap")
+      assert(rows.map(_._5).toSeq == (1L to rows.length).toSeq,
+        s"$lang ranks must be contiguous from 1")
+    }
+  }
+
+  test("quality topk: result is invariant to the input partitioning") {
+    val base = PretrainOps.sampleQualityTopk(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    // same op over a deliberately re-partitioned session default: the
+    // per-partition heaps see different slices, the output must not move
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val rehashed = PretrainOps.sampleQualityTopk(spark, sf).collect()
+        .map(_.toSeq).sortBy(_.toString)
+      assert(base sameElements rehashed,
+        "local top-N candidates must cover the global top-N under any partitioning")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+}
+
+class TokenBudgetSpec extends graft.SparkTestBase {
+  test("token budget: prefix property, quota crossing, ~25% global spend") {
+    val rows = PretrainOps.mixTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalToks = docs.map(_._3).sum
+    // JVM recompute of the α-smoothed integer quotas
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sws = byLang.view.mapValues(lt => math.sqrt(lt.toDouble / totalToks)).toMap
+    val swSum = sws.values.sum
+    val quota = byLang.keys.map { l =>
+      l -> (math.floor(sws(l) / swSum * 1e4 + 0.5).toLong * totalToks * 25) / 1000000L
+    }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rk(id: Long) =
+      md.digest(s"budget:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    rows.groupBy(_._1).foreach { case (lang, sel) =>
+      // selected = exact prefix of the lang's docs in (rk, doc_id) order
+      val order = docs.filter(_._1 == lang).sortBy(d => (rk(d._2), d._2))
+      val prefix = order.take(sel.length)
+      assert(sel.map(_._2).toSet == prefix.map(_._2).toSet,
+        s"$lang: selection must be the hash-order prefix")
+      // running sums correct and the quota is crossed by exactly the
+      // last selected doc (or the language ran out of tokens)
+      val cums = order.scanLeft(0L)(_ + _._3).tail
+      sel.sortBy(s => (rk(s._2), s._2)).zipWithIndex.foreach { case (s, i) =>
+        assert(s._4 == cums(i), s"$lang cum_tokens at $i")
+      }
+      val last = cums(sel.length - 1)
+      assert(last - prefix.last._3 < quota(lang),
+        s"$lang: last selected doc must start inside the quota")
+      if (sel.length < order.length)
+        assert(last >= quota(lang), s"$lang: quota must be crossed when tokens remain")
+    }
+    // the global spend is ~25% of corpus tokens (within one doc per lang)
+    val spent = rows.map(_._3).sum.toDouble
+    assert(spent / totalToks > 0.18 && spent / totalToks < 0.35,
+      s"global spend ${spent / totalToks} should approximate the 25% budget")
+  }
+
+  test("token budget: distributed prefix sum, never a per-language global sort") {
+    val plan = PretrainOps.mixTokenBudget(spark, sf).queryExecution.executedPlan.toString
+    val cumWindow = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("local_cum"))
+    assert(cumWindow.exists(_.contains("pid")),
+      s"running sum must run per range-partition (seq_pack pattern):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets and quotas must broadcast, never shuffle the fact side")
+  }
+}
+
 class MmDedupPhashSpec extends graft.SparkTestBase {
   test("phash buckets: groups of >=2, keeper is the min doc, hash within 16 bits") {
     val rows = MultimodalOps.mmDedupPhash(spark, sf).collect()

@@ -111,6 +111,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(fast == exact,
       s"two-phase result diverged:\nfast=$fast\nexact=$exact")
   }
+
+  test("bigram logprob: matches a JVM-side MLE recompute over the whole corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigrams = docs.toSeq.flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      tk.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(0) + "\u001f" + p(1)))
+    }
+    val c2 = bigrams.groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val expected = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val m = bs.map(b => math.log(c2(b._3)) - math.log(c1(b._2))).sum / bs.size
+      math.floor(m / 2.302585092994046 * 10000 + 0.5) / 10000
+    }.toMap
+    val got = TextOps.textBigramLogprob(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet,
+      "every doc with >=2 tokens scores, and only those")
+    got.foreach { case (id, (n, lp)) =>
+      assert(n == docs(id).split(" ").length - 1, s"doc $id bigram count")
+      assert(lp == expected(id), s"doc $id: got $lp expected ${expected(id)}")
+    }
+    assert(got.values.forall(_._2 <= 0.0), "MLE probabilities are <= 1")
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
@@ -179,6 +204,34 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(lsh.length == lsh.toSet.size, "each pair must be emitted exactly once")
     assert(lsh.toSet.subsetOf(allPairs.toSet),
       "LSH sub-bucketing must only prune candidates, never invent pairs")
+  }
+
+  test("semantic dedup: clusters close over the pair graph, one keeper each") {
+    val pairs = SimilarityOps.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val got = SimilarityOps.dedupSemantic(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Int]("is_keeper"))).toMap
+    // exactly the paired vectors are clustered
+    assert(got.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // closure: both endpoints of every near-dup pair share a component
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._1 == got(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // JVM union-find ground truth: component membership is exact
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (v, (rep, keeper)) =>
+      assert(rep == find(v), s"vec $v: rep $rep != union-find ${find(v)}")
+      assert((keeper == 1) == (v == rep))
+    }
   }
 }
 
