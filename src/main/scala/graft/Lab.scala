@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dev-only plan laboratory: times named experiment plans against a
+  * data dir with the same session config as QTime/Bench. Used to
+  * decompose a slow query into its stage costs (scan / exchange / agg /
+  * join variants) before choosing the production plan. Not part of the
+  * driver contract; results land in PROGRESS notes + SURVEY §8g.
+  *
+  * Usage: runMain graft.Lab <sfDir> <experiment> [...]
+  */
+object Lab {
+  private val dec184 = DecimalType(18, 4)
+
+  def experiments(s: SparkSession, d: String): Map[String, () => DataFrame] = {
+    import Tables._
+    def li = lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    def oc = {
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(ord("o_orderkey"), ord("o_orderdate"))
+    }
+    def q3body(ocSide: DataFrame, liSide: DataFrame): DataFrame =
+      liSide.join(ocSide, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+
+    Map(
+      "li_scan" -> (() => li.groupBy().agg(count(lit(1)).as("n"))),
+      "li_scan_sumdec" -> (() => li.groupBy().agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("s"))),
+      "li_scan_sumdbl" -> (() => li.groupBy().agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("s"))),
+      "li_agg_orderkey_dec" -> (() => li
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("s"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "li_agg_orderkey_dbl" -> (() => li
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("s"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "li_exchange_only" -> (() => li
+        .repartition(col("l_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "oc_build" -> (() => oc.groupBy().agg(count(lit(1)).as("n"))),
+      "q3_join_count_bcast" -> (() => li.join(broadcast(oc),
+        col("l_orderkey") === col("o_orderkey")).groupBy().agg(count(lit(1)).as("n"))),
+      "q3_join_count_shj" -> (() => li.join(oc.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey")).groupBy().agg(count(lit(1)).as("n"))),
+      "q3_agg_after_bcast" -> (() => li.join(broadcast(oc),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("s"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "q3_preagg_shj" -> (() => {
+        val rev = li.groupBy("l_orderkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+            .cast("double").as("revenue"))
+        rev.join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+      "q3_preagg_bcast" -> (() => {
+        val rev = li.groupBy("l_orderkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+            .cast("double").as("revenue"))
+        rev.join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+      "q3_smj" -> (() => q3body(oc, li)),
+      "q3_shj" -> (() => q3body(oc.hint("shuffle_hash"), li)),
+      "q3_bcast" -> (() => q3body(broadcast(oc), li)),
+      "q3_merge_hint" -> (() => q3body(oc.hint("merge"), li)),
+
+      // ---- q18 variants: the 15M-group quantity aggregate ----
+      "q18_current" -> (() => operators.OlapQueries.queries("q18_large_orders")(s, d)),
+      "q18_longsum" -> (() => {
+        val big = lineitem(s, d).groupBy("l_orderkey")
+          .agg((sum(expr("CAST(rint(l_quantity * 10000) AS BIGINT)")) / 10000.0).as("sum_qty"))
+          .filter(col("sum_qty") > 250.0)
+        big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+      }),
+      "q18_agg_only_dec" -> (() => lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(dec184)).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+        .groupBy().agg(count(lit(1)).as("n"), sum("sum_qty").as("s"))),
+      "q18_agg_only_long" -> (() => lineitem(s, d).groupBy("l_orderkey")
+        .agg((sum(expr("CAST(rint(l_quantity * 10000) AS BIGINT)")) / 10000.0).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+        .groupBy().agg(count(lit(1)).as("n"), sum("sum_qty").as("s"))),
+
+      // ---- pareto variants: per-customer revenue aggregate ----
+      "pareto_agg_dec" -> (() => orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("cust_rev"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "pareto_agg_long" -> (() => orders(s, d).groupBy("o_custkey")
+        .agg(sum(expr("CAST(rint(o_totalprice * 100) AS BIGINT)")).as("cust_rev_c"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "pareto_current" -> (() => operators.OlapQueries.queries("q_pareto")(s, d)),
+      "pareto_dist_current" -> (() => operators.OlapQueries.queries("q_pareto_dist")(s, d)),
+
+      // ---- text_logprob variants ----
+      "logprob_current" -> (() => operators.TextOps.queries("text_logprob")(s, d)),
+      "logprob_native" -> (() => {
+        plans.ShingleExprs.register(s)
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(expr("graft_token_hashes(text)")).as("h"))
+        val vocab = toks.groupBy(col("h").as("h_v")).agg(count(lit(1)).as("tf"))
+        val totalDf = vocab.agg(sum("tf").cast("double").as("total_toks"))
+        val ln10 = 2.302585092994046
+        toks.join(broadcast(vocab), col("h") === col("h_v"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            avg(log(col("tf").cast("double"))).as("mean_ln_tf"))
+          .crossJoin(broadcast(totalDf))
+          .select(col("doc_id"), col("n_tokens"),
+            (floor((col("mean_ln_tf") - log(col("total_toks"))) / ln10 * 10000 + 0.5) / 10000)
+              .as("mean_logp"))
+      }),
+      "logprob_explode_only" -> (() => documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .groupBy().agg(count(lit(1)).as("n"), sum("h").as("s"))),
+      "logprob_explode_native" -> (() => {
+        plans.ShingleExprs.register(s)
+        documents(s, d)
+          .select(col("doc_id"), explode(expr("graft_token_hashes(text)")).as("h"))
+          .groupBy().agg(count(lit(1)).as("n"), sum("h").as("s"))
+      }),
+
+      // ---- q7 / q5 / q10 with shuffle_hash hints on the fact joins ----
+      "q7_current" -> (() => operators.OlapQueries.queries("q7_volume")(s, d)),
+      "q7_shj" -> (() => {
+        val l = lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount")
+        val o = orders(s, d).select("o_orderkey", "o_custkey")
+        val c = customer(s, d).select("c_custkey", "c_nationkey")
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec184)).cast("double").as("volume"))
+      }),
+      "q5_current" -> (() => operators.CoreQueries.queries("q5_multi_join")(s, d)),
+      "q10_current" -> (() => operators.OlapQueries.queries("q10_returned")(s, d)),
+      "q10_shj" -> (() => {
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val c = customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec184)).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      })
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder0 = SparkSession.builder()
+    // extra confs via env, applied at BUILDER time (static core confs
+    // like shuffle compression are not settable post-start)
+    sys.env.get("SPARK_GRAFT_LAB_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder0.config(k, v) })
+    val spark = builder0
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_BROADCAST_THRESHOLD", "64m"))
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val exps = experiments(spark, d)
+    val todo = if (names.isEmpty || names == Seq("all")) exps.keys.toSeq.sorted else names
+    todo.foreach { n =>
+      val fn = exps(n)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"LAB $n%-24s ${ts.min}%8.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      // SPARK_GRAFT_LAB_METRICS=1: execute once more via collect() and
+      // dump the final-AQE plan's node metrics (rows, timings, spills)
+      if (sys.env.contains("SPARK_GRAFT_LAB_METRICS")) {
+        val df = fn()
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+          val interesting = p.metrics.filter { case (_, m) =>
+            m.value > 0 && (m.metricType == "timing" || m.metricType == "nsTiming" ||
+              m.name.exists(nm => nm.contains("rows") || nm.contains("spill") ||
+                nm.contains("data size") || nm.contains("time")))
+          }.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+          println("  " * depth + p.nodeName + (if (interesting.nonEmpty) s" [$interesting]" else ""))
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+            case b: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(b.child)
+            case other => other.children
+          }
+          kids.foreach(walk(_, depth + 1))
+        }
+        walk(df.queryExecution.executedPlan, 1)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -67,13 +67,28 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame, files: Int): Unit = {
+    def write(t: String, df: DataFrame, files: Int,
+              clusterKey: Option[String] = None): Unit = {
       // 32 MB row groups: a scale table must expose enough independent
       // row groups that a 32-thread scan (either engine) is not capped
       // by file count — the round-5 layout's single-row-group 44 MB
       // files limited every lineitem scan to 8-way parallelism, which
       // benchmarks the layout artifact, not the engine.
-      df.repartition(files).write.mode(SaveMode.Overwrite)
+      //
+      // Cluster by the table's primary key where one exists: the
+      // driver's source tables arrive key-contiguous (sequential
+      // generation), and a production warehouse table is
+      // cluster-written the same way. The r12 lab runs measured the
+      // previous round-robin `repartition(files)` layout destroying
+      // that property in the replicas — every orderkey-grain partial
+      // aggregate lost its map-side combine and shuffled the full fact
+      // stream (q18's 60M-row exchange). Both engines scan the same
+      // files, so the layout is symmetric.
+      val arranged = clusterKey match {
+        case Some(k) => df.repartitionByRange(files, col(k)).sortWithinPartitions(k)
+        case None => df.repartition(files)
+      }
+      arranged.write.mode(SaveMode.Overwrite)
         .option("parquet.block.size", (32L * 1024 * 1024).toString)
         .parquet(s"$dst/$t.parquet")
       println(s"SCALEGEN $t -> $dst/$t.parquet ($files files)")
@@ -94,21 +109,30 @@ object ScaleGen {
 
     // file counts sized so the biggest tables scan 32-wide (one file
     // per core on this node; a real 100 TB table has thousands)
-    write("customer", replicate(read("customer"), n, Map("c_custkey" -> custS)), 4)
-    write("supplier", replicate(read("supplier"), n, Map("s_suppkey" -> suppS)), 2)
-    write("part", replicate(read("part"), n, Map("p_partkey" -> partS)), 4)
+    write("customer", replicate(read("customer"), n, Map("c_custkey" -> custS)), 4,
+      clusterKey = Some("c_custkey"))
+    write("supplier", replicate(read("supplier"), n, Map("s_suppkey" -> suppS)), 2,
+      clusterKey = Some("s_suppkey"))
+    write("part", replicate(read("part"), n, Map("p_partkey" -> partS)), 4,
+      clusterKey = Some("p_partkey"))
     write("orders", replicate(read("orders"), n,
-      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), 16)
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), 16,
+      clusterKey = Some("o_orderkey"))
     write("lineitem", replicate(read("lineitem"), n,
-      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), 32)
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), 32,
+      clusterKey = Some("l_orderkey"))
+    // events stay time-clustered: a stream lands in arrival order
     write("events", replicate(read("events"), n,
-      Map("event_id" -> evS, "user_id" -> userS)), 16)
+      Map("event_id" -> evS, "user_id" -> userS)), 16,
+      clusterKey = Some("ts"))
     write("documents", replicate(read("documents"), n, Map("doc_id" -> docS),
       perReplica = (d, i) =>
         if (i == 0) d
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_r" + i))
-          .withColumn("n_chars", length(col("text")).cast("long"))), 16)
-    write("embeddings", replicate(read("embeddings"), n, Map("vec_id" -> vecS)), 4)
+          .withColumn("n_chars", length(col("text")).cast("long"))), 16,
+      clusterKey = Some("doc_id"))
+    write("embeddings", replicate(read("embeddings"), n, Map("vec_id" -> vecS)), 4,
+      clusterKey = Some("vec_id"))
 
     spark.stop()
   }

@@ -90,7 +90,7 @@ object CoreQueries {
     // bucket-count-way parallelism before the join can prune.)
     val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
       .select(ord("o_orderkey"), ord("o_orderdate"))
-    li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+    li.join(oc.hint("shuffle_hash"), li("l_orderkey") === oc("o_orderkey"))
       .groupBy(li("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

@@ -514,11 +514,18 @@ object DedupOps {
     * table, never a re-run of the iterative CC. Cold start (canonical
     * asked for before clusters) computes it once and leaves it for the
     * next consumer. */
+  /** The materialized cluster table when dedup_clusters already built
+    * it this session, else computed once and memoized — the shared
+    * entry point for every policy step over near-dup clusters
+    * (canonical election, PretrainOps' soft-dedup weighting). */
+  private[operators] def clustersFor(s: SparkSession, d: String): DataFrame =
+    Option(clusterMemo.get((s, d))).getOrElse(dedupClusters(s, d))
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_rep")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val clusters = Option(clusterMemo.get((s, d))).getOrElse(dedupClusters(s, d))
+    val clusters = clustersFor(s, d)
     clusters.select("doc_id", "cluster_rep")
       .join(documents(s, d).select("doc_id", "n_chars"), "doc_id")
       .withColumn("is_canonical", row_number().over(w) === 1)
@@ -603,6 +610,26 @@ object DedupOps {
          |  WHERE sa.n_sh > 0 AND sb.n_sh > 0
          |    AND least(sa.n_sh, sb.n_sh) * 5 >= greatest(sa.n_sh, sb.n_sh) * 3)""".stripMargin
 
+  /** Shared recursive CTE chain ending in `clusters(doc_id,
+    * cluster_rep)` — the near-dup cluster table downstream policy
+    * oracles build on (canonical election here; soft-dedup weighting in
+    * PretrainOps). One definition, so the pair pipeline, the CC, and
+    * every consumer cannot drift apart. */
+  private[operators] val clustersCtesSql: String =
+    s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (SELECT doc_a, doc_b FROM scored
+       |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+       |  UNION
+       |  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
+       |),
+       |clusters AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+       |  FROM reach GROUP BY src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
@@ -615,38 +642,16 @@ object DedupOps {
          |FROM scored
          |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6""".stripMargin,
     "dedup_canonical" ->
-      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (SELECT doc_a, doc_b FROM scored
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
-         |edges AS (SELECT doc_a, doc_b FROM pairs
-         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-         |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
-         |reach AS (
-         |  SELECT doc_id AS src, doc_id AS dst FROM nodes
-         |  UNION
-         |  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
-         |),
-         |clusters AS (SELECT src AS doc_id, min(dst) AS cluster_rep
-         |  FROM reach GROUP BY src)
+      s"""$clustersCtesSql
          |SELECT c.doc_id, c.cluster_rep, d.n_chars,
          |  row_number() OVER (PARTITION BY c.cluster_rep
          |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_canonical
          |FROM clusters c JOIN documents d USING (doc_id)""".stripMargin,
     "dedup_clusters" ->
-      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (SELECT doc_a, doc_b FROM scored
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
-         |edges AS (SELECT doc_a, doc_b FROM pairs
-         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-         |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
-         |reach AS (
-         |  SELECT doc_id AS src, doc_id AS dst FROM nodes
-         |  UNION
-         |  SELECT r.src, e.doc_b AS dst FROM reach r JOIN edges e ON r.dst = e.doc_a
-         |)
-         |SELECT src AS doc_id, min(dst) AS cluster_rep,
-         |  CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS INT) AS is_keeper
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""$clustersCtesSql
+         |SELECT doc_id, cluster_rep,
+         |  CAST(CASE WHEN doc_id = cluster_rep THEN 1 ELSE 0 END AS INT) AS is_keeper
+         |FROM clusters""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sums AS (SELECT doc_id,

@@ -340,7 +340,54 @@ object OlapQueries {
         col("o_totalprice"), col("sum_qty"))
   }
 
+  /** Per-nation supplier skyline (Pareto frontier) on two maximize
+    * metrics: revenue supplied and distinct parts carried — "no other
+    * supplier in the nation is at least as good on both and strictly
+    * better on one". The multi-objective cousin of q_pareto's decile
+    * concentration.
+    *
+    * Scale shape: the naive skyline is a quadratic self-join; this plan
+    * is the sort-based linear scan expressed declaratively. Dominance
+    * is decided on DISTINCT metric pairs per nation with ONE window —
+    * sorted (revenue desc, n_parts desc), a pair is dominated iff the
+    * running max of n_parts over strictly-preceding rows reaches its
+    * own n_parts (preceding ⇒ revenue ≥, with equal-revenue ties
+    * ordered so only strictly-better part counts precede). Exact-tie
+    * pairs are deduped before the window (neither dominates the other)
+    * and restored by the semi-join back to supplier grain. The window
+    * partitions by nation — grouped-skyline parallelism, per-group
+    * input bounded by supplier-grain aggregation, no global sort, no
+    * n² anywhere. The fact scan aggregates lineitem → supplier grain
+    * first (the only fact-scale shuffle); dimensions broadcast. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
+          .cast("double") * 100 + 0.5) / 100).as("revenue"),
+        countDistinct("l_partkey").as("n_parts"))
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
+        col("revenue"), col("n_parts"))
+    val pairs = j.select("nation", "revenue", "n_parts").distinct()
+    val w = Window.partitionBy("nation")
+      .orderBy(col("revenue").desc, col("n_parts").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pairs.withColumn("mx", max("n_parts").over(w))
+      .filter(col("mx").isNull || col("mx") < col("n_parts"))
+      .select(col("nation").as("sk_n"), col("revenue").as("sk_r"),
+        col("n_parts").as("sk_p"))
+    j.join(sky, col("nation") === col("sk_n") &&
+        col("revenue") === col("sk_r") && col("n_parts") === col("sk_p"),
+      "left_semi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q13_order_dist" -> (q13OrderDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -356,6 +403,20 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // dominance stated declaratively (NOT EXISTS); the Spark side's
+    // window-scan skyline must produce the identical frontier
+    "q_skyline" ->
+      """WITH m AS (SELECT l_suppkey AS suppkey,
+        |    floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+        |    count(DISTINCT l_partkey) AS n_parts
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name AS nation, suppkey, revenue, n_parts FROM m
+        |  JOIN supplier ON suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, suppkey, revenue, n_parts FROM j p
+        |WHERE NOT EXISTS (SELECT 1 FROM j q WHERE q.nation = p.nation
+        |  AND q.revenue >= p.revenue AND q.n_parts >= p.n_parts
+        |  AND (q.revenue > p.revenue OR q.n_parts > p.n_parts))""".stripMargin,
     "q13_order_dist" ->
       """WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -579,7 +579,38 @@ object PretrainOps {
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Soft dedup — duplicate-count down-weighting instead of dropping
+    * (the data-mixing alternative to hard dedup: near-dup cluster
+    * members each carry weight 1/|cluster|, so the cluster contributes
+    * one document's worth of training mass however many copies exist;
+    * unclustered documents keep weight 1). Reported per language:
+    * raw count vs effective (weighted) count — the number a mixture
+    * planner actually budgets against.
+    *
+    * Scale: reads the MATERIALIZED cluster table
+    * ([[DedupOps.clustersFor]] — memo-or-compute, the dedup_canonical
+    * sharing posture), sizes clusters with one tiny aggregate, and
+    * weights ride a doc_id equi-join back to the corpus. Weights are
+    * fixed-point-rounded per doc and summed as DECIMAL, so the
+    * per-language total is exact under any partitioning — no
+    * float-summation-order hazard between engines. */
+  def mixDedupWeighted(s: SparkSession, d: String): DataFrame = {
+    val dec189 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val clusters = DedupOps.clustersFor(s, d).select("doc_id", "cluster_rep")
+    val sizes = clusters.groupBy("cluster_rep").agg(count(lit(1)).as("csz"))
+    val wts = clusters.join(sizes, "cluster_rep")
+      .select(col("doc_id"),
+        (floor(lit(1.0) / col("csz") * 1e9 + 0.5) / 1e9).as("w"))
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(wts, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("w"), lit(1.0)).cast(dec189)).cast("double")
+          .as("effective_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_dedup_weighted" -> (mixDedupWeighted _),
     "sample_quality_topk" -> (sampleQualityTopk(_, _)),
     "mix_token_budget" -> (mixTokenBudget _),
     "pretrain_quality_score" -> (pretrainQualityScore _),
@@ -600,6 +631,17 @@ object PretrainOps {
   )
 
   private val baseOracle: Map[String, String] = Map(
+    // builds on DedupOps' shared recursive cluster CTE chain — the
+    // pair pipeline, CC, and this weighting cannot drift apart
+    "mix_dedup_weighted" ->
+      s"""${DedupOps.clustersCtesSql},
+         |sizes AS (SELECT cluster_rep, count(*) AS csz FROM clusters GROUP BY 1),
+         |w AS (SELECT doc_id, floor(1.0 / csz * 1e9 + 0.5) / 1e9 AS w
+         |  FROM clusters JOIN sizes USING (cluster_rep))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(coalesce(w.w, 1.0) AS DECIMAL(18,9))) AS DOUBLE) AS effective_docs
+         |FROM documents LEFT JOIN w USING (doc_id)
+         |GROUP BY lang""".stripMargin,
     "sample_quality_topk" ->
       """WITH base AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

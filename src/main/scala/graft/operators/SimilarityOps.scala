@@ -253,7 +253,38 @@ object SimilarityOps {
       .filter(col("rk") <= K)
   }
 
+  private val KNN_STRIDE = 101 // probe subset: vec_id % stride == 0
+  private val KNN_K = 3
+
+  /** k-NN graph construction over the corpus — each probe vector's
+    * exact top-k cosine neighbors WITHIN its label block (the coarse
+    * partition a production pipeline gets from IVF/cluster assignment;
+    * same blocking premise as [[dedupEmbedding]]). The probe subset is
+    * a deterministic stride of the id space, standing in for the
+    * incremental frontier a real graph build processes per batch.
+    *
+    * Scale: probes broadcast (a stride of the corpus), candidates scan
+    * once map-side through the fused-loop cosine, and the per-probe
+    * rank keeps k rows — the only shuffle is the rank's probe-keyed
+    * exchange, already pruned to candidate pairs. No all-pairs
+    * anywhere: cost is O(|probes| · block), the IVF search budget. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % KNN_STRIDE === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("vid"), col("label"),
+      col("embedding").as("ve"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    cands.join(broadcast(probes),
+        col("label") === col("qlabel") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (simKnnGraph _),
     "sim_cosine_topk" -> (simCosineTopK _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
@@ -277,6 +308,21 @@ object SimilarityOps {
       .withColumn("is_keeper", (col("vec_id") === col("cluster_rep")).cast("int"))
 
   private val baseOracle: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+         |  FROM embeddings WHERE vec_id % $KNN_STRIDE = 0),
+         |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve
+         |  FROM q JOIN embeddings ON label = qlabel AND vec_id <> qid),
+         |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM flat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $KNN_K""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
          |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve

@@ -406,8 +406,30 @@ object TextOps {
         (floor(col("m") / ln10 * 10000 + 0.5) / 10000).as("mean_logp2"))
   }
 
+  /** Token-distribution Shannon entropy per document (base 2) — the
+    * lexical-diversity quality signal (low entropy ⇒ repetitive or
+    * templated text; the cheap member of the CCNet/Gopher filter
+    * family next to [[textLogprob]]'s corpus-frequency fluency).
+    *
+    * Map-only: the native `graft_token_entropy` expression
+    * (plans/EntropyExpr.scala) computes exact per-doc token counts and
+    * the entropy in ONE byte sweep per row — no token-stream explode,
+    * no shuffle anywhere in the plan, so the signal runs at scan speed
+    * over 100 TB. Contrast with the oracle's unnest + entropy()
+    * aggregate, which shuffles every token. Fixed-point floor-round at
+    * 4 decimals keeps the double engine-portable. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    graft.plans.EntropyExpr.register(s)
+    documents(s, d).select(
+      col("doc_id"),
+      (size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      (floor(expr("graft_token_entropy(text)") * 10000 + 0.5) / 10000)
+        .as("token_entropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_logprob" -> (textBigramLogprob _),
+    "text_entropy" -> (textEntropy _),
     "text_sentences" -> (textSentences _),
     "text_casing" -> (textCasing _),
     "text_line_dedup" -> (textLineDedup _),
@@ -422,6 +444,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's entropy() aggregate is base-2 Shannon entropy over the
+    // value multiset — the same H = log2(N) − Σ c·log2(c)/N the native
+    // expression computes from exact counts
+    "text_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(entropy(tok) * 10000 + 0.5) / 10000 AS token_entropy
+        |FROM toks GROUP BY doc_id""".stripMargin,
     // parallel equal-length unnests zip in DuckDB (text_line_dedup uses
     // the same idiom); chr(31) separates bigram halves unambiguously
     "text_bigram_logprob" ->

@@ -122,6 +122,46 @@ case class ShingleHashes64(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_token_hashes(text)` → array<long>: the XXH64 hash of EVERY
+  * whitespace token of `text`, in order, duplicates preserved — the
+  * probe stream of the unigram-LM scoring join (TextOps.textLogprob),
+  * produced by one byte sweep with zero string materialization. The
+  * hash must agree with `xxhash64(tok)` over the same `split(text,
+  * " ")` tokens (XXH64 over the token's UTF-8 bytes, seed 42), so the
+  * count side and the probe side can mix expression forms freely. */
+case class TokenHashes64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_hashes expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val starts = ShingleBytes.tokenStarts(base, off, s.numBytes())
+    val n = starts.length - 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val st = starts(i)
+      val en = starts(i + 1) - 1
+      hashes(i) = XXH64.hashUnsafeBytes(base, off + st, en - st, ShingleBytes.Seed)
+      i += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes64 =
+    copy(child = newChild)
+}
+
 /** `graft_candidate_shingles(text, candidates array<long>)` →
   * array<string>: the DISTINCT 3-token shingle STRINGS of `text` whose
   * window hash (same chained XXH64 as [[ShingleHashes64]]) lands in
@@ -195,6 +235,10 @@ object ShingleExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_candidate_shingles",
       (children: Seq[Expression]) => CandidateShingles(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_hashes",
+      (children: Seq[Expression]) => TokenHashes64(children.head),
       "built-in")
   }
 }

@@ -265,7 +265,43 @@ object StreamOps {
       .filter(col("rk") <= 3)
   }
 
+  /** Stream-static enrichment: the events stream broadcast-joins the
+    * static customer→nation dimension map-side (the standard streaming
+    * enrich shape — the dim is a batch DataFrame, re-read per
+    * micro-batch by the engine, no state), then aggregates hourly
+    * windows per nation under a watermark. At scale the dim side is
+    * the broadcast: the stream never shuffles for the join, only for
+    * the windowed agg — exactly the plan a 100 TB/day ingest needs.
+    * Semantics equal the batch join+rollup; that is the oracle. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, d).schema
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val stream = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(streamDir(d, "events")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("n_name").as("nation"), col("n_events"), col("sum_value"))
+    val name = replaceOwnedView(s, "enrich_")
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> (streamEnrich _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
@@ -273,6 +309,14 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_enrich" ->
+      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
+        |  n_name AS nation, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     "stream_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events

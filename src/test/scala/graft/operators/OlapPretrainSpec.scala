@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class OlapQueriesSpec extends SparkTestBase {
 
+  test("skyline: window-scan frontier equals the quadratic dominance definition") {
+    val df = OlapQueries.qSkyline(spark, sf)
+    val got = df.collect().map(r => (r.getAs[String]("nation"),
+      r.getAs[Long]("suppkey"), r.getAs[Double]("revenue"),
+      r.getAs[Long]("n_parts"))).toSet
+    // recompute supplier metrics once (same fixed-point rounding), then
+    // brute-force dominance in the spec
+    val m = spark.sql(
+      s"""SELECT n_name AS nation, l_suppkey AS suppkey,
+         |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM parquet.`$sf/lineitem.parquet`
+         |JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
+         |JOIN parquet.`$sf/nation.parquet` ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = m.filter { p =>
+      !m.exists(q => q._1 == p._1 && q._3 >= p._3 && q._4 >= p._4 &&
+        (q._3 > p._3 || q._4 > p._4))
+    }.toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    // frontier is an antichain per nation, and the plan is never quadratic
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"skyline must stay sort/window-based, not a quadratic join:\n$plan")
+  }
+
   test("q6: pure scan-agg — no join, no Exchange beyond the final single-row agg") {
     val df = OlapQueries.q6Forecast(spark, sf)
     val r = df.head()
@@ -154,6 +181,33 @@ class OlapQueriesSpec extends SparkTestBase {
 }
 
 class PretrainOpsSpec extends SparkTestBase {
+
+  test("soft dedup: weights are 1/cluster-size, totals reconcile per language") {
+    val rows = PretrainOps.mixDedupWeighted(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("effective_docs"))).toMap
+    assert(rows.nonEmpty)
+    // recompute from the cluster table + documents directly
+    val clusters = DedupOps.clustersFor(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep"))
+    val csz = clusters.groupBy(_._2).view.mapValues(_.size).toMap
+    val wByDoc = clusters.map { case (d, rep) =>
+      d -> math.floor(1.0 / csz(rep) * 1e9 + 0.5) / 1e9
+    }.toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val (n, eff) = rows(lang)
+      assert(n == ds.length.toLong, s"$lang raw count")
+      val expected = ds.map(d => BigDecimal(wByDoc.getOrElse(d._1, 1.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(eff - expected) < 1e-9, s"$lang: got $eff expected $expected")
+      assert(eff <= n + 1e-9, "weighting can only shrink the effective count")
+    }
+    // clustered docs exist at this SF, so some language must shrink
+    assert(rows.values.exists { case (n, eff) => eff < n - 1e-6 },
+      "near-dup clusters must down-weight at least one language")
+  }
 
   test("gopher rules: map-only plan (no Exchange), both keep classes populated") {
     val df = PretrainOps.textGopherRules(spark, sf)

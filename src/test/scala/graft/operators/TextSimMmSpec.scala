@@ -5,6 +5,48 @@ import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkTestBase {
 
+  test("token entropy: native one-pass expression equals the multiset definition") {
+    val got = TextOps.textEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("token_entropy"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      // split(" ") with empty tokens preserved — the oracle's
+      // string_split contract
+      val toks = text.split(" ", -1)
+      val n = toks.length.toDouble
+      val acc = toks.groupBy(identity).values
+        .map(g => g.length * math.log(g.length.toDouble)).sum
+      val h = math.log(n) / math.log(2.0) - acc / (n * math.log(2.0))
+      val expected = math.floor(h * 10000 + 0.5) / 10000
+      val (gn, gh) = got(id)
+      assert(gn == toks.length, s"doc $id token count")
+      assert(gh == expected, s"doc $id: got $gh expected $expected")
+    }
+    // zero-shuffle contract: the whole signal is map-side
+    val plan = TextOps.textEntropy(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"text_entropy must not shuffle:\n$plan")
+  }
+
+  test("token entropy edge cases: uniform text is log2(n), repeated token is 0") {
+    val s = spark
+    import s.implicits._
+    graft.plans.EntropyExpr.register(s)
+    val df = Seq(
+      (1L, "a b c d"),   // 4 distinct -> H = 2.0
+      (2L, "x x x x"),   // 1 distinct -> H = 0.0
+      (3L, "a"),         // single token -> 0.0
+      (4L, "a  b")       // empty token between double spaces counts
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_token_entropy(text) AS h")
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 2.0 && m(2L) == 0.0 && m(3L) == 0.0)
+    // "a", "", "b": three distinct tokens -> log2(3)
+    assert(math.abs(m(4L) - math.log(3.0) / math.log(2.0)) < 1e-12)
+  }
+
   test("token counts: ws and bpe-ish counts positive, bpe >= ws for word text") {
     val rows = TextOps.textTokens(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("n_ws_tokens") > 0))
@@ -139,6 +181,38 @@ class TextOpsSpec extends SparkTestBase {
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
+
+  test("knn graph: exact within-label top-3 vs an in-spec brute force; probes broadcast") {
+    val df = SimilarityOps.simKnnGraph(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rk"))).toSet
+    // brute force from the raw table: cosine over every same-label
+    // pair of each probe, rounded like the op, ranked with the same
+    // tiebreak
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(label AS BIGINT) AS label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = emb.filter(_._1 % 101 == 0).flatMap { case (qid, qlabel, qe) =>
+      emb.filter(e => e._2 == qlabel && e._1 != qid)
+        .map(e => (e._1, cos(qe, e._3)))
+        .sortBy { case (vid, s) => (-s, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, s), i) => (qid, vid, s, i + 1) }
+    }.toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe side must broadcast — the corpus scan never shuffles for the join")
+  }
 
   test("brute-force top-k: k rows per query, sims in [-1,1], self excluded") {
     val rows = SimilarityOps.simCosineTopK(spark, sf).collect()

@@ -6,6 +6,26 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 class StreamOpsSpec extends SparkTestBase {
 
+  test("stream-static enrich equals the batch join+rollup; dim side broadcast") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamEnrich(spark, sf).collect()
+      .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("nation")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toMap
+    val batch = graft.Tables.events(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy((expr("ts div 1000 div 3600000000") * 3600).as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[String]("n_name")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv")))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("windowed agg over the stream equals the batch hourly rollup") {
     import org.apache.spark.sql.functions._
     val streamed = StreamOps.streamWindowedAgg(spark, sf).collect()
