@@ -118,7 +118,7 @@ object Bench {
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmupDir).collect() } catch { case _: Throwable => () }
       }
     }
     // Two timed passes, keep the per-query minimum: the first pass at
@@ -130,11 +130,18 @@ object Bench {
     // failure wall time (which reads as a plausible fast result in the
     // artifact); sentinels survive the min-of-two and are excluded
     // from the total, with the failure count reported alongside.
+    // Timed action is collect(), NOT count(): count() over a final
+    // aggregate/projection lets Catalyst prune every value expression
+    // the row count doesn't need, so aggregate sums / per-row scores
+    // were never evaluated in a count()-timed pass (found r12 at sf10:
+    // q1_agg under count() skipped all six sums). collect() needs all
+    // output columns — nothing prunes — and matches the DuckDB
+    // baseline's fetchall() exactly.
     def timedQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                    dir: String): (String, Double) = {
       val t0 = System.nanoTime()
       try {
-        ObservabilityListener.withTag(spark, name) { fn(spark, dir).count(): Unit }
+        ObservabilityListener.withTag(spark, name) { fn(spark, dir).collect(): Unit }
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: $name FAILED: $e")

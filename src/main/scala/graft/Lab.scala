@@ -190,6 +190,111 @@ object Lab {
             .cast(dec184)).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
+      }),
+      "q10_preagg" -> (() => {
+        // aggregate revenue at custkey grain BEFORE the customer join:
+        // the wide (name, acctbal) columns never ride an exchange, and
+        // the post-agg side is small enough for AQE to broadcast
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val rev = l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec184)).cast("double").as("revenue"))
+        rev.join(customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      }),
+      "q4_current" -> (() => operators.OlapQueries.queries("q4_order_priority")(s, d)),
+      "q4_bcast_distinct" -> (() => {
+        // EXISTS via broadcast inner join + distinct-orderkey agg: the
+        // quarter-order side broadcasts, lineitem streams map-side, and
+        // the only exchange carries the ~matching-order grain
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = lineitem(s, d).select("l_orderkey", "l_shipdate")
+        l.join(broadcast(o),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+          .groupBy("o_orderkey", "o_orderpriority")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      }),
+      "q4_maxship" -> (() => {
+        // EXISTS(l.shipdate > o.date) == max(l.shipdate) per order > o.date:
+        // orderkey-clustered layout gives the pre-agg full map-side combine
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val lmax = lineitem(s, d).select("l_orderkey", "l_shipdate")
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("max_ship"))
+        lmax.join(broadcast(o),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("max_ship") > col("o_orderdate"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      }),
+      "sky_current" -> (() => operators.OlapQueries.queries("q_skyline")(s, d)),
+      "sky_agg_expand" -> (() => lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("r"),
+          countDistinct("l_partkey").as("np"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "sky_agg_twophase" -> (() => lineitem(s, d)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("pr"))
+        .groupBy("l_suppkey")
+        .agg(sum("pr").as("r"), count(lit(1)).as("np"))
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "evt_current" -> (() => operators.OlapQueries.queries("q_event_transitions")(s, d)),
+      "q18_aggonly" -> (() => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "q18_aggonly_dbl" -> (() => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+        .groupBy().agg(count(lit(1)).as("n"))),
+      "sky_np_current" -> (() => lineitem(s, d)
+        .select(col("l_suppkey").as("np_suppkey"), col("l_partkey")).distinct()
+        .groupBy(col("np_suppkey")).agg(count(lit(1)).as("n_parts"))
+        .agg(sum("n_parts").as("x"))),
+      "sky_np_packed" -> (() => {
+        // single-long pair key + explicit pre-partitioning: the
+        // distinct's partial aggregate (which dedups ~1% of rows at
+        // 2.5 us/row) is elided because the child is already
+        // hash-partitioned on the key
+        val stride = lineitem(s, d).agg(max("l_partkey")).head.getLong(0) + 1L
+        lineitem(s, d)
+          .select((col("l_suppkey") * stride + col("l_partkey")).as("pk"))
+          .repartition(col("pk"))
+          .distinct()
+          .select((col("pk") / stride).cast("long").as("np_suppkey"))
+          .groupBy("np_suppkey").agg(count(lit(1)).as("n_parts"))
+          .agg(sum("n_parts").as("x"))
+      }),
+      "pareto_ntile_only" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        orders(s, d).groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("cust_rev"))
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
+          .groupBy().agg(count(lit(1)).as("n"))
       })
     )
   }
@@ -222,9 +327,12 @@ object Lab {
     val todo = if (names.isEmpty || names == Seq("all")) exps.keys.toSeq.sorted else names
     todo.foreach { n =>
       val fn = exps(n)
+      // collect(), not count(): count() column-prunes value
+      // expressions (see QTime) — a count-timed probe of an aggregate
+      // measures the grouping only, never the sums
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn().count()
+        fn().collect()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"LAB $n%-24s ${ts.min}%8.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")

@@ -55,27 +55,39 @@ object QTime {
       if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
         // warm-up failure (e.g. a query that can't run at the tiny SF)
         // is a skip, not an abort — mirror Bench's protocol
-        try fn(spark, warmupDir).count(): Unit
+        try fn(spark, warmupDir).collect(): Unit
         catch { case scala.util.control.NonFatal(_) => () }
+      // Timed action is collect(), NOT count(): count() over a final
+      // aggregate/projection lets Catalyst column-prune every value
+      // expression the row count doesn't need (OptimizeOneRowPlan +
+      // ColumnPruning) — measured at sf10, q1_agg's six aggregate
+      // sums were never evaluated under count() (1.1 s) while the
+      // honest evaluation costs many times that. collect() needs every
+      // output column, so nothing is pruned — and it is the exact
+      // analogue of the DuckDB baseline's fetchall(). Each pass builds
+      // a FRESH DataFrame: re-collecting one Dataset instance replays
+      // its already-materialized shuffle stages and measures nothing.
+      var cnt = 0L
       def timed(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        cnt = fn(spark, sfDir).collect().length.toLong
         (System.nanoTime() - t0) / 1e9
       }
       // min-of-N (SPARK_GRAFT_QTIME_PASSES, default 2): single runs on
       // this VM swing 1.5-2× on 1-4 s queries; scale artifacts use 3
       val passes = sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").toInt
       val ts = (1 to passes).map(_ => timed())
-      val executed = fn(spark, sfDir)
-      val cnt = executed.count()
       out(n) = (ts.min, cnt)
       val detail = ts.zipWithIndex.map { case (t, i) => f"p${i + 1}=$t%.2f" }.mkString(" ")
       println(f"QTIME $n%-24s ${ts.min}%8.2f s  ($detail) rows=$cnt")
       // SPARK_GRAFT_QTIME_EXPLAIN=1: dump the POST-execution physical
       // plan (AQE's final shape — coalesced reads, runtime join picks —
       // which a pre-execution explain never shows)
-      if (sys.env.contains("SPARK_GRAFT_QTIME_EXPLAIN"))
+      if (sys.env.contains("SPARK_GRAFT_QTIME_EXPLAIN")) {
+        val executed = fn(spark, sfDir)
+        executed.collect(): Unit
         println(executed.queryExecution.executedPlan.toString)
+      }
     }
     sys.env.get("SPARK_GRAFT_QTIME_OUT").foreach { f =>
       val qs = out.map { case (k, (sec, rows)) =>

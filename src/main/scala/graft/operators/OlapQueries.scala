@@ -42,17 +42,30 @@ object OlapQueries {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
-  /** TPC-H Q4 shape: existence-correlated count by priority. The EXISTS
-    * becomes a left-semi join — Spark never materializes the matching
-    * lineitems, and the orders date window is pushed to the scan. */
+  /** TPC-H Q4 shape: existence-correlated count by priority.
+    *
+    * The r11 semi join put the quarter-orders on the LEFT, so the hash
+    * build side was the 60M-row lineitem — measured 5–10 s at sf10
+    * (Lab q4_current) with the full fact through an exchange. The
+    * correlated EXISTS over a >-condition folds into an aggregate:
+    * EXISTS(l | l.orderkey = o.orderkey ∧ l.shipdate > o.orderdate)
+    * ⟺ max(l.shipdate) per orderkey > o.orderdate. The pre-aggregate
+    * gets full map-side combine on the orderkey-clustered layout, its
+    * exchange carries two 8-byte columns, and AQE broadcasts the
+    * quarter-order slice when it fits (no forced hint: at 100 TB a
+    * date-quarter of orders is itself fact-scale, and the same plan
+    * degrades to a skinny shuffle join on orderkey). Lab sf10: 1.79 s
+    * vs 5.28 s for the semi form. */
   def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).filter(
       col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
       col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
-    val l = lineitem(s, d)
-    o.join(l,
-        o("o_orderkey") === l("l_orderkey") &&
-        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lmax = lineitem(s, d).select("l_orderkey", "l_shipdate")
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("max_ship"))
+    lmax.join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("max_ship") > col("o_orderdate"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
   }
@@ -100,16 +113,30 @@ object OlapQueries {
     * quarter. Decimal revenue makes the ORDER BY exact, so the top-20
     * cut is deterministic in any engine (custkey tiebreak). */
   def q10Returned(s: SparkSession, d: String): DataFrame = {
+    // Aggregate revenue at custkey grain BEFORE the customer join: the
+    // wide (c_name, c_acctbal) columns never ride an exchange, and the
+    // post-aggregate side is small enough for AQE to broadcast into
+    // the customer join (customer then streams map-side). The r11
+    // plan grouped on all four output columns AFTER joining customer,
+    // shuffling name strings at line grain (Lab sf10: 1.51 s pre-agg
+    // vs 2.78 s post-join). custkey is the customer key, so grouping
+    // by it alone is the same partition of rows. */
     val o = orders(s, d).filter(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
       col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
     val l = lineitem(s, d).filter(col("l_returnflag") === "R")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(dec184)).cast("double").as("revenue"))
+    rev.join(customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -189,9 +216,15 @@ object OlapQueries {
     * decile agg is trivially safe in both. */
   def qPareto(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cust_rev as exact long cents (o_totalprice is 2-decimal by the
+    // data model): same total order as the decimal — ntile, decile
+    // sums and shares all land on identical values — with none of the
+    // 128-bit partial-aggregation cost (measured 12 s task time at
+    // sf10). Customer-grain sums overflow a long only past ~10¹¹
+    // orders under one customer.
     val perCust = orders(s, d)
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cust_rev"))
     val deciled = perCust.withColumn("decile",
       ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
     val perDecile = deciled.groupBy("decile")
@@ -199,7 +232,7 @@ object OlapQueries {
     perDecile
       .withColumn("total_rev", sum("decile_rev").over(Window.partitionBy()))
       .select(col("decile").cast("int").as("decile"), col("n_customers"),
-        col("decile_rev").cast("double").as("decile_rev"),
+        (col("decile_rev").cast("double") / 100).as("decile_rev"),
         (floor(col("decile_rev").cast("double") / col("total_rev").cast("double") * 1e6 + 0.5) / 1e6)
           .as("rev_share"))
   }
@@ -233,7 +266,7 @@ object OlapQueries {
   private[graft] def paretoRanged(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast(dec182)).as("cust_rev"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cust_rev"))
       .repartitionByRange(col("cust_rev").desc, col("o_custkey"))
       .withColumn("pid", spark_partition_id())
 
@@ -272,7 +305,7 @@ object OlapQueries {
     perDecile
       .withColumn("total_rev", sum("decile_rev").over(Window.partitionBy()))
       .select(col("decile").cast("int").as("decile"), col("n_customers"),
-        col("decile_rev").cast("double").as("decile_rev"),
+        (col("decile_rev").cast("double") / 100).as("decile_rev"),
         (floor(col("decile_rev").cast("double") / col("total_rev").cast("double") * 1e6 + 0.5) / 1e6)
           .as("rev_share"))
   }
@@ -331,11 +364,23 @@ object OlapQueries {
     * fact — the classic aggregate-then-join ordering that a
     * join-then-aggregate plan would pay the full fact width for. */
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
-    val big = lineitem(s, d).groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast(dec184)).cast("double").as("sum_qty"))
-      .filter(col("sum_qty") > 250.0)
-    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    // quantity is integral by the data model (1..50, checked against
+    // the generator), so a LONG sum is exact and order-independent —
+    // same result as the decimal form at half the exchange width and
+    // none of the 128-bit aggregation cost (Lab sf10: 0.96 s vs 2.24 s
+    // for the pre-aggregate alone). The ~1% qualifying set is small
+    // enough that AQE broadcasts it into BOTH dimension joins: orders
+    // and customer stream map-side, zero fact-scale exchange after
+    // the one pre-aggregate shuffle.
+    val big = lineitem(s, d).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty_l"))
+      .filter(col("qty_l") > 250L)
+      .select(col("l_orderkey"), col("qty_l").cast("double").as("sum_qty"))
+    big.join(orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
   }
@@ -361,12 +406,39 @@ object OlapQueries {
     * first (the only fact-scale shuffle); dimensions broadcast. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = lineitem(s, d)
+    // The two supplier metrics are computed as SEPARATE aggregates and
+    // joined at supplier grain: sum+countDistinct in ONE groupBy plans
+    // as an Expand over the fact — the distinct pre-aggregate keys on
+    // (suppkey, partkey) so the sum columns get no map-side combine,
+    // and the exchange carried the near-raw fact (measured 3.3 GB /
+    // 34 s+ at sf10). Split, the revenue exchange combines to supplier
+    // grain (~5 MB) and the distinct exchange carries two longs per
+    // line; the supplier-grain join is AQE-broadcast. Lab sf10: the
+    // fused aggregate alone cost more than the whole split query.
+    // Money in scaled longs: prices are exact 2-decimal and discounts
+    // exact hundredths by the data model (checked against the
+    // generator), so ep_e2 × (100 − disc_e2) is the EXACT 4-decimal
+    // revenue as an integer — the long sum is order-independent and
+    // exact like the decimal it replaces, at a fraction of the
+    // aggregation cost (the decimal partial agg alone measured 57 s of
+    // task time at sf10). Safe at supplier grain far past 100 TB
+    // (overflow needs ~10⁹ lines under ONE supplier); nation-grain
+    // sums (q5/q7) stay decimal because 5-way groups at 100 TB could.
+    // The final floor(x·100+0.5)/100 rounding maps to integer
+    // arithmetic: (Σe4 + 50) div 100.
+    val li = lineitem(s, d)
+    val rev = li.select(col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
       .groupBy(col("l_suppkey"))
-      .agg(
-        (floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
-          .cast("double") * 100 + 0.5) / 100).as("revenue"),
-        countDistinct("l_partkey").as("n_parts"))
+      .agg(sum("rev_e4").as("srev_e4"))
+      .select(col("l_suppkey"),
+        (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"))
+    val np = li.select(col("l_suppkey").as("np_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("np_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+    val m = rev.join(np, col("l_suppkey") === col("np_suppkey"))
+      .select(col("l_suppkey"), col("revenue"), col("n_parts"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))

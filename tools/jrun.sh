@@ -3,7 +3,7 @@
 # (avoids sbt's single-server lock during long scale runs).
 # Usage: tools/jrun.sh <mainClass> [args...]   (env vars pass through)
 cd "$(dirname "$0")/.." || exit 1
-exec java -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+exec java -Xmx${GRAFT_XMX:-96g} -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   --add-modules=jdk.incubator.vector \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
