@@ -37,16 +37,34 @@ object CoreQueries {
     * At 100 TB this is map-side partial agg into 6 groups — network
     * traffic is O(partitions), not O(rows). */
   def q1Agg(s: SparkSession, d: String): DataFrame =
+    // Two-level exact money sums (Money.scala): q1's groups are
+    // 6-way, so a single long per group would overflow at ~10 TB of
+    // lineitem — the inner aggregate sums exact scaled longs per
+    // (group, orderkey-hash bucket) with full map-side combine, the
+    // outer sums the ≤1024 bucket subtotals per group as DECIMAL.
+    // Honest (collect-timed) cost at sf10 dropped ~10× vs the direct
+    // decimal aggregate; results are bit-identical to the oracle's
+    // DECIMAL semantics. avgs stay double (cheap, tolerance-rounded
+    // on both sides).
     lineitem(s, d)
       .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("q_l"),
+        sum(Money.e2(col("l_extendedprice"))).as("bp_e2"),
+        sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("dp_e4"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("q_d"),
+        sum(col("l_discount")).as("disc_d"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec182)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec182)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("sum_disc_price"),
-        count(lit(1)).as("count_order"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc")
+        sum(col("q_l")).cast("double").as("sum_qty"),
+        Money.outerE2(col("bp_e2")).as("sum_base_price"),
+        Money.outerE4(col("dp_e4")).as("sum_disc_price"),
+        sum(col("cnt")).as("count_order"),
+        round(sum(col("q_d")) / sum(col("cnt")), 4).as("avg_qty"),
+        round(sum(col("disc_d")) / sum(col("cnt")), 6).as("avg_disc")
       )
 
   /** Predicate + projection pushdown: the parquet scan must read only
@@ -90,11 +108,17 @@ object CoreQueries {
     // bucket-count-way parallelism before the join can prune.)
     val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
       .select(ord("o_orderkey"), ord("o_orderdate"))
+    // Revenue as exact scaled longs at order grain (Money.scala:
+    // ≤7 lines per order — no overflow at any corpus size); the top-k
+    // orders on the long (same total order as the double it becomes,
+    // and exact), convert to dollars only for the 10 output rows.
     li.join(oc.hint("shuffle_hash"), li("l_orderkey") === oc("o_orderkey"))
       .groupBy(li("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("orderdate"),
+        Money.e4ToDouble(col("rev_e4")).as("revenue"))
   }
 
   /** TPC-H Q5 shape: snowflake join through region→nation→customer→
@@ -128,12 +152,17 @@ object CoreQueries {
     val oc = o.join(cAsia, o("o_custkey") === cAsia("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    // nation-grain (5 groups) money: two-level exact sums — long e4
+    // per (nation, orderkey-bucket) with map-side combine, DECIMAL
+    // across the ≤1024 bucket subtotals (Money.scala overflow note)
     lineitemT.join(oc, col("l_orderkey") === oc("o_orderkey"))
       .join(broadcast(sup),
         col("l_suppkey") === sup("s_suppkey") &&
         col("c_nationkey") === sup("s_nationkey"))
+      .groupBy(col("n_name"), Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).cast("double").as("revenue"))
+      .agg(Money.outerE4(col("rev_e4")).as("revenue"))
   }
 
   /** Post-aggregation filter (HAVING). */
@@ -141,8 +170,10 @@ object CoreQueries {
     orders(s, d)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("order_count"),
-           sum(col("o_totalprice").cast(dec182)).cast("double").as("total_spent"))
+           sum(Money.e2(col("o_totalprice"))).as("ts_e2"))
       .filter(col("order_count") >= 15)
+      .select(col("o_custkey"), col("order_count"),
+        Money.e2ToDouble(col("ts_e2")).as("total_spent"))
 
   /** Global top-k — plans as TakeOrderedAndProject: each partition
     * keeps k rows, driver merges; no full sort at 100 TB. */
@@ -185,10 +216,16 @@ object CoreQueries {
 
   /** Hierarchical aggregate (ROLLUP) — grouping sets in one pass. */
   def qRollup(s: SparkSession, d: String): DataFrame =
+    // exact longs per (status, priority, bucket) first — the fact
+    // stream never meets a decimal — then ROLLUP over the ~15k-row
+    // subtotal table with DECIMAL cross-bucket sums (Money.scala)
     orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        Money.bucket(col("o_orderkey")).as("mb"))
+      .agg(count(lit(1)).as("cnt"), sum(Money.e2(col("o_totalprice"))).as("sp_e2"))
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(dec182)).cast("double").as("sum_price"))
+      .agg(sum(col("cnt")).as("n_orders"),
+           Money.outerE2(col("sp_e2")).as("sum_price"))
 
   /** Partitioned ranking: top-3 orders per customer-nation by price.
     * One shuffle on the window partition key; rank filter applied
@@ -215,7 +252,7 @@ object CoreQueries {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("running_total",
-        sum(col("value").cast(dec182)).over(w).cast("double"))
+        Money.e2ToDouble(sum(Money.e2(col("value"))).over(w)))
   }
 
   /** Conditional-aggregation pivot: event counts per user × type. */
@@ -253,7 +290,7 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_events"),
            min("ts_s").as("session_start"),
            max("ts_s").as("session_end"),
-           sum(col("value").cast(dec182)).cast("double").as("session_value"))
+           Money.e2ToDouble(sum(Money.e2(col("value")))).as("session_value"))
   }
 
   /** JSON field extraction from the events.props payload. */
@@ -283,22 +320,30 @@ object CoreQueries {
     * engines/partitionings. */
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val stats = o.agg(sum(col("o_totalprice").cast(dec182)).as("tp_sum"),
-                      count(lit(1)).as("n"))
+    val stats = o.groupBy(Money.bucket(col("o_orderkey")).as("mb"))
+      .agg(sum(Money.e2(col("o_totalprice"))).as("tp_e2"), count(lit(1)).as("cnt"))
+      .agg(sum(col("tp_e2").cast(org.apache.spark.sql.types.DecimalType(28, 0))).as("tp_sum_e2"),
+           sum(col("cnt")).as("n"))
     o.join(broadcast(stats))
-      .filter(col("o_totalprice").cast(dec182) * 2 * col("n") > col("tp_sum") * 3)
+      .filter(Money.e2(col("o_totalprice")).cast(org.apache.spark.sql.types.DecimalType(28, 0))
+        * 2 * col("n") > col("tp_sum_e2") * 3)
       .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
   }
 
   /** CASE-based conditional metrics over the fact table. */
   def qCaseAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .groupBy("l_returnflag")
+      .groupBy(col("l_returnflag"), Money.bucket(col("l_orderkey")).as("mb"))
       .agg(
         sum(when(col("l_discount") >= 0.05,
-          (col("l_extendedprice") * col("l_discount")).cast(dec184)).otherwise(lit(0).cast(dec184))).cast("double").as("high_disc_revenue"),
-        sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("bulk_lines"),
-        count(lit(1)).as("n_lines")
+          Money.prodE4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))).as("hd_e4"),
+        sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("bulk"),
+        count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        Money.outerE4(col("hd_e4")).as("high_disc_revenue"),
+        sum(col("bulk")).as("bulk_lines"),
+        sum(col("cnt")).as("n_lines")
       )
 
   /** Point-in-time (as-of) join: each purchase is matched with the
@@ -365,17 +410,25 @@ object CoreQueries {
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .withColumn("avg_qty", avg("l_quantity").over(Window.partitionBy("l_partkey")))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .groupBy(Money.bucket(col("l_partkey")).as("mb"))
+      .agg(sum(Money.e2(col("l_extendedprice"))).as("tp_e2"),
+        count(lit(1)).as("cnt"))
       .agg(
-        sum(col("l_extendedprice").cast(dec182)).cast("double").as("total_price"),
-        count(lit(1)).as("n_lines"))
+        Money.outerE2(col("tp_e2")).as("total_price"),
+        sum(col("cnt")).as("n_lines"))
   }
 
   /** CUBE: all grouping-set combinations in one pass. */
   def qCube(s: SparkSession, d: String): DataFrame =
+    // same two-level shape as qRollup: exact longs at fact grain,
+    // CUBE + DECIMAL over the small subtotal table (Money.scala)
     orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        Money.bucket(col("o_orderkey")).as("mb"))
+      .agg(count(lit(1)).as("cnt"), sum(Money.e2(col("o_totalprice"))).as("sp_e2"))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(dec182)).cast("double").as("sum_price"))
+      .agg(sum(col("cnt")).as("n_orders"),
+           Money.outerE2(col("sp_e2")).as("sum_price"))
 
   /** Value-range window frame: rolling 1-hour sum of purchase value per
     * user, frame bounded by the ts VALUE (RANGE), not row count. */
@@ -388,7 +441,7 @@ object CoreQueries {
       .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"),
         col("value"))
       .withColumn("rolling_1h",
-        sum(col("value").cast(dec182)).over(w).cast("double"))
+        Money.e2ToDouble(sum(Money.e2(col("value"))).over(w)))
   }
 
   /** Left outer join with null-side aggregation: every nation with its
@@ -399,8 +452,8 @@ object CoreQueries {
     n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
       .groupBy(col("n_nationkey"), col("n_name"))
       .agg(count(col("c_custkey")).as("n_rich"),
-        coalesce(sum(col("c_acctbal").cast(dec182)), lit(0).cast(dec182))
-          .cast("double").as("rich_balance"))
+        Money.e2ToDouble(coalesce(sum(Money.e2(col("c_acctbal"))), lit(0L)))
+          .as("rich_balance"))
   }
 
   /** Full outer join: statuses seen in orders vs a fixed dimension of
@@ -470,9 +523,12 @@ object CoreQueries {
   /** Calendar rollup: revenue per month (date_trunc bucketing). */
   def qMonthlyRollup(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-      .agg(sum(col("o_totalprice").cast(dec182)).cast("double").as("revenue"),
-           count(lit(1)).as("n_orders"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        Money.bucket(col("o_orderkey")).as("mb"))
+      .agg(sum(Money.e2(col("o_totalprice"))).as("r_e2"), count(lit(1)).as("cnt"))
+      .groupBy("month")
+      .agg(Money.outerE2(col("r_e2")).as("revenue"),
+           sum(col("cnt")).as("n_orders"))
 
   /** Deterministic hash sampling: keep rows whose key-hash falls under
     * a fixed hex prefix (10/256 ≈ 3.9%). Reproducible across runs and

@@ -31,16 +31,20 @@ object OlapQueries {
     q6From(lineitem(s, d))
 
   private[operators] def q6From(lineitemT: DataFrame): DataFrame =
+    // global scalar money: two-level exact sum (Money.scala) — long e4
+    // per orderkey-hash bucket, DECIMAL across the 1024 subtotals
     lineitemT
       .filter(
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
+      .groupBy(Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum(Money.prodE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"),
+        count(lit(1)).as("cnt"))
       .agg(
-        sum((col("l_extendedprice") * col("l_discount")).cast(dec184))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        Money.outerE4(col("rev_e4")).as("revenue"),
+        sum(col("cnt")).as("n_items"))
 
   /** TPC-H Q4 shape: existence-correlated count by priority.
     *
@@ -104,9 +108,11 @@ object OlapQueries {
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(dec184)).cast("double").as("volume"))
+        year(col("l_shipdate")).as("l_year"),
+        Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("v_e4"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(Money.outerE4(col("v_e4")).as("volume"))
   }
 
   /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
@@ -129,16 +135,15 @@ object OlapQueries {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(dec184)).cast("double").as("revenue"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
     rev.join(customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_name"), col("n_name"),
-        col("c_acctbal"), col("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
       .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), Money.e4ToDouble(col("rev_e4")).as("revenue"))
   }
 
   /** TPC-H Q14 shape: promo revenue share in one month — two decimal
@@ -150,12 +155,15 @@ object OlapQueries {
       col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
       col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
     l.join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(Money.bucket(col("l_orderkey")).as("mb"))
       .agg(
         sum(when(col("p_type") === "PROMO",
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184))
-          .otherwise(lit(0).cast(dec184))).cast("double").as("promo_revenue"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(dec184)).cast("double").as("total_revenue"))
+          Money.revE4(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0L))).as("pr_e4"),
+        sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("tr_e4"))
+      .agg(
+        Money.outerE4(col("pr_e4")).as("promo_revenue"),
+        Money.outerE4(col("tr_e4")).as("total_revenue"))
       .select(
         col("promo_revenue"), col("total_revenue"),
         (floor(col("promo_revenue") / col("total_revenue") * 100 * 1e6 + 0.5) / 1e6)
@@ -179,10 +187,12 @@ object OlapQueries {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
+      .groupBy(Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("r_e4"),
+        count(lit(1)).as("cnt"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(dec184)).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        Money.outerE4(col("r_e4")).as("revenue"),
+        sum(col("cnt")).as("n_items"))
   }
 
   /** Markov-style event-transition matrix: count and mean gap for each
@@ -329,11 +339,13 @@ object OlapQueries {
         explode(array((0 until S).map(lit): _*)).as("salt_r"))
     li.join(ord,
         col("l_orderkey") === col("o_orderkey") && col("salt") === col("salt_r"))
+      .groupBy(col("o_orderstatus"), Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("r_e4"),
+        count(lit(1)).as("cnt"))
       .groupBy("o_orderstatus")
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(dec184)).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        Money.outerE4(col("r_e4")).as("revenue"),
+        sum(col("cnt")).as("n_items"))
   }
 
   /** TPC-H Q13 shape: distribution of customers by order count,
