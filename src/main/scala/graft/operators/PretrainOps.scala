@@ -49,16 +49,19 @@ object PretrainOps {
     * one doc-keyed shuffle and is linear. Same results; pick by the
     * corpus's document-length profile. */
   private def gopherBase(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+    // native one-sweep token stats (plans/GramStatsExpr.scala): the
+    // array-HOF form interpreted O(distinct·tokens) per doc and was
+    // the dominant honest-timed cost of the quality lane at sf10
+    graft.plans.GramStatsExpr.register(s)
+    val stats = documents(s, d)
       .select(col("doc_id"), col("lang"),
-        md5(lower(col("text"))).as("fp"), split(col("text"), " ").as("tk"))
-    val stats = base.select(
-      col("doc_id"), col("lang"), col("fp"),
-      size(col("tk")).cast("long").as("n_tokens"),
-      size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-      array_max(transform(array_distinct(col("tk")),
-        t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_cnt"),
-      aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"))
+        md5(lower(col("text"))).as("fp"), expr("graft_gram_stats(text, 1)").as("s1"))
+      .select(
+        col("doc_id"), col("lang"), col("fp"),
+        col("s1.n_grams").as("n_tokens"),
+        col("s1.n_distinct").as("n_distinct"),
+        col("s1.top_cnt").as("top_cnt"),
+        col("s1.sum_tok_len").as("sum_tok_len"))
     stats.select(
       col("doc_id"), col("lang"), col("fp"), col("n_tokens"),
       r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
@@ -102,20 +105,19 @@ object PretrainOps {
       col("dup3_frac") <= 0.06
 
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 3)
+    // native gram stats (plans/GramStatsExpr.scala): one byte sweep
+    // per n replaces the interpreted build-array/count-within-row HOF
+    // chain; ≥3-token domain ≡ at least one 3-gram
+    graft.plans.GramStatsExpr.register(s)
+    val m = documents(s, d)
       .select(col("doc_id"),
-        grams(col("tk"), 2).as("n2"), grams(col("tk"), 3).as("n3"))
-    val c = base.select(col("doc_id"),
-      size(col("n2")).cast("long").as("g2"), cnts(col("n2")).as("c2"),
-      size(col("n3")).cast("long").as("g3"), cnts(col("n3")).as("c3"))
-    // dup instances = g − singleton grams (Σ_{c≥2} c = g − Σ_{c=1} 1)
-    val m = c.select(col("doc_id"), col("g2"), col("g3"),
-      array_max(col("c2")).cast("long").as("top2"),
-      (col("g2") - size(filter(col("c2"), x => x === 1))).as("dup2"),
-      array_max(col("c3")).cast("long").as("top3"),
-      (col("g3") - size(filter(col("c3"), x => x === 1))).as("dup3"))
+        expr("graft_gram_stats(text, 2)").as("s2"),
+        expr("graft_gram_stats(text, 3)").as("s3"))
+      .filter(col("s3.n_grams") >= 1)
+      .select(col("doc_id"),
+        col("s2.n_grams").as("g2"), col("s3.n_grams").as("g3"),
+        col("s2.top_cnt").as("top2"), col("s2.dup_inst").as("dup2"),
+        col("s3.top_cnt").as("top3"), col("s3.dup_inst").as("dup3"))
     m.select(col("doc_id"), col("g2").as("n_2grams"),
       r4(col("dup2").cast("double") / col("g2")).as("dup2_frac"),
       r4(col("top2").cast("double") / col("g2")).as("top2_frac"),
@@ -444,20 +446,21 @@ object PretrainOps {
   def pretrainQualityFused(s: SparkSession, d: String): DataFrame = {
     // textRepetition's domain (≥3 tokens) — the composite's inner joins
     // restrict it the same way
-    val base = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), col("tk"),
-        grams(col("tk"), 2).as("n2"), grams(col("tk"), 3).as("n3"))
-    val c = base.select(col("doc_id"),
-      size(col("tk")).cast("long").as("n_tokens"),
-      size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-      array_max(transform(array_distinct(col("tk")),
-        t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_cnt"),
-      aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sum_tok_len"),
-      TextOps.stopCount(col("tk")).as("n_stop"),
-      size(col("n2")).cast("long").as("g2"), cnts(col("n2")).as("c2"),
-      size(col("n3")).cast("long").as("g3"), cnts(col("n3")).as("c3"))
+    graft.plans.GramStatsExpr.register(s)
+    val c = documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_gram_stats(text, 1)").as("s1"),
+        expr("graft_gram_stats(text, 2)").as("s2"),
+        expr("graft_gram_stats(text, 3)").as("s3"),
+        TextOps.stopCount(split(col("text"), " ")).as("n_stop"))
+      .filter(col("s3.n_grams") >= 1)
+      .select(col("doc_id"),
+        col("s1.n_grams").as("n_tokens"), col("s1.n_distinct").as("n_distinct"),
+        col("s1.top_cnt").as("top_cnt"), col("s1.sum_tok_len").as("sum_tok_len"),
+        col("n_stop"),
+        col("s2.n_grams").as("g2"), col("s2.top_cnt").as("top2"),
+        col("s2.dup_inst").as("dup2"),
+        col("s3.n_grams").as("g3"), col("s3.dup_inst").as("dup3"))
     val fracs = c.select(col("doc_id"),
       col("n_tokens"),
       r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
@@ -465,11 +468,9 @@ object PretrainOps {
       r4(col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_tok_len"),
       round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
         (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4).as("quality_score"),
-      r4((col("g2") - size(filter(col("c2"), x => x === 1))).cast("double") / col("g2"))
-        .as("dup2_frac"),
-      r4(array_max(col("c2")).cast("double") / col("g2")).as("top2_frac"),
-      r4((col("g3") - size(filter(col("c3"), x => x === 1))).cast("double") / col("g3"))
-        .as("dup3_frac"))
+      r4(col("dup2").cast("double") / col("g2")).as("dup2_frac"),
+      r4(col("top2").cast("double") / col("g2")).as("top2_frac"),
+      r4(col("dup3").cast("double") / col("g3")).as("dup3_frac"))
     fracs
       .select(col("doc_id"),
         gopherKeep.as("gopher_keep"), repKeep.as("rep_keep"),

@@ -42,12 +42,18 @@ class OlapQueriesSpec extends SparkTestBase {
       "the shipdate/discount/quantity predicates must reach the parquet scan")
   }
 
-  test("q4: EXISTS compiles to a left-semi join, counts by priority") {
+  test("q4: EXISTS folds to a max-shipdate pre-aggregate, counts by priority") {
     val df = OlapQueries.q4OrderPriority(spark, sf)
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("order_count") > 0))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), "existence test must stay a semi join (never materialize matches)")
+    // the correlated EXISTS is an aggregate, never a fact-side hash
+    // build: max(l_shipdate) per orderkey feeds an order-grain join
+    // (r12 rewrite — the semi form hash-built the 60M-row lineitem)
+    assert(plan.contains("max(l_shipdate"),
+      "EXISTS must fold to the per-order max-shipdate pre-aggregate")
+    assert(!plan.contains("LeftSemi"),
+      "the fact-side semi-join build is the shape the rewrite removed")
   }
 
   test("q7: nation pairs exclude self-pairs, volumes positive, nation sides broadcast") {
