@@ -270,6 +270,103 @@ object Lab {
         .agg(sum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 250.0)
         .groupBy().agg(count(lit(1)).as("n"))),
+      "q3_now" -> (() => operators.CoreQueries.queries("q3_join_agg")(s, d)),
+      "q3_preagg_long" -> (() => {
+        // aggregate to order grain BEFORE the join: clustered layout
+        // gives full map-side combine, the exchange carries (key, long)
+        val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .select(ord("o_orderkey"), ord("o_orderdate"))
+        val rev = lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .select(col("l_orderkey"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+          .groupBy("l_orderkey").agg(sum("r").as("rev_e4"))
+        rev.join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+            col("rev_e4"))
+          .orderBy(col("rev_e4").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("orderdate"),
+            operators.Money.e4ToDouble(col("rev_e4")).as("revenue"))
+      }),
+      "q3_mapside_e4" -> (() => {
+        // same join order as production, but rev_e4 computed BEFORE the
+        // fact exchange so it carries (orderkey, long) not (ep, disc)
+        val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .select(ord("o_orderkey"), ord("o_orderdate"))
+        val li = lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .select(col("l_orderkey"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        li.join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+          .agg(sum("r").as("rev_e4"))
+          .orderBy(col("rev_e4").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("orderdate"),
+            operators.Money.e4ToDouble(col("rev_e4")).as("revenue"))
+      }),
+      "q7_now" -> (() => operators.OlapQueries.queries("q7_volume")(s, d)),
+      "q7_mapside_e4" -> (() => {
+        val l = lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val o = orders(s, d).select("o_orderkey", "o_custkey")
+        val c = customer(s, d).select("c_custkey", "c_nationkey")
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.bucket(col("l_orderkey")).as("mb"))
+          .agg(sum(col("r")).as("v_e4"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.outerE4(col("v_e4")).as("volume"))
+      }),
+      "q7_oc_first" -> (() => {
+        // orders⋈customer first (both slim) → ONE line-grain exchange:
+        // the current plan re-exchanges the joined line stream on
+        // custkey — a second fact-scale Exchange this shape avoids
+        val l = lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val oc = orders(s, d).select("o_orderkey", "o_custkey")
+          .join(customer(s, d).select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.bucket(col("l_orderkey")).as("mb"))
+          .agg(sum(col("r")).as("v_e4"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.outerE4(col("v_e4")).as("volume"))
+      }),
       "sky_np_current" -> (() => lineitem(s, d)
         .select(col("l_suppkey").as("np_suppkey"), col("l_partkey")).distinct()
         .groupBy(col("np_suppkey")).agg(count(lit(1)).as("n_parts"))

@@ -87,9 +87,18 @@ object BucketedQueries {
     CoreQueries.q21From(sorted(s.table(lt)))
   }
 
+  /** Q18's per-order pre-aggregate inherits the bucket partitioning —
+    * the heaviest exchange of the plain plan (one row per order)
+    * disappears entirely; the qualifying-set joins stay AQE-broadcast. */
+  def q18Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = ensureBucketed(s, d)
+    OlapQueries.q18From(s.table(lt), sorted(s.table(ot)), customer(s, d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_bucketed" -> (q3Bucketed _),
     "q5_bucketed" -> (q5Bucketed _),
+    "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _)
   )
 }

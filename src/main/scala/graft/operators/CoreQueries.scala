@@ -108,13 +108,23 @@ object CoreQueries {
     // bucket-count-way parallelism before the join can prune.)
     val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
       .select(ord("o_orderkey"), ord("o_orderdate"))
-    // Revenue as exact scaled longs at order grain (Money.scala:
-    // ≤7 lines per order — no overflow at any corpus size); the top-k
-    // orders on the long (same total order as the double it becomes,
-    // and exact), convert to dollars only for the 10 output rows.
-    li.join(oc.hint("shuffle_hash"), li("l_orderkey") === oc("o_orderkey"))
-      .groupBy(li("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
-      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
+    // Revenue as exact scaled longs aggregated to ORDER grain BEFORE
+    // the join (Money.scala: ≤7 lines per order — no overflow at any
+    // corpus size). On the orderkey-clustered layout the pre-aggregate
+    // gets full map-side combine, so its exchange carries one (key,
+    // long) row per order instead of the raw line stream — measured
+    // 1.64 s vs 2.11 s for join-then-aggregate at sf10 under honest
+    // collect timing (the r5 "pre-agg worse" finding was an artifact
+    // of the round-robin layout + count()-pruned timing). Top-k orders
+    // on the long (same total order as the double it becomes, exact);
+    // dollars materialize only for the 10 output rows.
+    val rev = li
+      .select(col("l_orderkey"),
+        Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+      .groupBy("l_orderkey").agg(sum("r").as("rev_e4"))
+    rev.join(oc.hint("shuffle_hash"), col("l_orderkey") === oc("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+        col("rev_e4"))
       .orderBy(col("rev_e4").desc, col("l_orderkey"))
       .limit(10)
       .select(col("l_orderkey"), col("orderdate"),
@@ -152,15 +162,19 @@ object CoreQueries {
     val oc = o.join(cAsia, o("o_custkey") === cAsia("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-    // nation-grain (5 groups) money: two-level exact sums — long e4
-    // per (nation, orderkey-bucket) with map-side combine, DECIMAL
-    // across the ≤1024 bucket subtotals (Money.scala overflow note)
-    lineitemT.join(oc, col("l_orderkey") === oc("o_orderkey"))
+    // exact e4 revenue computed BEFORE the fact exchange so the
+    // line-grain Exchange carries (orderkey, suppkey, long) instead of
+    // price/discount doubles; nation-grain (5 groups) money is
+    // two-level — long e4 per (nation, orderkey-bucket) with map-side
+    // combine, DECIMAL across the ≤1024 subtotals (Money.scala)
+    val liSlim = lineitemT.select(col("l_orderkey"), col("l_suppkey"),
+      Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+    liSlim.join(oc, col("l_orderkey") === oc("o_orderkey"))
       .join(broadcast(sup),
         col("l_suppkey") === sup("s_suppkey") &&
         col("c_nationkey") === sup("s_nationkey"))
       .groupBy(col("n_name"), Money.bucket(col("l_orderkey")).as("mb"))
-      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("rev_e4"))
+      .agg(sum(col("r")).as("rev_e4"))
       .groupBy(col("n_name"))
       .agg(Money.outerE4(col("rev_e4")).as("revenue"))
   }

@@ -89,28 +89,36 @@ object OlapQueries {
     * shuffles move 2-column rows: the two fact joins and the final
     * (supp_nation, cust_nation, year) aggregate. */
   def q7Volume(s: SparkSession, d: String): DataFrame = {
+    // r12 shape: year + exact e4 revenue computed BEFORE the fact
+    // exchange (the Exchange carries longs, not price/discount/date),
+    // and orders⋈customer joined FIRST on their own slim columns so
+    // the line-grain stream crosses the wire ONCE — the previous plan
+    // re-exchanged the joined line stream on custkey, a second
+    // fact-scale Exchange. Nation-grain money stays two-level
+    // (Money.scala overflow note).
     val l = lineitem(s, d).filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
       col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .select("l_orderkey", "l_suppkey", "l_shipdate",
-        "l_extendedprice", "l_discount")
-    val o = orders(s, d).select("o_orderkey", "o_custkey")
-    val c = customer(s, d).select("c_custkey", "c_nationkey")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+    val oc = orders(s, d).select("o_orderkey", "o_custkey")
+      .join(customer(s, d).select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
     val supN = nation(s, d).select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val custN = nation(s, d).select(
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"),
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
         Money.bucket(col("l_orderkey")).as("mb"))
-      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("v_e4"))
+      .agg(sum(col("r")).as("v_e4"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(Money.outerE4(col("v_e4")).as("volume"))
   }
@@ -375,7 +383,15 @@ object OlapQueries {
     * set is tiny (~1% here), so the follow-up joins run on a pruned
     * fact — the classic aggregate-then-join ordering that a
     * join-then-aggregate plan would pay the full fact width for. */
-  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame =
+    q18From(lineitem(s, d), orders(s, d), customer(s, d))
+
+  /** Body parameterized over physical fact sources so the bucketed
+    * twin (operators.BucketedQueries.q18Bucketed) shares one
+    * definition — on the bucketed layout the orderkey pre-aggregate
+    * inherits the bucket partitioning and plans ZERO exchange. */
+  private[operators] def q18From(lineitemT: DataFrame, ordersT: DataFrame,
+                                 customerT: DataFrame): DataFrame = {
     // quantity is integral by the data model (1..50, checked against
     // the generator), so a LONG sum is exact and order-independent —
     // same result as the decimal form at half the exchange width and
@@ -384,14 +400,14 @@ object OlapQueries {
     // enough that AQE broadcasts it into BOTH dimension joins: orders
     // and customer stream map-side, zero fact-scale exchange after
     // the one pre-aggregate shuffle.
-    val big = lineitem(s, d).select("l_orderkey", "l_quantity")
+    val big = lineitemT.select("l_orderkey", "l_quantity")
       .groupBy("l_orderkey")
       .agg(sum(col("l_quantity").cast("long")).as("qty_l"))
       .filter(col("qty_l") > 250L)
       .select(col("l_orderkey"), col("qty_l").cast("double").as("sum_qty"))
-    big.join(orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+    big.join(ordersT.select("o_orderkey", "o_custkey", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d).select("c_custkey", "c_name"),
+      .join(customerT.select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))

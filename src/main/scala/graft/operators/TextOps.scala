@@ -343,25 +343,32 @@ object TextOps {
     * (150k rows at sf3) instead of token grain (8.1M) — the pre-fix
     * plan pushed every token row through the BNLJ. */
   def textLogprob(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val vocab = toks.groupBy(col("h").as("h_v")).agg(count(lit(1)).as("tf"))
+    // Distinct-gram counts per doc from ONE native byte sweep
+    // (plans/GramHashExpr.scala) instead of exploding every token
+    // INSTANCE twice (count side + probe side): the exploded stream
+    // shrinks to distinct-(doc, token) grain, the split/xxhash work
+    // runs once per document, and instance totals are exact Σc.
+    // Hash identities match xxhash64(tok) bit-for-bit.
+    graft.plans.GramHashExpr.register(s)
+    val dhc = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("graft_gram_hash_counts(text, 1)")).as("tc"))
+      .select(col("doc_id"), col("tc.h1").as("h"), col("tc.c").as("c"))
+    val vocab = dhc.groupBy(col("h").as("h_v")).agg(sum("c").as("tf"))
     // corpus size = Σ tf over the (tiny) vocab — a broadcast scalar,
-    // fully declarative: no driver action, no extra corpus scan (the
-    // vocab exchange is canonically identical in both consumers, so
-    // stage reuse runs the token count once)
+    // fully declarative: no driver action, no extra corpus scan
     val totalDf = vocab.agg(sum("tf").cast("double").as("total_toks"))
     // ln + an explicit ln(10) double literal on BOTH sides (engines'
     // log10 intrinsics differ in the last ulp more often than ln);
-    // the fixed-point floor-round absorbs accumulation-order noise
-    // (splitting ln(tf/total) into ln(tf) − ln(total) is the same
-    // sum in a different order)
+    // the fixed-point floor-round absorbs accumulation-order noise —
+    // including the count-weighted summation (Σ c·ln tf vs per-
+    // instance), which is the same sum grouped differently
     val ln10 = 2.302585092994046
-    toks.join(broadcast(vocab), col("h") === col("h_v"))
+    dhc.join(broadcast(vocab), col("h") === col("h_v"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("tf").cast("double"))).as("mean_ln_tf"))
+      .agg(sum("c").as("n_tokens"),
+        (sum(col("c").cast("double") * log(col("tf").cast("double"))) /
+          sum(col("c")).cast("double")).as("mean_ln_tf"))
       .crossJoin(broadcast(totalDf))
       .select(col("doc_id"), col("n_tokens"),
         (floor((col("mean_ln_tf") - log(col("total_toks"))) / ln10 * 10000 + 0.5) / 10000)
@@ -385,23 +392,25 @@ object TextOps {
     * mean is fixed-point floor-rounded (1e4) to absorb summation-order
     * ulps between engines. */
   def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    // distinct-bigram counts per doc in one native sweep (same fusion
+    // as textLogprob; h1/h2 chain-hash identities preserved)
+    graft.plans.GramHashExpr.register(s)
     val bi = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(tk) - 2),
-          |  i -> named_struct('h1', xxhash64(tk[i]),
-          |                    'h2', xxhash64(tk[i], tk[i+1])))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"))
-    val ctx = bi.groupBy(col("h1").as("c_h1")).agg(count(lit(1)).as("n1"))
-    val big = bi.groupBy(col("h2").as("c_h2")).agg(count(lit(1)).as("n2"))
+      .select(col("doc_id"),
+        explode(expr("graft_gram_hash_counts(text, 2)")).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
+        col("b.c").as("c"))
+    val ctx = bi.groupBy(col("h1").as("c_h1")).agg(sum("c").as("n1"))
+    val big = bi.groupBy(col("h2").as("c_h2")).agg(sum("c").as("n2"))
     // ln + explicit ln(10) literal on both sides (textLogprob rationale)
     val ln10 = 2.302585092994046
     bi.join(big, col("h2") === col("c_h2"))
       .join(ctx, col("h1") === col("c_h1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        avg(log(col("n2").cast("double")) - log(col("n1").cast("double"))).as("m"))
+      .agg(sum("c").as("n_bigrams"),
+        (sum(col("c").cast("double") *
+            (log(col("n2").cast("double")) - log(col("n1").cast("double")))) /
+          sum(col("c")).cast("double")).as("m"))
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("m") / ln10 * 10000 + 0.5) / 10000).as("mean_logp2"))
   }

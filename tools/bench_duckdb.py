@@ -43,11 +43,18 @@ def main():
         sql = oracle[q]
         rows = 0
         best = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            rows = len(con.execute(sql).fetchall())
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                rows = len(con.execute(sql).fetchall())
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:
+            # record the failure and keep benching the rest (an OOM on
+            # one text query used to kill the whole artifact)
+            print(f"DUCK {q:<24s} FAILED: {e}", file=sys.stderr)
+            out[q] = {"sec": -1.0, "rows": -1, "err": str(e)[:200]}
+            continue
         out[q] = {"sec": round(best, 4), "rows": rows}
         print(f"DUCK {q:<24s} {best:8.2f} s  rows={rows}", file=sys.stderr)
     print(json.dumps({"sf": sf_dir, "threads": threads, "queries": out}))
