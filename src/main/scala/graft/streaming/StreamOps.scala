@@ -62,7 +62,13 @@ object StreamOps {
     import java.nio.file._
     val dir = Files.createTempDirectory(s"graft_stream_$table")
     dir.toFile.deleteOnExit()
-    val target = Paths.get(s"$d/$table.parquet")
+    // absolutize: the symlinks below carry this path as their target,
+    // and a RELATIVE target resolves against the LINK's directory
+    // (/tmp/...), silently yielding broken links — the file stream
+    // then reads zero rows (found r12: a scale dir passed as a
+    // relative path produced empty streaming results)
+    val target = Paths.get(s"$d/$table.parquet").toAbsolutePath
+
     val parts: Seq[Path] =
       if (Files.isDirectory(target)) {
         val s = Files.list(target)

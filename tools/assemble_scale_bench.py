@@ -76,8 +76,11 @@ def main():
         "round": int(rnd),
         "cpus": spark.get("cpus", "32"),
         "protocol": (
-            "min-of-three after sf0.001 warm-up (graft.QTime) / min-of-two "
-            "(DuckDB 32 threads, tools/bench_duckdb.py), same machine, same "
+            "min-of-three after sf0.001 warm-up (graft.QTime, r12: timed "
+            "action is collect() - the full-result materialization the "
+            "DuckDB side always paid; count()-timed rounds <=11 excluded "
+            "value-expression evaluation, see SURVEY \u00a78g) / min-of-two "
+            "(DuckDB 32 threads fetchall, tools/bench_duckdb.py), same machine, same "
             "parquet (ScaleGen layout: 32-file big tables, 32 MB row groups "
             "- both engines scan 32-wide). Per-query 'floor': duckdb_sec < "
             f"{FLOOR_SEC}s, ratio dominated by per-stage constants, not "
