@@ -20,23 +20,29 @@ def main():
     threads = 32
     if "--threads" in sys.argv:
         threads = int(sys.argv[sys.argv.index("--threads") + 1])
-    con = duckdb.connect()
-    con.execute(f"SET threads={threads}")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        sel = "*"
-        if t == "events":
-            # ScaleGen round-trips ts through Spark's nanos-as-long read,
-            # so scaled dirs carry BIGINT nanos where the driver's data
-            # has TIMESTAMP_NS. The underlying values are µs-precision,
-            # so rebuilding a TIMESTAMP from ns//1000 is lossless and
-            # epoch_ns(ts) in every oracle query behaves identically.
-            (ts_type,) = con.execute(
-                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()
-            if ts_type == "BIGINT":
-                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
-        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
+    def fresh_con():
+        # a FRESH connection per query: the recursive-CTE queries
+        # (dedup_clusters/canonical) leave the shared connection's
+        # allocator unable to serve later queries (r12: every query
+        # after them failed "Out of Memory" with >100 GB actually free)
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        con.execute("SET memory_limit='80GB'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            sel = "*"
+            if t == "events":
+                # ScaleGen round-trips ts through Spark's nanos-as-long
+                # read, so scaled dirs carry BIGINT nanos where the
+                # driver's data has TIMESTAMP_NS. µs-precision values:
+                # rebuilding a TIMESTAMP from ns//1000 is lossless.
+                (ts_type,) = con.execute(
+                    f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1").fetchone()
+                if ts_type == "BIGINT":
+                    sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+            con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
+        return con
     oracle = json.load(open(oracle_path))
     out = {}
     for q in qlist:
@@ -44,11 +50,13 @@ def main():
         rows = 0
         best = None
         try:
+            con = fresh_con()
             for _ in range(2):
                 t0 = time.monotonic()
                 rows = len(con.execute(sql).fetchall())
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
+            con.close()
         except Exception as e:
             # record the failure and keep benching the rest (an OOM on
             # one text query used to kill the whole artifact)
