@@ -318,20 +318,31 @@ object ExtendedQueries {
     * (capacity and partition count are config, not data-driven). */
   /** The per-partition Misra-Gries pass alone (exposed for the spec's
     * bound check): one bounded-memory sweep per partition, distinct
-    * union of surviving keys. */
+    * union of surviving keys. r13: the summaries stream 64-bit shingle
+    * HASHES from the native byte sweep (`graft_shingle_hashes`,
+    * plans/ShingleExprs.scala), not shingle strings — the r12 form
+    * tokenized, built and hashed a UTF8 string per window while its
+    * exact sibling (textNgramsTop phase 1) had already moved to native
+    * longs; at 100 TB the sketch lane was paying string costs the
+    * exact lane no longer pays (r12 verdict, missing #3). The MG bound
+    * transfers: a hash's stream count ≥ any one shingle's count
+    * (collisions only merge counts upward), so every heavy SHINGLE's
+    * hash still survives some partition summary. */
   private[operators] def mgCandidates(s: SparkSession, d: String,
                                       capacity: Int): DataFrame = {
     import s.implicits._
-    DedupOps.shingleRows(s, d).select("shingle").as[String]
+    graft.plans.ShingleExprs.register(s)
+    documents(s, d)
+      .select(explode(expr("graft_shingle_hashes(text)")).as("h")).as[Long]
       .mapPartitions { it =>
-        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        val cnt = scala.collection.mutable.LongMap.empty[Long]
         it.foreach { x =>
-          cnt.get(x) match {
-            case Some(v) => cnt(x) = v + 1
-            case None if cnt.size < capacity => cnt(x) = 1L
-            case None => // Misra-Gries decrement-all step (x absorbs its own)
-              cnt.mapValuesInPlace((_, v) => v - 1)
-              cnt.filterInPlace((_, v) => v > 0)
+          val v = cnt.getOrElse(x, 0L) // counts are ≥1, so 0 ⇔ absent
+          if (v != 0L) cnt(x) = v + 1
+          else if (cnt.size < capacity) cnt(x) = 1L
+          else { // Misra-Gries decrement-all step (x absorbs its own)
+            cnt.mapValuesNow(_ - 1)
+            cnt.filterInPlace((_, v) => v > 0)
           }
         }
         cnt.keysIterator
@@ -339,11 +350,24 @@ object ExtendedQueries {
       .toDF("cand").distinct()
   }
 
+  /** Corpus top-k shingles via the MG candidate sketch + exact string
+    * recount. Candidate volume is ≤ capacity·partitions longs (config,
+    * not data-driven) — a driver-bounded scalar set, the same posture
+    * as textNgramsTop's CAP collect. Strings materialize ONLY at
+    * candidate-matching windows (`graft_candidate_shingles`:
+    * binary-search per window, byte-slice copy on match), so the
+    * recount aggregate sees candidate-cardinality rows however large
+    * the corpus. Output counts are true counts — the only
+    * approximation is which tail items reach the candidate list. */
   def qSketchTopk(s: SparkSession, d: String,
                   k: Int = 20, capacity: Int = 256): DataFrame = {
-    val cands = mgCandidates(s, d, capacity)
-    DedupOps.shingleRows(s, d)
-      .join(broadcast(cands), col("shingle") === col("cand"), "left_semi")
+    import s.implicits._
+    val cands = mgCandidates(s, d, capacity).as[Long].collect()
+    if (cands.isEmpty) return documents(s, d)
+      .select(lit("").as("shingle"), lit(0L).as("doc_freq")).limit(0)
+    val candSql = cands.sorted.mkString("array(", "L,", "L)")
+    documents(s, d)
+      .select(explode(expr(s"graft_candidate_shingles(text, $candSql)")).as("shingle"))
       .groupBy("shingle")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("shingle"))

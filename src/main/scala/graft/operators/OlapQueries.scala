@@ -434,39 +434,45 @@ object OlapQueries {
     * first (the only fact-scale shuffle); dimensions broadcast. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The two supplier metrics are computed as SEPARATE aggregates and
-    // joined at supplier grain: sum+countDistinct in ONE groupBy plans
-    // as an Expand over the fact — the distinct pre-aggregate keys on
-    // (suppkey, partkey) so the sum columns get no map-side combine,
-    // and the exchange carried the near-raw fact (measured 3.3 GB /
-    // 34 s+ at sf10). Split, the revenue exchange combines to supplier
-    // grain (~5 MB) and the distinct exchange carries two longs per
-    // line; the supplier-grain join is AQE-broadcast. Lab sf10: the
-    // fused aggregate alone cost more than the whole split query.
+    // Both supplier metrics come from ONE fact scan and ONE fact-scale
+    // exchange. History of this plan: fused sum+countDistinct in one
+    // groupBy plans as an Expand over the fact (the distinct
+    // pre-aggregate keys on (suppkey, partkey) so the sum columns get
+    // no map-side combine — measured 3.3 GB / 34 s+ at sf10); r12
+    // split it into two aggregates joined at supplier grain, which
+    // scanned the fact TWICE and still paid a line-grain
+    // (suppkey, partkey).distinct() exchange (the one residual
+    // fact-scale shuffle the r12 verdict flagged — 5.32× at sf3).
+    // r13 shape: manually pre-aggregate to (suppkey, partkey) grain —
+    // sum(rev_e4) with FULL map-side combine (no Expand, unlike the
+    // fused form), one exchange of three longs per partial-combined
+    // pair — then a second aggregate at pair→supplier grain where
+    // n_parts is a plain count(*) (the grain makes partkey distinct by
+    // construction) and the revenue is the sum of exact partial sums.
+    // No distinct, no self-join, no second scan.
     // Money in scaled longs: prices are exact 2-decimal and discounts
     // exact hundredths by the data model (checked against the
     // generator), so ep_e2 × (100 − disc_e2) is the EXACT 4-decimal
     // revenue as an integer — the long sum is order-independent and
     // exact like the decimal it replaces, at a fraction of the
     // aggregation cost (the decimal partial agg alone measured 57 s of
-    // task time at sf10). Safe at supplier grain far past 100 TB
-    // (overflow needs ~10⁹ lines under ONE supplier); nation-grain
-    // sums (q5/q7) stay decimal because 5-way groups at 100 TB could.
-    // The final floor(x·100+0.5)/100 rounding maps to integer
-    // arithmetic: (Σe4 + 50) div 100.
+    // task time at sf10); partial sums per (supp, part) re-summed per
+    // supplier are the same exact integer total. Safe at supplier
+    // grain far past 100 TB (overflow needs ~10⁹ lines under ONE
+    // supplier); nation-grain sums (q5/q7) stay decimal because 5-way
+    // groups at 100 TB could. The final floor(x·100+0.5)/100 rounding
+    // maps to integer arithmetic: (Σe4 + 50) div 100.
     val li = lineitem(s, d)
-    val rev = li.select(col("l_suppkey"),
+    val m = li.select(col("l_suppkey"), col("l_partkey"),
         (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
           (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum("rev_e4").as("prev_e4"))
       .groupBy(col("l_suppkey"))
-      .agg(sum("rev_e4").as("srev_e4"))
+      .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
       .select(col("l_suppkey"),
-        (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"))
-    val np = li.select(col("l_suppkey").as("np_suppkey"), col("l_partkey")).distinct()
-      .groupBy(col("np_suppkey"))
-      .agg(count(lit(1)).as("n_parts"))
-    val m = rev.join(np, col("l_suppkey") === col("np_suppkey"))
-      .select(col("l_suppkey"), col("revenue"), col("n_parts"))
+        (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
+        col("n_parts"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))

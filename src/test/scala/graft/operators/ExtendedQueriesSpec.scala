@@ -124,12 +124,23 @@ class ExtendedQueriesSpec extends SparkTestBase {
     // instead of silently weaker
     val cap = 4096
     val thresh = n.toDouble / (cap + 1)
-    val heavy = exactMap.filter(_._2 > thresh).keySet
     assert(exactMap.size > cap,
       s"corpus drifted: ${exactMap.size} distinct shingles no longer exercise capacity $cap")
+    // r13: the MG stream is 64-bit shingle hashes (native byte sweep),
+    // so the bound is checked on the HASH stream — same N (the hash
+    // expression emits per-doc-distinct hashes exactly as shingleRows
+    // emits per-doc-distinct strings), heavy set from the hash counts
+    graft.plans.ShingleExprs.register(spark)
+    val hashMap = graft.Tables.documents(spark, sf)
+      .select(explode(expr("graft_shingle_hashes(text)")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashMap.values.sum == n,
+      "hash stream and string stream diverged — per-doc distinctness broken")
+    val heavy = hashMap.filter(_._2 > thresh).keySet
     assert(heavy.nonEmpty, s"corpus drifted: no shingle exceeds N/(cap+1)=$thresh — re-fit cap")
     val cands = ExtendedQueries.mgCandidates(spark, sf, cap)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getLong(0)).toSet
     assert(heavy.subsetOf(cands),
       s"MG bound violated — missed heavy hitters: ${(heavy -- cands).take(5)}")
     // recount is exact: every output row carries its TRUE doc_freq, and

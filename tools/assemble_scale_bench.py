@@ -50,6 +50,12 @@ def main():
             twins[name] = rec["sec"]
         elif name in duck:
             d = duck[name]
+            if d.get("err") or d["sec"] < 0:
+                # a failed DuckDB side (OOM sentinel from bench_duckdb)
+                # must not abort assembly or poison totals with sec=-1
+                print(f"WARN: duckdb failed for {name} "
+                      f"({d.get('err', 'sec<0')}), omitted", file=sys.stderr)
+                continue
             assert rec["rows"] == d["rows"], \
                 f"{name}: spark rows {rec['rows']} != duckdb rows {d['rows']}"
             q = {

@@ -49,6 +49,7 @@ def main():
         sql = oracle[q]
         rows = 0
         best = None
+        con = None
         try:
             con = fresh_con()
             for _ in range(2):
@@ -56,13 +57,21 @@ def main():
                 rows = len(con.execute(sql).fetchall())
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
-            con.close()
         except Exception as e:
             # record the failure and keep benching the rest (an OOM on
             # one text query used to kill the whole artifact)
             print(f"DUCK {q:<24s} FAILED: {e}", file=sys.stderr)
             out[q] = {"sec": -1.0, "rows": -1, "err": str(e)[:200]}
             continue
+        finally:
+            # close on BOTH paths: a leaked 80GB-limit connection after
+            # an OOM would reintroduce the cross-query allocator
+            # interference the fresh-connection protocol removes
+            if con is not None:
+                try:
+                    con.close()
+                except Exception:
+                    pass
         out[q] = {"sec": round(best, 4), "rows": rows}
         print(f"DUCK {q:<24s} {best:8.2f} s  rows={rows}", file=sys.stderr)
     print(json.dumps({"sf": sf_dir, "threads": threads, "queries": out}))
