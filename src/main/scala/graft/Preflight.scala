@@ -98,6 +98,38 @@ object Preflight {
       "embedding" -> FloatVec, "label" -> GroupKey)
   )
 
+  /** Money columns whose exact-scaled-long aggregation (Money.scala)
+    * rests on the cent-grid data-model invariant: every value is an
+    * exact 2-decimal (or exact-hundredths rate). A source that ships
+    * off-grid values would be silently mis-rounded into "exact" sums,
+    * so the invariant is checked HERE, in-band, on a bounded sample at
+    * every preflight (r12 advice: the check used to live only in an
+    * out-of-band probe against the generator). */
+  private val centGridCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_extendedprice", "l_discount", "l_tax"),
+    "orders" -> Seq("o_totalprice"))
+
+  /** Off-grid findings on a frame — a column fails when any sampled
+    * value sits more than `tol` (in cents) from its nearest cent.
+    * Exposed separately so the detection path is spec-testable. */
+  private[graft] def centGridViolations(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      tol: Double = 1e-6): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.map(c => sum(when(
+      abs(col(c) * 100 - floor(col(c) * 100 + 0.5)) > tol, 1L)
+      .otherwise(0L)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (n > 0) Some(s"$c: $n sampled values off the cent grid " +
+        "(Money.scala exact-long sums assume 2-decimal money)")
+      else None
+    }
+  }
+
+  private val CentGridSample = 100000
+
   /** All drift findings for `dir` — empty means the contract holds. */
   def check(spark: SparkSession, dir: String): Seq[String] =
     contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
@@ -108,7 +140,7 @@ object Preflight {
         case Left(err) => Seq(err)
         case Right(s) =>
           val byName = s.fields.map(f => f.name -> f.dataType).toMap
-          cols.toSeq.sortBy(_._1).flatMap { case (c, kind) =>
+          val typeDrift = cols.toSeq.sortBy(_._1).flatMap { case (c, kind) =>
             byName.get(c) match {
               case None => Some(s"$table.$c: MISSING (have: ${s.fieldNames.mkString(", ")})")
               case Some(dt) if !kind.ok(dt) =>
@@ -116,6 +148,18 @@ object Preflight {
               case _ => None
             }
           }
+          // value check only when the columns exist with sane types —
+          // and on a bounded sample, so preflight stays O(1) in SF
+          val moneyDrift =
+            if (typeDrift.nonEmpty) Nil
+            else centGridCols.get(table).toSeq.flatMap { mc =>
+              import org.apache.spark.sql.functions.col
+              centGridViolations(
+                Tables.t(spark, dir, table)
+                  .select(mc.map(col): _*).limit(CentGridSample), mc)
+                .map(f => s"$table.$f")
+            }
+          typeDrift ++ moneyDrift
       }
     }
 

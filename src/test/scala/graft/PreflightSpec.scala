@@ -54,4 +54,17 @@ class PreflightSpec extends SparkTestBase {
     val normalized = fromTs.select(col("event_id"), expr("ts div 1000").as("us"))
     assert(normalized.except(raw).isEmpty && raw.except(normalized).isEmpty)
   }
+
+  test("cent-grid guard: on-grid money passes, off-grid money is named") {
+    val s = spark
+    import s.implicits._
+    // exact 2-decimal values (the data model) — clean
+    val clean = Seq(1.0, 0.07, 12345.99, 0.0).toDF("l_extendedprice")
+    assert(Preflight.centGridViolations(clean, Seq("l_extendedprice")).isEmpty)
+    // a value off the grid by more than half a cent would be silently
+    // mis-rounded into Money.scala's "exact" long sums — must be named
+    val dirty = Seq(1.0, 0.015, 2.123).toDF("l_extendedprice")
+    val found = Preflight.centGridViolations(dirty, Seq("l_extendedprice"))
+    assert(found.size == 1 && found.head.startsWith("l_extendedprice: 2 "))
+  }
 }
