@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.DecimalType
 object Lab {
   private val dec184 = DecimalType(18, 4)
 
+  private def skyRev(s: SparkSession, d: String) = {
+    import Tables._
+    lineitem(s, d).select(col("l_suppkey"), col("l_partkey"),
+      (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+  }
+
   def experiments(s: SparkSession, d: String): Map[String, () => DataFrame] = {
     import Tables._
     def li = lineitem(s, d)
@@ -115,6 +122,20 @@ object Lab {
         .groupBy().agg(count(lit(1)).as("n"))),
       "pareto_current" -> (() => operators.OlapQueries.queries("q_pareto")(s, d)),
       "pareto_dist_current" -> (() => operators.OlapQueries.queries("q_pareto_dist")(s, d)),
+
+      // ---- skyline decomposition (r13): where do the 2.5 s go? ----
+      "sky_scan_expr" -> (() => skyRev(s, d)
+        .groupBy().agg(sum("rev_e4").as("s"), count(lit(1)).as("n"))),
+      "sky_exchange_only" -> (() => skyRev(s, d).repartition(col("l_suppkey"))
+        .groupBy().agg(sum("rev_e4").as("s"), count(lit(1)).as("n"))),
+      "sky_pair_agg" -> (() => skyRev(s, d).repartition(col("l_suppkey"))
+        .groupBy("l_suppkey", "l_partkey").agg(sum("rev_e4").as("p"))
+        .groupBy().agg(sum("p").as("s"), count(lit(1)).as("n"))),
+      "sky_supp_agg" -> (() => skyRev(s, d).repartition(col("l_suppkey"))
+        .groupBy("l_suppkey", "l_partkey").agg(sum("rev_e4").as("p"))
+        .groupBy("l_suppkey").agg(sum("p").as("s"), count(lit(1)).as("np"))
+        .groupBy().agg(sum("s").as("ss"), count(lit(1)).as("n"))),
+      "sky_current" -> (() => operators.OlapQueries.queries("q_skyline")(s, d)),
 
       // ---- text_logprob variants ----
       "logprob_current" -> (() => operators.TextOps.queries("text_logprob")(s, d)),

@@ -433,7 +433,6 @@ object OlapQueries {
     * n² anywhere. The fact scan aggregates lineitem → supplier grain
     * first (the only fact-scale shuffle); dimensions broadcast. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Both supplier metrics come from ONE fact scan and ONE fact-scale
     // exchange. History of this plan: fused sum+countDistinct in one
     // groupBy plans as an Expand over the fact (the distinct
@@ -443,26 +442,51 @@ object OlapQueries {
     // scanned the fact TWICE and still paid a line-grain
     // (suppkey, partkey).distinct() exchange (the one residual
     // fact-scale shuffle the r12 verdict flagged — 5.32× at sf3).
-    // r13 shape: manually pre-aggregate to (suppkey, partkey) grain —
-    // sum(rev_e4) with FULL map-side combine (no Expand, unlike the
-    // fused form), one exchange of three longs per partial-combined
-    // pair — then a second aggregate at pair→supplier grain where
-    // n_parts is a plain count(*) (the grain makes partkey distinct by
-    // construction) and the revenue is the sum of exact partial sums.
-    // No distinct, no self-join, no second scan.
-    // Money in scaled longs: prices are exact 2-decimal and discounts
-    // exact hundredths by the data model (checked against the
-    // generator), so ep_e2 × (100 − disc_e2) is the EXACT 4-decimal
-    // revenue as an integer — the long sum is order-independent and
-    // exact like the decimal it replaces, at a fraction of the
-    // aggregation cost (the decimal partial agg alone measured 57 s of
-    // task time at sf10); partial sums per (supp, part) re-summed per
-    // supplier are the same exact integer total. Safe at supplier
-    // grain far past 100 TB (overflow needs ~10⁹ lines under ONE
-    // supplier); nation-grain sums (q5/q7) stay decimal because 5-way
-    // groups at 100 TB could. The final floor(x·100+0.5)/100 rounding
-    // maps to integer arithmetic: (Σe4 + 50) div 100.
-    val li = lineitem(s, d)
+    // r13 shape: ONE scan, ONE suppkey exchange, then pair-grain and
+    // supplier-grain aggregates both local (no Expand, no distinct, no
+    // self-join, no second scan) — see qSkylineFrom for the money/
+    // exactness rationale.
+    // explicit suppkey repartition: hashpartitioning(suppkey)
+    // satisfies the clustering requirement of BOTH downstream groupBys
+    // (suppkey ⊆ {suppkey, partkey}), so the pair aggregate plans as
+    // ONE local HashAggregate (not partial+final — two 18M-entry
+    // tables at sf3) and the supplier aggregate needs no second
+    // exchange at all: one wire crossing, then everything pipelined.
+    // Map-side combine is no loss: (supp, part) pairs repeat ~0.2×
+    // within a partition on the key-clustered layout, so the partial
+    // agg the repartition skips was moving the fact almost 1:1 anyway.
+    // The remaining exchange is the layout's to remove — see
+    // BucketedQueries.qSkylineBucketed, where a suppkey-bucketed
+    // lineitem makes this plan exchange-free end to end.
+    qSkylineFrom(s, d, lineitem(s, d).repartition(col("l_suppkey")))
+  }
+
+  /** Plan body shared by q_skyline (plain layout, caller repartitions
+    * by suppkey) and q_skyline_bucketed (suppkey-bucketed lineitem —
+    * the scan itself reports hashpartitioning(suppkey), zero
+    * exchange). `li` must be clustered by l_suppkey.
+    *
+    * Money in scaled longs: prices are exact 2-decimal and discounts
+    * exact hundredths by the data model (Preflight's cent-grid guard),
+    * so ep_e2 × (100 − disc_e2) is the EXACT 4-decimal revenue as an
+    * integer — the long sum is order-independent and exact like the
+    * decimal it replaces, at a fraction of the aggregation cost (the
+    * decimal partial agg alone measured 57 s of task time at sf10);
+    * partial sums per (supp, part) re-summed per supplier are the same
+    * exact integer total. Safe at supplier grain far past 100 TB
+    * (overflow needs ~10⁹ lines under ONE supplier). The final
+    * floor(x·100+0.5)/100 rounding maps to integer arithmetic:
+    * (Σe4 + 50) div 100. */
+  private[operators] def qSkylineFrom(s: SparkSession, d: String,
+                                      li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import DedupOps.TruncOps
+    // truncEager: BOTH the output side (j) and the skyline build side
+    // consume m — without truncation only the fact Exchange is reused
+    // and the pair+supplier aggregate chain (the expensive part) runs
+    // twice, once per consumer (observed in the r13 executed plan).
+    // m is supplier-grain — a few long columns per supplier — so the
+    // materialization is negligible at any SF.
     val m = li.select(col("l_suppkey"), col("l_partkey"),
         (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
           (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
@@ -473,13 +497,21 @@ object OlapQueries {
       .select(col("l_suppkey"),
         (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
         col("n_parts"))
+      .truncEager
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
         col("revenue"), col("n_parts"))
-    val pairs = j.select("nation", "revenue", "n_parts").distinct()
+    // one explicit nation repartition serves BOTH the pair-dedup
+    // aggregate and the window (nation ⊆ both clusterings): without
+    // it, distinct() plans partial+final with its own exchange and
+    // the window adds a second — two stage launches for supplier-grain
+    // data (Lab r13: the post-aggregate stages cost more than the
+    // fact aggregate itself, ~2 s of the 3.4 s total at sf3)
+    val pairs = j.select("nation", "revenue", "n_parts")
+      .repartition(col("nation")).dropDuplicates("nation", "revenue", "n_parts")
     val w = Window.partitionBy("nation")
       .orderBy(col("revenue").desc, col("n_parts").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -487,7 +519,11 @@ object OlapQueries {
       .filter(col("mx").isNull || col("mx") < col("n_parts"))
       .select(col("nation").as("sk_n"), col("revenue").as("sk_r"),
         col("n_parts").as("sk_p"))
-    j.join(sky, col("nation") === col("sk_n") &&
+    // the skyline side is frontier-cardinality (tiny at any SF):
+    // broadcast it explicitly so the semi-join never plans a shuffled
+    // variant whose left-side ENSURE_REQUIREMENTS exchange AQE then
+    // has to localize after the fact
+    j.join(broadcast(sky), col("nation") === col("sk_n") &&
         col("revenue") === col("sk_r") && col("n_parts") === col("sk_p"),
       "left_semi")
   }

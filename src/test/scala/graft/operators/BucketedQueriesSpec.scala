@@ -58,6 +58,30 @@ class BucketedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_skyline over the suppkey-bucketed lineitem: zero suppkey Exchange, identical results") {
+    val s = isolated
+    val bq = BucketedQueries.qSkylineBucketed(s, sf)
+    val plan = bq.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val suppkeyExchange = """Exchange hashpartitioning\(l_suppkey#\d+L?, \d+\)""".r
+    val factExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if suppkeyExchange.findFirstIn(e.nodeName + " " + e.outputPartitioning).isDefined ||
+           suppkeyExchange.findFirstIn(e.simpleString(10)).isDefined => e
+    }.filter(_.collectLeaves().exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("lineitem_sbkt"))
+      case _ => false
+    })
+    assert(factExchanges.isEmpty,
+      s"bucketed lineitem must never re-shuffle on the supplier key:\n$plan")
+    val got = bq.collect().map(_.toSeq).toSeq
+    val want = OlapQueries.qSkyline(s, sf).collect().map(_.toSeq).toSeq
+    assert(got.toSet == want.toSet && got.length == want.length,
+      "suppkey-bucketed layout changed the results")
+  }
+
   test("the plain-scan q3 DOES shuffle the order key under the same conf (the layout is what removes it)") {
     val s = isolated
     val plan = CoreQueries.q3JoinAgg(s, sf).queryExecution.executedPlan.toString
