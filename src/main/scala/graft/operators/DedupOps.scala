@@ -378,14 +378,18 @@ object DedupOps {
     * threshold: |A∩B| <= min, |A∪B| >= max). Boundary-straddling
     * pairs are the accepted blocking trade-off; the non-blocking path
     * is dedup_minhash_lsh. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Posting-list formulation: group docs per (lang, shingle), expand
-    // each list's ordered pairs MAP-SIDE, count per pair — one
-    // computation of the shingle rows, no self-join. The df cap bounds
-    // each list's pair expansion (see STOP_SHINGLE_DF_CAP).
-    // checkpoint the per-doc ARRAYS (|docs| rows), not the exploded
-    // index: postings explode from the cached arrays, and the per-doc
-    // counts are a map-side size() instead of a groupBy shuffle
+  /** Shared candidate machinery for the shingle-overlap family
+    * (ngram-Jaccard, containment): ordered doc pairs with their shingle
+    * intersection size and both per-doc shingle counts.
+    *
+    * Posting-list formulation: group docs per (lang, shingle), expand
+    * each list's ordered pairs MAP-SIDE, count per pair — one
+    * computation of the shingle rows, no self-join. The df cap bounds
+    * each list's pair expansion (see STOP_SHINGLE_DF_CAP).
+    * checkpoint the per-doc ARRAYS (|docs| rows), not the exploded
+    * index: postings explode from the cached arrays, and the per-doc
+    * counts are a map-side size() instead of a groupBy shuffle. */
+  private def shinglePairCounts(s: SparkSession, d: String): DataFrame = {
     val sets = shingleSets(s, d).truncEager // shared: postings + counts
     val posting = sets
       .select(col("doc_id"), col("lang"), explode(col("sh_set")).as("shingle"))
@@ -404,13 +408,33 @@ object DedupOps {
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+  }
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    shinglePairCounts(s, d)
       .filter(expr("n_a div 50") === expr("n_b div 50") &&
         least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-  }
+
+  /** Asymmetric near-dup: containment C = |A∩B| / min(|A|, |B|) — the
+    * "one document substantially quoted inside another" signal Jaccard
+    * structurally misses (a 50-shingle doc fully embedded in a
+    * 500-shingle doc has J ≈ 0.1 but C = 1.0). Standard in pretraining
+    * dedup for catching boilerplate-wrapped reposts and quote farms.
+    * Same df-capped posting-list candidates as [[dedupNgramJaccard]] —
+    * but NO length-band/size-ratio prune: asymmetric sizes are exactly
+    * the target. The df cap is the scale bound (list pair expansion ≤
+    * CAP²/2 per posting); fixed-point floor-round on both engines. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    shinglePairCounts(s, d)
+      .withColumn("containment",
+        floor(col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double") * 1e4 + 0.5) / 1e4)
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "containment")
 
   /** Materialized cluster table, shared across queries in the session.
     * In production the CC output is a written table: dedup_clusters
@@ -541,7 +565,8 @@ object DedupOps {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash64_pairs" -> (dedupSimhash64Pairs _),
     "dedup_incremental" -> (dedupIncremental _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _)
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _)
   )
 
   /** Shared oracle CTE: per-doc 64-bit simhash as two 32-bit halves —
@@ -761,6 +786,27 @@ object DedupOps {
          |SELECT doc_a, doc_b,
          |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
          |FROM scored
-         |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5""".stripMargin
+         |WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.5""".stripMargin,
+    // same df-capped candidate CTEs as jaccard, WITHOUT the length
+    // band / size-ratio prune (asymmetric sizes are the target)
+    "dedup_containment" ->
+      s"""$shingleSetsCte,
+         |inv AS (SELECT doc_id, lang, unnest(sh_set) AS shingle FROM sized),
+         |capped AS (SELECT * FROM (
+         |    SELECT doc_id, lang, shingle,
+         |      count(*) OVER (PARTITION BY lang, shingle) AS df FROM inv)
+         |  WHERE df <= $STOP_SHINGLE_DF_CAP),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b
+         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |scored AS (SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM inter JOIN sized sa ON sa.doc_id = doc_a
+         |             JOIN sized sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b,
+         |  floor(CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         |    AS containment
+         |FROM scored
+         |WHERE floor(CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
   )
 }

@@ -50,6 +50,29 @@ object SimilarityOps {
       .filter(col("rk") <= K)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * probe, the top-k most-similar vectors with a DIFFERENT label —
+    * the "confusable but wrong" examples a triplet/InfoNCE loss needs.
+    * Same physical shape as [[simCosineTopK]] (probes broadcast,
+    * candidate stream map-side, per-probe window over a bounded
+    * candidate set); the label inequality rides the broadcast-join
+    * condition, so mismatched pairs never materialize past the probe
+    * row. The scale path is the IVF/LSH blocking of the sim_ann ops
+    * with the label filter applied at probe time. */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+      col("label").as("vlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    cands.join(broadcast(q), col("vlabel") =!= col("qlabel"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+  }
+
   /** Deterministic ±1 hyperplanes from md5 nibble parity — no RNG, same
     * plane set on every executor with zero coordination. */
   private def hyperplane(j: Int, dim: Int): Array[Double] = {
@@ -286,6 +309,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_cosine_topk" -> (simCosineTopK _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -323,6 +347,21 @@ object SimilarityOps {
          |  SELECT qid, vid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
          |  FROM sims) WHERE rk <= $KNN_K""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NQ),
+         |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve
+         |  FROM q, embeddings WHERE label <> qlabel),
+         |flat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM pairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM flat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $K""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
          |pairs AS (SELECT qid, vec_id AS vid, qe, embedding AS ve

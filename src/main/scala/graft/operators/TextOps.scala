@@ -387,6 +387,51 @@ object TextOps {
           .as("mean_logp"))
   }
 
+  /** Per-document top-3 TF·IDF keywords — the topic-tagging /
+    * corpus-indexing primitive (doc-level routing, cluster labeling,
+    * search-index terms). score = tf · ln(N/df), ranked per doc with a
+    * token-string tiebreak; the score is fixed-pointed to 1e-6 BEFORE
+    * ranking so both engines rank the identical integer key.
+    *
+    * Scale shape (the [[textLogprob]] lane): per-doc distinct-token
+    * counts from ONE native byte sweep (no instance explosion, no tf
+    * shuffle — graft_gram_hash_counts is map-side); the df table and
+    * the token-string map are Zipf-bounded vocabularies, both
+    * EXPLICITLY broadcast (the textLogprob rationale: a token-keyed
+    * shuffle would land every "the" on one partition). The only
+    * fact-scale shuffles are the distinct-(doc, token)-grain df
+    * aggregate and the per-doc window (high-cardinality partition key,
+    * per-group input bounded by per-doc vocabulary). */
+  def textKeywordsTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GramHashExpr.register(s)
+    val dhc = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("graft_gram_hash_counts(text, 1)")).as("tc"))
+      .select(col("doc_id"), col("tc.h1").as("h"), col("tc.c").as("tf"))
+    // df = docs containing the token: plain count at distinct grain
+    val dfTab = dhc.groupBy(col("h").as("h_v")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+    // hash → string map for the output: per-doc-distinct explode then
+    // corpus distinct — vocabulary-cardinality, broadcast like dfTab
+    val tokMap = documents(s, d)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct()
+      .select(col("tok"), xxhash64(col("tok")).as("h_t"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_e6").desc, col("keyword"))
+    dhc.join(broadcast(dfTab), col("h") === col("h_v"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6",
+        floor(col("tf").cast("double") *
+          log(col("n_docs") / col("df").cast("double")) * 1e6 + 0.5).cast("long"))
+      .join(broadcast(tokMap), col("h") === col("h_t"))
+      .select(col("doc_id"), col("tok").as("keyword"), col("score_e6"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= 3)
+      .select("doc_id", "keyword", "kw_rank", "score_e6")
+  }
+
   /** Bigram-LM fluency score: per-document mean log10 P(w_i | w_{i-1})
     * under the corpus's own MLE bigram model (context counts are
     * bigram-start occurrences, so Σ_cur c2(prev,cur) = c1(prev) and
@@ -455,6 +500,7 @@ object TextOps {
     "text_casing" -> (textCasing _),
     "text_line_dedup" -> (textLineDedup _),
     "text_logprob" -> (textLogprob _),
+    "text_keywords_tfidf" -> (textKeywordsTfidf _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_html_links" -> (textHtmlLinks _),
     "text_ngrams_top" -> (textNgramsTop _),
@@ -489,6 +535,21 @@ object TextOps {
         |    / 2.302585092994046 * 10000 + 0.5) / 10000 AS mean_logp2
         |FROM big JOIN c2 USING (bg) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // tf from per-doc token counts, df at distinct-(doc, token) grain,
+    // score fixed-pointed to an integer BEFORE ranking (both engines
+    // rank the same key; ln on both sides — the text_logprob rationale)
+    "text_keywords_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT tok AS tok_v, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tok,
+        |    CAST(floor(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS score_e6
+        |  FROM tf JOIN dfs ON tok = tok_v CROSS JOIN n)
+        |SELECT doc_id, tok AS keyword, rk AS kw_rank, score_e6 FROM (
+        |  SELECT doc_id, tok, score_e6,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),

@@ -152,4 +152,34 @@ class DedupOpsSpec extends SparkTestBase {
       assert(canon.head._1 == tied)
     }
   }
+
+  test("containment: asymmetric near-dups recompute exactly from shingle sets; jaccard misses them") {
+    val pairs = DedupOps.dedupContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    assert(pairs.nonEmpty, "expected containment pairs in testdata")
+    assert(pairs.forall(_._3 >= 0.8))
+    // exact recompute mirroring the operator's semantics: intersection
+    // over df-CAPPED (lang, shingle) postings, denominators from the
+    // FULL per-doc set sizes
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map { r =>
+        val tk = r.getAs[String]("text").split(" ", -1)
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          if (tk.length < 3) Set.empty[String]
+          else tk.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val sets = docs.map { case (id, _, sh) => id -> sh }.toMap
+    val lang = docs.map { case (id, l, _) => id -> l }.toMap
+    val df = docs.flatMap { case (_, l, sh) => sh.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    pairs.foreach { case (a, b, c) =>
+      assert(lang(a) == lang(b), s"pair ($a,$b) crosses languages")
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = sa.intersect(sb).count(sh => df((lang(a), sh)) <= 64)
+      val want = math.floor(
+        inter.toDouble / math.min(sa.size, sb.size) * 1e4 + 0.5) / 1e4
+      assert(c == want, s"pair ($a,$b): got $c want $want")
+    }
+  }
 }

@@ -178,6 +178,28 @@ class TextOpsSpec extends SparkTestBase {
     }
     assert(got.values.forall(_._2 <= 0.0), "MLE probabilities are <= 1")
   }
+
+  test("tfidf keywords: top-3 per doc equal an exact in-memory recompute") {
+    val got = TextOps.queries("text_keywords_tfidf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("kw_rank")) ->
+        (r.getAs[String]("keyword"), r.getAs[Long]("score_e6"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).toSeq).toMap
+    val n = docs.size.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    docs.foreach { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val want = tf.toSeq.map { case (tok, f) =>
+        (tok, math.floor(f * math.log(n / dfm(tok)) * 1e6 + 0.5).toLong)
+      }.sortBy { case (tok, s) => (-s, tok) }.take(3)
+      want.zipWithIndex.foreach { case ((tok, s), i) =>
+        assert(got((id, i + 1)) == ((tok, s)),
+          s"doc $id rank ${i + 1}: got ${got((id, i + 1))} want ($tok,$s)")
+      }
+    }
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
@@ -305,6 +327,38 @@ class SimilarityOpsSpec extends SparkTestBase {
     got.foreach { case (v, (rep, keeper)) =>
       assert(rep == find(v), s"vec $v: rep $rep != union-find ${find(v)}")
       assert((keeper == 1) == (v == rep))
+    }
+  }
+
+  test("hard negatives: never the probe's own label, ranked by cosine against brute force") {
+    val rows = SimilarityOps.queries("sim_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rk")))
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray,
+        r.getAs[Any]("label").toString)).toList
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    rows.groupBy(_._1).foreach { case (qid, got) =>
+      val (_, qe, ql) = byId(qid)
+      assert(got.forall(g => byId(g._2)._3 != ql),
+        s"probe $qid: a hard negative shares its label")
+      val brute = emb.filter(_._3 != ql)
+        .map(e => (e._1, cos(qe, e._2)))
+        .sortBy { case (vid, c) => (-c, vid) }.take(5)
+      val gotSorted = got.sortBy(_._4).map(g => (g._2, g._3)).toList
+      assert(gotSorted == brute, s"probe $qid: $gotSorted vs $brute")
     }
   }
 }
