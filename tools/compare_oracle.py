@@ -61,9 +61,20 @@ def main(sf_dir, out_dir):
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional query subset: --only q1,q2 (resume a long scale compare
+    # after an interrupt without redoing finished queries)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     results = {}
+    import time as _time
     for name in sorted(glob.glob(f"{out_dir}/*/")):
         qname = name.rstrip("/").split("/")[-1]
+        if only is not None and qname not in only:
+            continue
+        # progress heartbeat for multi-hour scale runs: stderr, flushed
+        print(f"[{_time.strftime('%H:%M:%S')}] {qname} ...",
+              file=sys.stderr, flush=True)
         spark_files = glob.glob(f"{name}/*.parquet")
         if not spark_files:
             # Verify writes an _ERROR.txt manifest for a failed query —
@@ -114,7 +125,7 @@ def main(sf_dir, out_dir):
     # single-query `only` mode writes an _ONLY.txt marker (and --partial
     # forces the same), where ~100 bogus MISSING_DUMP entries would
     # otherwise fail every dev loop.
-    partial = ("--partial" in sys.argv
+    partial = ("--partial" in sys.argv or only is not None
                or os.path.exists(f"{out_dir}/_ONLY.txt"))
     if not partial:
         for qname in oracle:
