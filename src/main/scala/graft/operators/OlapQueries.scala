@@ -442,23 +442,18 @@ object OlapQueries {
     // scanned the fact TWICE and still paid a line-grain
     // (suppkey, partkey).distinct() exchange (the one residual
     // fact-scale shuffle the r12 verdict flagged — 5.32× at sf3).
-    // r13 shape: ONE scan, ONE suppkey exchange, then pair-grain and
-    // supplier-grain aggregates both local (no Expand, no distinct, no
-    // self-join, no second scan) — see qSkylineFrom for the money/
-    // exactness rationale.
-    // explicit suppkey repartition: hashpartitioning(suppkey)
-    // satisfies the clustering requirement of BOTH downstream groupBys
-    // (suppkey ⊆ {suppkey, partkey}), so the pair aggregate plans as
-    // ONE local HashAggregate (not partial+final — two 18M-entry
-    // tables at sf3) and the supplier aggregate needs no second
-    // exchange at all: one wire crossing, then everything pipelined.
-    // Map-side combine is no loss: (supp, part) pairs repeat ~0.2×
-    // within a partition on the key-clustered layout, so the partial
-    // agg the repartition skips was moving the fact almost 1:1 anyway.
-    // The remaining exchange is the layout's to remove — see
-    // BucketedQueries.qSkylineBucketed, where a suppkey-bucketed
-    // lineitem makes this plan exchange-free end to end.
-    qSkylineFrom(s, d, lineitem(s, d).repartition(col("l_suppkey")))
+    // r13 shape: ONE scan, one pair-grain exchange with map-side
+    // partial aggregation, then the supplier-grain aggregate over the
+    // (small) pair table (no Expand, no distinct, no self-join, no
+    // second scan) — see qSkylineFrom for the money/exactness
+    // rationale. An explicit repartition(l_suppkey) variant (raw rows
+    // on the wire, both aggregates local) measured the same at sf3
+    // (2.5 s) but 5× WORSE at sf10 (24.8 s vs 4.9): the un-combined
+    // raw exchange is the part that stops scaling, so the partial
+    // aggregate stays in front of the wire. The remaining exchange is
+    // the layout's to remove — see BucketedQueries.qSkylineBucketed,
+    // where a suppkey-bucketed lineitem makes the plan exchange-free.
+    qSkylineFrom(s, d, lineitem(s, d))
   }
 
   /** Plan body shared by q_skyline (plain layout, caller repartitions
@@ -480,13 +475,14 @@ object OlapQueries {
   private[operators] def qSkylineFrom(s: SparkSession, d: String,
                                       li: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import DedupOps.TruncOps
-    // truncEager: BOTH the output side (j) and the skyline build side
-    // consume m — without truncation only the fact Exchange is reused
-    // and the pair+supplier aggregate chain (the expensive part) runs
-    // twice, once per consumer (observed in the r13 executed plan).
-    // m is supplier-grain — a few long columns per supplier — so the
-    // materialization is negligible at any SF.
+    // m is consumed twice (the output side and the skyline build
+    // side). Do NOT localCheckpoint it: Dataset.localCheckpoint
+    // materializes via queryExecution.toRdd, which BYPASSES AQE — the
+    // fact aggregate then runs with static partitioning and measured
+    // 25-35 s at sf10 (vs ~5 s under AQE; sf3 masked it at 2.4 s).
+    // ReuseExchange already shares the one fact-scale Exchange between
+    // the two consumers; the duplicated above-exchange aggregates are
+    // pair-grain and cost far less than losing AQE on the fact stage.
     val m = li.select(col("l_suppkey"), col("l_partkey"),
         (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
           (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
@@ -497,7 +493,6 @@ object OlapQueries {
       .select(col("l_suppkey"),
         (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
         col("n_parts"))
-      .truncEager
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
