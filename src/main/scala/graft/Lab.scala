@@ -332,6 +332,98 @@ object Lab {
             operators.Money.e4ToDouble(col("rev_e4")).as("revenue"))
       }),
       "q7_now" -> (() => operators.OlapQueries.queries("q7_volume")(s, d)),
+      "q7_aqe_cust" -> (() => {
+        // the shipped shape but with NO join hints: AQE sees the
+        // measured post-shuffle sizes (customer slims to 2 ints) and
+        // may convert both fact joins to broadcast at bench scale
+        val l = lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val oc = orders(s, d).select("o_orderkey", "o_custkey")
+          .join(customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.bucket(col("l_orderkey")).as("mb"))
+          .agg(sum(col("r")).as("v_e4"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.outerE4(col("v_e4")).as("volume"))
+      }),
+      "q7_split" -> (() => {
+        // split-long exact sums: ONE aggregate at the true
+        // (supp_nation, cust_nation, year) grain — no Money.bucket
+        // column, so the partial aggregate combines to 1 200 rows per
+        // task instead of 13.5M and the exchange is KBs, not ~1 GB
+        val l = lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val oc = orders(s, d).select("o_orderkey", "o_custkey")
+          .join(customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.splitLoE4(col("r")).as("lo"),
+            operators.Money.splitHiE4(col("r")).as("hi"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.splitToDollarsE4(col("hi"), col("lo")).as("volume"))
+      }),
+      "q7_bkt" -> (() => {
+        // bucketed twin probe: orderkey-bucketed lineitem ⋈ orders
+        // co-located (zero exchange on the fact join), customer join
+        // AQE-decided
+        val (ot, lt) = operators.BucketedQueries.ensureBucketed(s, d)
+        val l = s.table(lt)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val o = s.table(ot).select("o_orderkey", "o_custkey")
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.bucket(col("l_orderkey")).as("mb"))
+          .agg(sum(col("r")).as("v_e4"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.outerE4(col("v_e4")).as("volume"))
+      }),
       "q7_mapside_e4" -> (() => {
         val l = lineitem(s, d).filter(
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

@@ -103,6 +103,27 @@ object DedupOps {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
 
+  /** Shared-prefix duplicate buckets — the template/boilerplate
+    * detector of a crawl pipeline: documents opening with the SAME
+    * first K tokens are near-certain siblings of one generator
+    * (mirrored pages, form letters, scraper artifacts) even when their
+    * tails diverge, which whole-document hashing (dedup_exact) and
+    * set-similarity (Jaccard ignores order) both miss. Grain is the
+    * md5 of the exact K-token prefix — one map-side projection + one
+    * hash aggregate, no pairs, no join: cardinality is bounded by
+    * distinct prefixes, so the op is a plain linear aggregate at any
+    * corpus size (contrast every pairwise family). K=4 keeps the
+    * collision rate meaningful on this corpus (fitted at sf0.01). */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val K = 4
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, K))).as("prefix_h"))
+      .groupBy("prefix_h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** MinHash signatures over the per-doc shingle arrays: two md5s per
     * shingle, each sliced into four disjoint 8-hex-char (32-bit)
     * sub-hashes → 8 independent uniform hash functions at 1/4 the
@@ -560,6 +581,7 @@ object DedupOps {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_prefix" -> (dedupPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -641,10 +663,14 @@ object DedupOps {
     * PretrainOps). One definition, so the pair pipeline, the CC, and
     * every consumer cannot drift apart. */
   private[operators] val clustersCtesSql: String =
+    // edges is AS MATERIALIZED: DuckDB inlines plain CTEs into the
+    // recursive term and re-evaluates the whole minhash pair pipeline
+    // on every reachability iteration (the dedup_semantic twin of this
+    // chain ran >2 h at sf3 inlined vs ~6 min materialized — r13)
     s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (SELECT doc_a, doc_b FROM scored
        |  WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) >= 0.6),
-       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
        |nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
        |reach AS (
@@ -660,6 +686,12 @@ object DedupOps {
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_prefix" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(array_to_string((string_split(text, ' '))[1:4], ' ')) AS prefix_h
+        |  FROM documents)
+        |SELECT prefix_h, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM p GROUP BY prefix_h HAVING count(*) >= 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$minhashCtes
          |SELECT doc_a, doc_b,

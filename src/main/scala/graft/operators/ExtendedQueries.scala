@@ -523,7 +523,55 @@ object ExtendedQueries {
       .withColumn("second_val", nth_value(col("value"), 2).over(w))
   }
 
+  /** Type-2 slowly-changing-dimension intervals from an event stream —
+    * the warehouse history-table build: per user, collapse consecutive
+    * same-type events into runs (a row survives only where the type
+    * CHANGES), then each surviving change opens an interval closed by
+    * the next change (valid_to = −1 marks the current row; −1 instead
+    * of NULL so both engines hash the sentinel identically). Two
+    * window passes over the SAME (user, time, id) partitioning — the
+    * filter between them changes the row set, so lead() must re-run,
+    * but the second WindowExec reuses the first's hash partitioning
+    * (no second exchange; only a re-sort of the ~changes subset).
+    * Per-user parallelism — embarrassingly parallel at 100 TB. */
+  def qScd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", coalesce(lead("ts_s", 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_type"),
+        col("ts_s").as("valid_from"), col("valid_to"),
+        (col("valid_to") === -1L).cast("int").as("is_current"))
+  }
+
+  /** Equi-width histogram over order totals — the profiling primitive
+    * behind optimizer statistics and data-quality dashboards. Bounds
+    * come from ONE global min/max aggregate (scalar, broadcast back via
+    * a 1-row cross join — the q_scalar_subquery device); bucket
+    * assignment is PURE INTEGER arithmetic on exact cents
+    * ((pc−mn)·K div (mx−mn+1), never a float boundary both engines
+    * could round differently), so the 20 buckets are bit-identical
+    * everywhere. Two scans of orders (min/max + assignment) and one
+    * 20-group aggregate — each scan column-pruned to one column. */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    val K = 20
+    val pc = orders(s, d).select(Money.e2(col("o_totalprice")).as("pc"))
+    val mm = pc.agg(min("pc").as("mn"), max("pc").as("mx"))
+    pc.crossJoin(broadcast(mm))
+      .select(col("pc"),
+        expr(s"CAST(((pc - mn) * $K) div (mx - mn + 1) AS INT)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        Money.e2ToDouble(min("pc")).as("min_price"),
+        Money.e2ToDouble(max("pc")).as("max_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals" -> (qScd2Intervals _),
+    "q_histogram" -> (qHistogram _),
     "q_first_last" -> (qFirstLast _),
     "q_range_join" -> (qRangeJoin _),
     "text_chunks" -> (textChunks _),
@@ -548,6 +596,25 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),
+        |ch AS (SELECT user_id, event_id, ts_s, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+        |  FROM ev)
+        |SELECT user_id, event_type, ts_s AS valid_from,
+        |  coalesce(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), -1) AS valid_to,
+        |  CAST(CASE WHEN coalesce(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), -1) = -1
+        |       THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM ch WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin,
+    "q_histogram" ->
+      """WITH pc AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders),
+        |mm AS (SELECT min(pc) AS mn, max(pc) AS mx FROM pc)
+        |SELECT CAST(((pc - mn) * 20) // (mx - mn + 1) AS INT) AS bucket,
+        |  count(*) AS n_orders,
+        |  CAST(min(pc) AS DOUBLE) / 100 AS min_price,
+        |  CAST(max(pc) AS DOUBLE) / 100 AS max_price
+        |FROM pc, mm GROUP BY 1""".stripMargin,
     "q_first_last" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
         |  first_value(value) OVER w AS first_val,

@@ -67,4 +67,36 @@ object Money {
   /** Direct-grain conversions (high-cardinality keys, single level). */
   def e2ToDouble(c: Column): Column = (c.cast("double") / 100)
   def e4ToDouble(c: Column): Column = (c.cast("double") / 10000)
+
+  /** Split exact sum — the low-cardinality-grain form WITHOUT the
+    * bucket column. The two-level (group, hash-bucket) shape keeps
+    * map-side combine, but multiplies the partial-aggregate grain by
+    * BUCKETS: q7's first aggregate emitted 13.5M partial rows / ~1 GB
+    * of exchange for 1 200 true groups at sf10 (nation strings riding
+    * every bucket row). Splitting the e4 value digit-wise instead —
+    * lo = v mod 1e6, hi = v div 1e6, each summed as a plain long —
+    * keeps the partial aggregate at the group's OWN grain (1 200 rows
+    * per task, exchange ~KB) and stays exact: total = hi·1e6 + lo
+    * reassembled in DECIMAL at output grain (a row-level expression
+    * over final groups, never the fact stream).
+    *
+    * Overflow headroom: requires v ≥ 0 (true for every revenue form
+    * here — prices ≥ 0, discounts ≤ 100%). lo < 1e6 per row → the lo
+    * sum needs >9.2×10¹² rows under ONE group (≳150× a 100 TB fact
+    * stream in one group); hi ≤ ~1e3 per row (price ≤ $100k) → ~10¹⁶
+    * at 100 TB. Both far inside long range; the map-side partials are
+    * bounded by the same totals. */
+  def splitLoE4(v: Column): Column = sum(v % lit(1000000L))
+  // floor(v / 1e6) is exact here: the double quotient is correctly
+  // rounded, v ≤ ~1e12 keeps its absolute error ≤ 2⁻⁵²·1e6 ≈ 2e-10,
+  // and non-integer true quotients sit ≥ 1e-6 from the next integer —
+  // so the floor can never cross a boundary (integer quotients are
+  // exactly representable and round to themselves)
+  def splitHiE4(v: Column): Column = sum(floor(v / lit(1000000L)).cast("long"))
+
+  /** Reassemble split sums into DOUBLE dollars (e4 scale): the same
+    * exact rational as the oracle's DECIMAL sum, one nearest-double
+    * rounding on both paths. */
+  def splitToDollarsE4(hi: Column, lo: Column): Column =
+    ((hi.cast(dec280) * 1000000 + lo.cast(dec280)) / 10000).cast("double")
 }

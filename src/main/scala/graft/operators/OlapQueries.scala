@@ -94,8 +94,19 @@ object OlapQueries {
     // and orders⋈customer joined FIRST on their own slim columns so
     // the line-grain stream crosses the wire ONCE — the previous plan
     // re-exchanged the joined line stream on custkey, a second
-    // fact-scale Exchange. Nation-grain money stays two-level
-    // (Money.scala overflow note).
+    // fact-scale Exchange.
+    // r13: nation-grain money moved from the two-level (group, bucket)
+    // form to SPLIT LONG sums (Money.splitLoE4/splitHiE4). q7's group
+    // count (600 nation pairs × 2 years) made the 1024-way bucket
+    // column catastrophic: the partial aggregate's grain became 1.2M
+    // groups, so map-side combine stopped combining (13.5M partial
+    // rows, ~1 GB exchanged at sf10 — node metrics, r13 Lab). Split
+    // sums keep the partial at the true 1 200-group grain (exchange
+    // ~KB) with the same exactness and overflow headroom (Money.scala).
+    // Lab sf10: 7.6 s → 5.0 s same-window A/B. Join hints dropped:
+    // AQE converts the slim customer side from measured post-shuffle
+    // sizes at bench scale and keeps the shuffle join when it outgrows
+    // the threshold on a cluster — estimate-proof either way.
     val l = lineitem(s, d).filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
       col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -103,7 +114,7 @@ object OlapQueries {
         year(col("l_shipdate")).as("l_year"),
         Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
     val oc = orders(s, d).select("o_orderkey", "o_custkey")
-      .join(customer(s, d).select("c_custkey", "c_nationkey").hint("shuffle_hash"),
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
@@ -112,15 +123,15 @@ object OlapQueries {
     val custN = nation(s, d).select(
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"),
-        Money.bucket(col("l_orderkey")).as("mb"))
-      .agg(sum(col("r")).as("v_e4"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(Money.outerE4(col("v_e4")).as("volume"))
+      .agg(Money.splitLoE4(col("r")).as("lo"),
+        Money.splitHiE4(col("r")).as("hi"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        Money.splitToDollarsE4(col("hi"), col("lo")).as("volume"))
   }
 
   /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a

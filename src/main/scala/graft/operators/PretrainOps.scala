@@ -267,6 +267,27 @@ object PretrainOps {
           .otherwise("1a"))
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic train/validation/test split — the holdout carve
+    * every training corpus needs before anything else touches it. The
+    * split key is a salted md5 prefix (the sampling family's idiom):
+    * hex-threshold assignment gives exact, engine-portable boundaries
+    * (~97.7% / 1.17% / 1.17% — 250/3/3 of 256) with zero float
+    * arithmetic, stable under re-runs, re-partitioning and corpus
+    * growth (a doc's split never changes when others arrive — the
+    * property random splits lack). Output is the per-(split, lang)
+    * audit: doc counts and char mass. Map-only assignment + one tiny
+    * aggregate; at 100 TB the assignment is a pushable projection. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val h2 = substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2)
+    documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        when(h2 < "fa", "train").when(h2 < "fd", "val").otherwise("test")
+          .as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars_total"))
+  }
+
   /** Quality-weighted sampling: acceptance probability proportional to
     * a per-document weight (here the length-based quality ramp),
     * decided by an 8-bit hash uniform — the deterministic analogue of
@@ -623,6 +644,7 @@ object PretrainOps {
     "dedup_span_windows" -> (dedupSpanWindows _),
     "text_decontaminate" -> (textDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_split" -> (sampleSplit _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_language_balance" -> (mixLanguageBalance _),
     "mix_epoch_plan" -> (mixEpochPlan _),
@@ -780,6 +802,15 @@ object PretrainOps {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5('strat:' || doc_id), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '1a' END""".stripMargin,
+    "sample_split" ->
+      """WITH a AS (SELECT lang, n_chars,
+        |    CASE WHEN substr(md5('split:' || doc_id), 1, 2) < 'fa' THEN 'train'
+        |         WHEN substr(md5('split:' || doc_id), 1, 2) < 'fd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM a GROUP BY split, lang""".stripMargin,
     "sample_weighted" ->
       """WITH base AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

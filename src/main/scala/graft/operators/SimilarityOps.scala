@@ -483,11 +483,15 @@ object SimilarityOps {
   // CTE (nested WITH — DuckDB-supported, same device as the quality
   // composite), then runs the same recursive-reachability CC the
   // dedup_clusters oracle uses: the op and its pair generator cannot
-  // drift.
+  // drift. pairs0/edges are AS MATERIALIZED: DuckDB inlines plain
+  // CTEs into the recursive term and re-evaluates the whole pair
+  // pipeline (~277 s at sf3) on EVERY iteration — the inlined form
+  // ran >2 h at sf3 where the materialized form finishes in ~6 min
+  // (same rows; r13 measurement, /tmp probes).
   val oracle: Map[String, String] = baseOracle +
     ("dedup_semantic" ->
-      s"""WITH RECURSIVE pairs0 AS (${baseOracle("dedup_embedding")}),
-         |edges AS (SELECT vec_a, vec_b FROM pairs0
+      s"""WITH RECURSIVE pairs0 AS MATERIALIZED (${baseOracle("dedup_embedding")}),
+         |edges AS MATERIALIZED (SELECT vec_a, vec_b FROM pairs0
          |  UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs0),
          |nodes AS (SELECT DISTINCT vec_a AS vec_id FROM edges),
          |reach AS (

@@ -182,4 +182,19 @@ class DedupOpsSpec extends SparkTestBase {
       assert(c == want, s"pair ($a,$b): got $c want $want")
     }
   }
+
+  test("prefix buckets: >=2 docs each, members genuinely share the 4-token prefix") {
+    val rows = DedupOps.dedupPrefix(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2))
+    // recompute membership from the raw corpus: bucket sizes and
+    // keepers must match an independent JVM-side derivation
+    val byPrefix = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ").take(4).mkString(" ")))
+      .groupBy(_._2).filter(_._2.length >= 2)
+    assert(rows.length == byPrefix.size)
+    val wantKeepers = byPrefix.values.map(_.map(_._1).min).toSet
+    assert(rows.map(_.getAs[Long]("keeper_id")).toSet == wantKeepers)
+  }
 }

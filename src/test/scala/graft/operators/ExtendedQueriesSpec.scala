@@ -267,4 +267,46 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(capped.size <= nBlocks * c * (c - 1) / 2)
     assert(capped.subsetOf(huge), "capping must only remove pairs, never invent them")
   }
+
+  test("scd2: per-user intervals chain (valid_to = next valid_from), one current row") {
+    val rows = ExtendedQueries.qScd2Intervals(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_.getAs[Long]("valid_from"))
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_.getAs[Long]("valid_to") == -1L) == 1)
+      assert(sorted.last.getAs[Long]("valid_to") == -1L)
+      // closed intervals chain without gap or overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+        case _ => ()
+      }
+      // runs collapsed: adjacent intervals never share a type
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("histogram: buckets within [0,20), counts cover every order, bounds nested") {
+    val rows = ExtendedQueries.qHistogram(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders,
+      "every order must land in exactly one bucket")
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b < 20 })
+    assert(rows.forall(r =>
+      r.getAs[Double]("min_price") <= r.getAs[Double]("max_price")))
+    // buckets are ordered ranges: bucket i's max < bucket i+1's min
+    val sorted = rows.sortBy(_.getAs[Int]("bucket"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") < b.getAs[Double]("min_price"))
+      case _ => ()
+    }
+  }
 }

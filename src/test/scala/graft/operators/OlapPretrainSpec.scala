@@ -636,4 +636,45 @@ class MmDedupPhashSpec extends graft.SparkTestBase {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(total <= nDocs)
   }
+
+  test("sample_split: partitions the corpus, char mass conserved, assignment stable") {
+    val rows = PretrainOps.sampleSplit(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every document lands in exactly one split")
+    assert(rows.map(_.getAs[Long]("n_chars_total")).sum ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.contains("train"))
+    // train dominates by construction (250/256 of hash space)
+    val byS = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byS("train") > byS.getOrElse("val", 0L) + byS.getOrElse("test", 0L))
+  }
+
+  test("Money split sums: exact equality with the decimal aggregate, edge values") {
+    // edge values around the 1e6 split boundary plus a large tail —
+    // the split-long sum must equal the exact decimal sum bit-for-bit
+    // after the shared double rounding
+    val vs = Seq(0L, 1L, 999999L, 1000000L, 1000001L, 123456789L,
+      999999999999L, 54321L, 2L * 1000000L - 1L)
+    val df = spark.createDataset(vs)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("v").groupBy()
+      .agg(Money.splitLoE4(col("v")).as("lo"), Money.splitHiE4(col("v")).as("hi"))
+      .select(Money.splitToDollarsE4(col("hi"), col("lo")).as("dollars"))
+    val got = df.head.getDouble(0)
+    val want = (BigDecimal(vs.sum) / 10000).toDouble
+    assert(got == want, s"split sum $got != decimal $want")
+    // and against the two-level bucket form on real data: same exact total
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"),
+        col("l_orderkey"))
+    val split = li.groupBy()
+      .agg(Money.splitLoE4(col("r")).as("lo"), Money.splitHiE4(col("r")).as("hi"))
+      .select(Money.splitToDollarsE4(col("hi"), col("lo")).as("t")).head.getDouble(0)
+    val twoLevel = li.groupBy(Money.bucket(col("l_orderkey")).as("mb"))
+      .agg(sum("r").as("s")).agg(Money.outerE4(col("s")).as("t")).head.getDouble(0)
+    assert(split == twoLevel)
+  }
 }
