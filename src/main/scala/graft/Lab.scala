@@ -393,6 +393,36 @@ object Lab {
           .select(col("supp_nation"), col("cust_nation"), col("l_year"),
             operators.Money.splitToDollarsE4(col("hi"), col("lo")).as("volume"))
       }),
+      "q7_bkt_split" -> (() => {
+        // bucketed fact join + split-long sums: the zero-exchange fact
+        // join AND the true-grain partial aggregate together
+        val (ot, lt) = operators.BucketedQueries.ensureBucketed(s, d)
+        val l = s.table(lt)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            operators.Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val o = s.table(ot).select("o_orderkey", "o_custkey")
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val custN = nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(operators.Money.splitLoE4(col("r")).as("lo"),
+            operators.Money.splitHiE4(col("r")).as("hi"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            operators.Money.splitToDollarsE4(col("hi"), col("lo")).as("volume"))
+      }),
       "q7_bkt" -> (() => {
         // bucketed twin probe: orderkey-bucketed lineitem ⋈ orders
         // co-located (zero exchange on the fact join), customer join

@@ -107,23 +107,47 @@ object OlapQueries {
     // AQE converts the slim customer side from measured post-shuffle
     // sizes at bench scale and keeps the shuffle join when it outgrows
     // the threshold on a cluster — estimate-proof either way.
-    val l = lineitem(s, d).filter(
+    q7From(s, d, lineitem(s, d), orders(s, d), ordersBucketed = false)
+  }
+
+  /** Plan body shared by q7_volume (plain layout: orders⋈customer
+    * joined first so the line-grain stream crosses the wire once) and
+    * q7_bucketed (orderkey-bucketed lineitem AND orders: the fact⋈fact
+    * join is exchange-free on the co-located scans, so lineitem joins
+    * orders DIRECTLY and customer attaches after — AQE converts the
+    * slim customer side to broadcast at bench scale; at cluster scale
+    * it rides a shuffle join on o_custkey of the 2-int projection). */
+  private[operators] def q7From(s: SparkSession, d: String,
+                                li: DataFrame, o: DataFrame,
+                                ordersBucketed: Boolean): DataFrame = {
+    val l = li.filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
       col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
-    val oc = orders(s, d).select("o_orderkey", "o_custkey")
-      .join(customer(s, d).select("c_custkey", "c_nationkey"),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey"))
+    val cust = customer(s, d).select("c_custkey", "c_nationkey")
     val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
     val supN = nation(s, d).select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val custN = nation(s, d).select(
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(oc, col("l_orderkey") === col("o_orderkey"))
+    val withOrders =
+      if (ordersBucketed) {
+        // co-located merge join first, customer after
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o.select("o_orderkey", "o_custkey").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+      } else {
+        // orders⋈customer first on slim columns (one line-grain crossing)
+        val oc = o.select("o_orderkey", "o_custkey")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+      }
+    withOrders
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))

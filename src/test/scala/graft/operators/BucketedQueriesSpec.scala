@@ -28,6 +28,7 @@ class BucketedQueriesSpec extends SparkTestBase {
         (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       ("q3", BucketedQueries.q3Bucketed, CoreQueries.q3JoinAgg),
       ("q5", BucketedQueries.q5Bucketed, CoreQueries.q5MultiJoin),
+      ("q7", BucketedQueries.q7Bucketed, OlapQueries.q7Volume),
       ("q21", BucketedQueries.q21Bucketed, CoreQueries.q21MultiExists))
     cases.foreach { case (name, bucketed, plain) =>
       val bq = bucketed(s, sf)
