@@ -238,6 +238,42 @@ object TextOps {
 
   private def sentencesArr(tk: Column): Column = segmentsArr(tk, boundaryFlag)
 
+  /** Boilerplate REMOVAL — the transform that closes the
+    * text_line_dedup loop (detect → remove → re-assemble): sentences
+    * shared across ≥2 documents are cut, the survivors re-join in
+    * original order, and the output carries the kept/removed audit
+    * plus the cleaned text's md5 (the hash, not the text — megabyte
+    * documents never ride the final exchange; a consumer re-derives
+    * the text map-side from the same deterministic definition). Same
+    * scale shape as text_line_dedup: the corpus-frequency table is
+    * built at distinct (doc, sentence) grain (no Expand, probe at
+    * distinct-sentence cardinality), and the only occurrence-grain
+    * shuffle is the per-doc re-assembly aggregate, keyed by doc_id.
+    * Fully-boilerplate documents stay in the output with n_kept = 0
+    * and md5('') — a pipeline must see what it emptied. */
+  def textCleanBoilerplate(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    // positional sentence occurrences, materialized once (df build +
+    // re-assembly both consume them)
+    val sents = documents(s, d)
+      .select(col("doc_id"), posexplode(sentencesArr(split(col("text"), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("sent"),
+        md5(col("col")).as("sent_h"))
+      .truncEager
+    // df at distinct (doc, sentence) grain — the text_line_dedup lesson
+    val dfs = sents.groupBy("doc_id", "sent_h").agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("sent_h").as("sent_k")).agg(count(lit(1)).as("df"))
+    sents.join(dfs, col("sent_h") === col("sent_k"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("df") < 2, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("df") < 2,
+            struct(col("pos").as("p"), col("sent").as("t"))))),
+          x => x.getField("t")))).as("clean_md5"))
+  }
+
   def textSentences(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -499,6 +535,7 @@ object TextOps {
     "text_sentences" -> (textSentences _),
     "text_casing" -> (textCasing _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_clean_boilerplate" -> (textCleanBoilerplate _),
     "text_logprob" -> (textLogprob _),
     "text_keywords_tfidf" -> (textKeywordsTfidf _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -579,6 +616,34 @@ object TextOps {
         |  CAST(count(DISTINCT s.sent) AS BIGINT) AS n_unique,
         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
         |FROM sents s JOIN dfs d ON s.sent = d.sent
+        |GROUP BY s.doc_id""".stripMargin,
+    // the same sentence CTEs verbatim; clean text re-assembled from
+    // kept sentences in sid order (= the Spark side's posexplode
+    // index), FILTER + coalesce so fully-boilerplate docs hash ''
+    "text_clean_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |fl AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN regexp_matches(tok, '[.!?]$')
+        |           OR (strpos('0123456789abcdef', substr(md5('sb:' || tok), 1, 1)) - 1) % 4 = 0
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM t),
+        |sids AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM fl),
+        |sents AS (SELECT doc_id, sid, string_agg(tok, ' ' ORDER BY pos) AS sent
+        |  FROM sids GROUP BY doc_id, sid),
+        |dfs AS (SELECT sent AS sent_v, count(DISTINCT doc_id) AS df
+        |  FROM sents GROUP BY sent)
+        |SELECT s.doc_id AS doc_id,
+        |  CAST(count(*) FILTER (WHERE d.df < 2) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(s.sent, ' ' ORDER BY s.sid)
+        |    FILTER (WHERE d.df < 2), '')) AS clean_md5
+        |FROM sents s JOIN dfs d ON s.sent = d.sent_v
         |GROUP BY s.doc_id""".stripMargin,
     "text_sentences" ->
       """WITH t AS (SELECT doc_id,

@@ -200,6 +200,28 @@ class TextOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("clean_boilerplate: counts reconcile with line_dedup, empty docs hash ''") {
+    val clean = TextOps.textCleanBoilerplate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+         r.getAs[String]("clean_md5"))).toMap
+    val ld = TextOps.textLineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_boilerplate"))).toMap
+    assert(clean.keySet == ld.keySet, "every document appears in both views")
+    clean.foreach { case (id, (kept, removed, h)) =>
+      val (nSents, nBoiler) = ld(id)
+      assert(kept + removed == nSents, s"doc $id: kept+removed != sentences")
+      assert(removed == nBoiler, s"doc $id: removed != line_dedup's boilerplate count")
+      if (kept == 0)
+        assert(h == "d41d8cd98f00b204e9800998ecf8427e", // md5("")
+          s"doc $id: fully-boilerplate doc must hash the empty string")
+    }
+    // the detect and remove ops must agree on who is affected
+    assert(clean.values.exists(_._2 > 0), "corpus drifted: no boilerplate found")
+    assert(clean.values.exists(_._2 == 0), "corpus drifted: everything boilerplate")
+  }
 }
 
 class SimilarityOpsSpec extends SparkTestBase {
@@ -400,4 +422,5 @@ class MultimodalOpsSpec extends SparkTestBase {
       val c = r.getAs[Long]("bin0_count"); c >= 0 && c <= lens(r.getAs[Long]("doc_id"))
     })
   }
+
 }
