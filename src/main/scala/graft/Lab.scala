@@ -528,6 +528,93 @@ object Lab {
           .groupBy("np_suppkey").agg(count(lit(1)).as("n_parts"))
           .agg(sum("n_parts").as("x"))
       }),
+      "sky_full_packed" -> (() => {
+        // full q_skyline with the fact stage as: revenue per SUPPKEY
+        // directly (100k-group partial combine — no spill) + distinct
+        // pairs as PACKED longs (8B hash-set entries, ~1/3 the pair
+        // aggregate's memory) counted per supplier, joined at supplier
+        // grain. Two exchanges, neither pathological.
+        import org.apache.spark.sql.expressions.Window
+        val stride = 1L << 22 // > max l_partkey at any tested SF
+        val li = lineitem(s, d)
+        val rev = li.select(col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+          .groupBy("l_suppkey").agg(sum("rev_e4").as("srev_e4"))
+        val np = li.select((col("l_suppkey") * stride + col("l_partkey")).as("pk"))
+          .distinct()
+          .select(floor(col("pk") / stride).cast("long").as("np_suppkey"))
+          .groupBy("np_suppkey").agg(count(lit(1)).as("n_parts"))
+        val m = rev.join(np, col("l_suppkey") === col("np_suppkey"))
+          .select(col("l_suppkey"),
+            (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
+            col("n_parts"))
+        val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
+            col("revenue"), col("n_parts"))
+        val pairs = j.select("nation", "revenue", "n_parts")
+          .repartition(col("nation")).dropDuplicates("nation", "revenue", "n_parts")
+        val w = Window.partitionBy("nation")
+          .orderBy(col("revenue").desc, col("n_parts").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = pairs.withColumn("mx", max("n_parts").over(w))
+          .filter(col("mx").isNull || col("mx") < col("n_parts"))
+          .select(col("nation").as("sk_n"), col("revenue").as("sk_r"),
+            col("n_parts").as("sk_p"))
+        j.join(broadcast(sky),
+          col("nation") === col("sk_n") && col("revenue") === col("sk_r") &&
+            col("n_parts") === col("sk_p"), "left_semi")
+          .orderBy(col("nation"), col("revenue").desc, col("suppkey"))
+      }),
+      "sky_pair_packed" -> (() => {
+        // the current single-scan shape but with the pair key PACKED
+        // into one long before the pair-grain aggregate (24B -> 16B
+        // hash entries; the r13 plan spills 5.8 GB per aggregate at
+        // sf10 because orderkey-clustered tasks see ~unique pairs)
+        val stride = 1L << 22
+        lineitem(s, d)
+          .select((col("l_suppkey") * stride + col("l_partkey")).as("pk"),
+            (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+          .groupBy("pk").agg(sum("rev_e4").as("prev_e4"))
+          .select(floor(col("pk") / stride).cast("long").as("sk"), col("prev_e4"))
+          .groupBy("sk")
+          .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
+          .agg(sum("srev_e4").as("a"), sum("n_parts").as("b"))
+      }),
+      "sky_fact_now" -> (() => {
+        // the shipped fact stage alone (pair-grain partial+final)
+        lineitem(s, d)
+          .select(col("l_suppkey"), col("l_partkey"),
+            (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum("rev_e4").as("prev_e4"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
+          .agg(sum("srev_e4").as("a"), sum("n_parts").as("b"))
+      }),
+      "sky_fact_split" -> (() => {
+        // revenue per suppkey + packed distinct pairs (no join back —
+        // the two fact stages alone, for cost attribution)
+        val stride = 1L << 22
+        val li = lineitem(s, d)
+        val rev = li.select(col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
+          .groupBy("l_suppkey").agg(sum("rev_e4").as("srev_e4"))
+        val np = li.select((col("l_suppkey") * stride + col("l_partkey")).as("pk"))
+          .distinct()
+          .select(floor(col("pk") / stride).cast("long").as("np_suppkey"))
+          .groupBy("np_suppkey").agg(count(lit(1)).as("n_parts"))
+        rev.join(np, col("l_suppkey") === col("np_suppkey"))
+          .agg(sum("srev_e4").as("a"), sum("n_parts").as("b"))
+      }),
+      "sky_bkt" -> (() =>
+        operators.BucketedQueries.qSkylineBucketed(s, d)),
       "pareto_ntile_only" -> (() => {
         import org.apache.spark.sql.expressions.Window
         orders(s, d).groupBy("o_custkey")

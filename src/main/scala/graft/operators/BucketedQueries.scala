@@ -124,7 +124,12 @@ object BucketedQueries {
     * supplier-grain aggregate run exchange-free — the plain plan's one
     * remaining fact-scale shuffle is gone entirely. */
   def qSkylineBucketed(s: SparkSession, d: String): DataFrame =
-    OlapQueries.qSkylineFrom(s, d, s.table(ensureSuppBucketed(s, d)))
+    // packDistinct=false: hashpartitioning(l_suppkey) satisfies the
+    // (suppkey, partkey) grouping (subset rule) so BOTH fact
+    // aggregates are exchange-free on this layout; a packed single
+    // long would break that property and force an exchange
+    OlapQueries.qSkylineFrom(s, d, s.table(ensureSuppBucketed(s, d)),
+      packDistinct = false)
 
   /** q7 on the orderkey-bucketed pair: the fact⋈fact join runs on the
     * co-located sorted scans (no exchange, no sort, no hash build) and

@@ -468,66 +468,97 @@ object OlapQueries {
     * n² anywhere. The fact scan aggregates lineitem → supplier grain
     * first (the only fact-scale shuffle); dimensions broadcast. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
-    // Both supplier metrics come from ONE fact scan and ONE fact-scale
-    // exchange. History of this plan: fused sum+countDistinct in one
-    // groupBy plans as an Expand over the fact (the distinct
-    // pre-aggregate keys on (suppkey, partkey) so the sum columns get
-    // no map-side combine — measured 3.3 GB / 34 s+ at sf10); r12
-    // split it into two aggregates joined at supplier grain, which
-    // scanned the fact TWICE and still paid a line-grain
-    // (suppkey, partkey).distinct() exchange (the one residual
-    // fact-scale shuffle the r12 verdict flagged — 5.32× at sf3).
-    // r13 shape: ONE scan, one pair-grain exchange with map-side
-    // partial aggregation, then the supplier-grain aggregate over the
-    // (small) pair table (no Expand, no distinct, no self-join, no
-    // second scan) — see qSkylineFrom for the money/exactness
-    // rationale. An explicit repartition(l_suppkey) variant (raw rows
-    // on the wire, both aggregates local) measured the same at sf3
-    // (2.5 s) but 5× WORSE at sf10 (24.8 s vs 4.9): the un-combined
-    // raw exchange is the part that stops scaling, so the partial
-    // aggregate stays in front of the wire. The remaining exchange is
-    // the layout's to remove — see BucketedQueries.qSkylineBucketed,
-    // where a suppkey-bucketed lineitem makes the plan exchange-free.
+    // History of this plan, each step measured at sf10: (1) fused
+    // sum+countDistinct in one groupBy plans as an Expand over the
+    // fact — 3.3 GB exchanged, 34 s+. (2) r12 split the metrics into
+    // two aggregates joined at supplier grain — the verdict flagged
+    // the 2-column distinct's exchange (5.32× at sf3). (3) r13 first
+    // collapsed to ONE pair-grain pass ... and node metrics disproved
+    // it: pairs are near-unique within orderkey-clustered tasks, so
+    // the partial aggregate emitted 59M rows from 60M with 5.8 GB of
+    // spill per aggregate (~10 s; the sf3 gain that motivated it was
+    // noise). (4) Final form = the r12 split with the distinct PACKED
+    // into single longs — spill-free, fact A/B 6.5 s vs 10.2 s; see
+    // qSkylineFrom. The remaining exchanges are the layout's to
+    // remove — BucketedQueries.qSkylineBucketed plans ZERO fact
+    // exchange on suppkey-bucketed lineitem.
     qSkylineFrom(s, d, lineitem(s, d))
   }
 
-  /** Plan body shared by q_skyline (plain layout, caller repartitions
-    * by suppkey) and q_skyline_bucketed (suppkey-bucketed lineitem —
-    * the scan itself reports hashpartitioning(suppkey), zero
-    * exchange). `li` must be clustered by l_suppkey.
+  /** Plan body shared by q_skyline (plain layout) and
+    * q_skyline_bucketed (suppkey-bucketed lineitem — the scan itself
+    * reports hashpartitioning(suppkey), zero exchange).
+    *
+    * The supplier-metric build runs as TWO separate fact aggregates
+    * joined at supplier grain (r13 final form — this round first tried
+    * a single pair-grain pass and node metrics disproved it at sf10:
+    * (suppkey, partkey) pairs are near-unique within an
+    * orderkey-clustered task, so the pair-grain PARTIAL aggregate
+    * emitted 59M rows from 60M with 5.8 GB of hash spill per
+    * aggregate; the "one exchange" carried 1.9 GB):
+    *  - revenue: groupBy(suppkey) directly — 100k groups per task,
+    *    full map-side combine, spill-free, KB exchange;
+    *  - n_parts: distinct pairs. On the PLAIN layout the pair packs
+    *    into ONE long (suppkey·2²² + partkey — 8 B hash-set entries,
+    *    ~⅓ the 2-column form's memory; 2²² exceeds the data model's
+    *    part cardinality at every tested SF — a deployment whose keys
+    *    outgrow the stride flips packDistinct off, the 2-column form
+    *    is semantically identical). On the
+    *    BUCKETED layout the pair stays 2-column: hashpartitioning(
+    *    suppkey) satisfies the (suppkey, partkey) grouping (subset
+    *    rule), so the whole aggregate is exchange-free and per-bucket
+    *    maps are small — packing would break that property.
+    *    Lab sf10 fact-stage A/B: split+packed 6.5 s, packed pair-grain
+    *    7.6 s, 2-col pair-grain 10.2 s.
     *
     * Money in scaled longs: prices are exact 2-decimal and discounts
     * exact hundredths by the data model (Preflight's cent-grid guard),
     * so ep_e2 × (100 − disc_e2) is the EXACT 4-decimal revenue as an
     * integer — the long sum is order-independent and exact like the
     * decimal it replaces, at a fraction of the aggregation cost (the
-    * decimal partial agg alone measured 57 s of task time at sf10);
-    * partial sums per (supp, part) re-summed per supplier are the same
-    * exact integer total. Safe at supplier grain far past 100 TB
-    * (overflow needs ~10⁹ lines under ONE supplier). The final
-    * floor(x·100+0.5)/100 rounding maps to integer arithmetic:
-    * (Σe4 + 50) div 100. */
+    * decimal partial agg alone measured 57 s of task time at sf10).
+    * Safe at supplier grain far past 100 TB (overflow needs ~10⁹
+    * lines under ONE supplier). The final floor(x·100+0.5)/100
+    * rounding maps to integer arithmetic: (Σe4 + 50) div 100. */
   private[operators] def qSkylineFrom(s: SparkSession, d: String,
-                                      li: DataFrame): DataFrame = {
+                                      li: DataFrame,
+                                      packDistinct: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // m is consumed twice (the output side and the skyline build
-    // side). Do NOT localCheckpoint it: Dataset.localCheckpoint
-    // materializes via queryExecution.toRdd, which BYPASSES AQE — the
-    // fact aggregate then runs with static partitioning and measured
-    // 25-35 s at sf10 (vs ~5 s under AQE; sf3 masked it at 2.4 s).
-    // ReuseExchange already shares the one fact-scale Exchange between
-    // the two consumers; the duplicated above-exchange aggregates are
-    // pair-grain and cost far less than losing AQE on the fact stage.
-    val m = li.select(col("l_suppkey"), col("l_partkey"),
-        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
-          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4"))
-      .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum("rev_e4").as("prev_e4"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
-      .select(col("l_suppkey"),
-        (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
-        col("n_parts"))
+    // Do NOT localCheckpoint the supplier-metric table: Dataset
+    // .localCheckpoint materializes via queryExecution.toRdd, which
+    // BYPASSES AQE — the fact aggregate then runs with static
+    // partitioning and measured 25-35 s at sf10 (vs ~5 s under AQE;
+    // sf3 masked it at 2.4 s). ReuseExchange shares the fact-side
+    // Exchanges between the output and skyline-build consumers.
+    val revE4 = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rev_e4")
+    val supGrain =
+      if (packDistinct) {
+        // PLAIN layout: two separate fact aggregates joined at
+        // supplier grain — revenue combines map-side at suppkey grain
+        // (spill-free), the distinct streams 8 B packed longs
+        val stride = 1L << 22
+        val rev = li.select(col("l_suppkey"), revE4)
+          .groupBy("l_suppkey").agg(sum("rev_e4").as("srev_e4"))
+        val np = li.select((col("l_suppkey") * stride + col("l_partkey")).as("pk"))
+          .distinct()
+          .select(floor(col("pk") / stride).cast("long").as("np_suppkey"))
+          .groupBy("np_suppkey").agg(count(lit(1)).as("n_parts"))
+        rev.join(np, col("l_suppkey") === col("np_suppkey"))
+      } else {
+        // BUCKETED layout: ONE scan, pair-grain then supplier-grain —
+        // hashpartitioning(suppkey) satisfies both groupings (subset
+        // rule), so the whole chain is local to the bucket scan with
+        // no exchange; a second scan + join would only add cost here
+        li.select(col("l_suppkey"), col("l_partkey"), revE4)
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum("rev_e4").as("prev_e4"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
+      }
+    val m = supGrain.select(col("l_suppkey"),
+      (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
+      col("n_parts"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
