@@ -23,6 +23,7 @@ object SparkEntry {
       operators.SimilarityOps.queries -> operators.SimilarityOps.oracle,
       operators.MultimodalOps.queries -> operators.MultimodalOps.oracle,
       operators.OlapQueries.queries -> operators.OlapQueries.oracle,
+      operators.GraphOps.queries -> operators.GraphOps.oracle,
       operators.PretrainOps.queries -> operators.PretrainOps.oracle,
       streaming.StreamOps.queries -> streaming.StreamOps.oracle,
       streaming.StreamIngest.queries -> streaming.StreamIngest.oracle

@@ -392,6 +392,58 @@ object DedupOps {
       .withColumn("keep_doc", col("n_near") === 0)
   }
 
+  /** Bloom-filter exact-dup screen of the NEW generation against the
+    * OLD generation's content-hash index — the membership-test shape of
+    * continuous-crawl ingest at 100 TB. [[dedupIncremental]] answers
+    * the NEAR-dup version with a banded join; this answers the exact
+    * question without shuffling either generation: the old side folds
+    * into a fixed-size Bloom filter (`stat.bloomFilter`, a distributed
+    * treeAggregate build — partial filters merge by OR), the filter
+    * rides the task binary, and the new side probes it AT SCAN SPEED
+    * inside whole-stage codegen (plans/BloomExpr.scala). The Bloom
+    * contract has NO false negatives, so a bloom-negative doc is
+    * provably fresh and never reaches a join; only the candidate
+    * sliver (true dups + the configured fp rate of the rest) pays the
+    * exact verification join against the old hash index, which AQE
+    * broadcasts at candidate size. Capacity comes from parquet
+    * row-count metadata (no data scan); at larger build sides the
+    * filter is sized by bits budget and a higher fp rate only costs
+    * candidate-join traffic — correctness NEVER depends on the filter,
+    * which is why the oracle is the plain exact join with no Bloom in
+    * sight. */
+  def dedupBloomScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      (substring(col("source"), 4, 8).cast("int") >= 16).as("is_new"),
+      sha2(col("text"), 256).as("h"))
+    // upper bound on old-side cardinality: total row count, answered
+    // from parquet footers (count-star metadata path) — overcounting
+    // capacity only lowers the realized fp rate
+    bloomScreenFrom(docs, capacity = math.max(documents(s, d).count(), 64L))
+  }
+
+  /** The screen itself over any (doc_id, is_new, h) frame — split out
+    * so the spec can plant cross-generation duplicates (this corpus's
+    * exact dups never span the generation boundary, so the dup-found
+    * path needs synthetic data to exercise). */
+  private[operators] def bloomScreenFrom(docs: DataFrame, capacity: Long): DataFrame = {
+    val bloom = docs.filter(!col("is_new")).stat.bloomFilter("h", capacity, 0.01)
+    val probe = org.apache.spark.sql.graft.Bridge.columnOf(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expressionOf(col("h")),
+        graft.plans.BloomHolder(bloom)))
+    val oldIndex = docs.filter(!col("is_new"))
+      .groupBy(col("h").as("h_old")).agg(count(lit(1)).as("n_old"))
+    val newDocs = docs.filter(col("is_new"))
+    val confirmed = newDocs.filter(probe)
+      .join(oldIndex, col("h") === col("h_old"), "left")
+      .filter(col("n_old").isNotNull)
+      .select(col("doc_id").as("dup_doc"), col("n_old").as("n_old_c"))
+    newDocs.join(confirmed, col("doc_id") === col("dup_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_old_c"), lit(0L)).as("n_old_copies"),
+        coalesce(col("n_old_c"), lit(0L)).>(0).as("dup_in_old"))
+  }
+
   /** Blocked n-gram Jaccard: intersections from the (lang, shingle)
     * inverted index — pairs sharing no shingle never materialize (they
     * cannot pass the threshold) — then a length-band block (n_sh div
@@ -587,6 +639,7 @@ object DedupOps {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash64_pairs" -> (dedupSimhash64Pairs _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_bloom_screen" -> (dedupBloomScreen _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _)
   )
@@ -686,6 +739,14 @@ object DedupOps {
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_bloom_screen" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h,
+        |    CAST(substr(source, 4, 8) AS INT) >= 16 AS is_new
+        |  FROM documents),
+        |old AS (SELECT h, count(*) AS n_old FROM d WHERE NOT is_new GROUP BY h)
+        |SELECT d.doc_id, COALESCE(old.n_old, 0) AS n_old_copies,
+        |  COALESCE(old.n_old, 0) > 0 AS dup_in_old
+        |FROM d LEFT JOIN old ON d.h = old.h WHERE d.is_new""".stripMargin,
     "dedup_prefix" ->
       """WITH p AS (SELECT doc_id,
         |    md5(array_to_string((string_split(text, ' '))[1:4], ' ')) AS prefix_h

@@ -569,7 +569,73 @@ object ExtendedQueries {
         Money.e2ToDouble(max("pc")).as("max_price"))
   }
 
+  /** Incremental materialized-view maintenance — the pattern that keeps
+    * a 100 TB warehouse from re-scanning history on every refresh: the
+    * weekly rollup is maintained as mergeable partial aggregates, so a
+    * refresh aggregates ONLY the new partition (day ≥ cutoff) and
+    * merges it with the stored state (day < cutoff) by re-aggregating
+    * the partials — count/sum add, min/max compare. The cutoff
+    * deliberately lands MID-WEEK so the boundary week genuinely
+    * combines state and delta partials (a day-grain MV would merge by
+    * pure union and prove nothing). Every measure here is
+    * decomposable; algebraic ones (avg = merged sum/count) ride on
+    * top, and the non-decomposable ones (exact countDistinct) are
+    * exactly what the sketch lane (q_sketch_distinct) exists for.
+    * Values are per-row fixed-pointed to e3 longs BEFORE summing
+    * (floor(v·1000+0.5) — the same IEEE op sequence in both engines),
+    * so partial sums are exact and merge-order-invariant.
+    * Oracle: the full single-pass rollup — the merge must be
+    * indistinguishable from recomputation. */
+  def qMvIncremental(s: SparkSession, d: String): DataFrame = {
+    val cutoffDay = 19743L // 2024-01-21, mid-corpus and mid-week
+    val ev = events(s, d).select(col("event_type"),
+      expr("ts div 86400000000000").as("day"),
+      expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v_e3"))
+      .withColumn("week", expr("day DIV 7"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("cnt"), sum("v_e3").as("s_e3"),
+        min("v_e3").as("mn_e3"), max("v_e3").as("mx_e3"))
+    val state = partial(ev.filter(col("day") < cutoffDay))
+    val delta = partial(ev.filter(col("day") >= cutoffDay))
+    state.unionByName(delta)
+      .groupBy("event_type", "week")
+      .agg(sum("cnt").as("n_events"), sum("s_e3").as("sum_value_e3"),
+        min("mn_e3").as("min_value_e3"), max("mx_e3").as("max_value_e3"))
+  }
+
+  /** Sweep-line max-concurrency — the interval-overlap primitive
+    * (peak concurrent sessions / connections / jobs) that range joins
+    * answer quadratically and this answers in one window pass: each
+    * interval (here an event held open for 10 minutes) becomes a +1
+    * start point and a −1 end point; per type, the running sum of
+    * deltas in (time, delta) order IS the concurrency curve, and its
+    * max is the answer. Ordering ties are harmless by construction:
+    * ends sort before starts at the same instant (delta asc — the
+    * half-open-interval convention), and permuting equal (t, +1)
+    * points permutes only intermediate prefix values within the same
+    * reachable set, so the per-type MAX is order-invariant — which is
+    * exactly what makes the op oracle-portable despite engines
+    * ordering ties differently. One shuffle (the per-type window);
+    * at 100 TB the partition key would widen to (type, day) with
+    * per-day boundary carry-in, the standard segmented sweep. */
+  def qOverlapConcurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = events(s, d).select(col("event_type"),
+      expr("ts div 1000000000").as("st"))
+      .withColumn("en", col("st") + 600L)
+    val points = iv.select(col("event_type"), col("st").as("t"), lit(1).as("delta"))
+      .unionByName(iv.select(col("event_type"), col("en").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.withColumn("conc", sum("delta").over(w))
+      .groupBy("event_type")
+      .agg(max("conc").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overlap_concurrency" -> (qOverlapConcurrency _),
+    "q_mv_incremental" -> (qMvIncremental _),
     "q_scd2_intervals" -> (qScd2Intervals _),
     "q_histogram" -> (qHistogram _),
     "q_first_last" -> (qFirstLast _),
@@ -596,6 +662,27 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_overlap_concurrency" ->
+      """WITH iv AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS st,
+        |    epoch_ns(ts) // 1000000000 + 600 AS en FROM events),
+        |pts AS (SELECT event_type, st AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT event_type, en AS t, -1 AS delta FROM iv),
+        |run AS (SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        |FROM run GROUP BY event_type""".stripMargin,
+    "q_mv_incremental" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_e3
+        |  FROM events)
+        |SELECT event_type, day // 7 AS week, count(*) AS n_events,
+        |  CAST(sum(v_e3) AS BIGINT) AS sum_value_e3,
+        |  min(v_e3) AS min_value_e3, max(v_e3) AS max_value_e3
+        |FROM ev GROUP BY event_type, day // 7""".stripMargin,
     "q_scd2_intervals" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),

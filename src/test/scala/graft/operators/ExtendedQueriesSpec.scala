@@ -309,4 +309,22 @@ class ExtendedQueriesSpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("overlap concurrency: matches a driver-side sweep per type") {
+    val got = ExtendedQueries.qOverlapConcurrency(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_intervals"))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000000000").as("st")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = evs.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val pts = rows.flatMap { case (_, st) => Seq((st, 1), (st + 600L, -1)) }
+        .sortBy(p => (p._1, p._2))
+      var cur = 0L; var mx = 0L
+      pts.foreach { p => cur += p._2; if (cur > mx) mx = cur }
+      assert(got(t) == ((mx, rows.length.toLong)), s"type $t")
+    }
+  }
 }

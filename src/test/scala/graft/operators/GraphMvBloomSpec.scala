@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphMvBloomSpec extends SparkTestBase {
+
+  test("bloom screen: identical to the plain exact join (no false negatives, fps eliminated)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        (substring(col("source"), 4, 8).cast("int") >= 16).as("is_new"),
+        sha2(col("text"), 256).as("h"))
+    val naive = docs.filter(col("is_new")).as("n")
+      .join(docs.filter(!col("is_new")).groupBy(col("h").as("ho"))
+        .agg(count(lit(1)).as("n_old")), col("h") === col("ho"), "left")
+      .select(col("doc_id"), coalesce(col("n_old"), lit(0L)).as("n_old_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupOps.dedupBloomScreen(spark, sf).collect()
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_old_copies") == naive(id), s"doc $id")
+      assert(r.getAs[Boolean]("dup_in_old") == (naive(id) > 0), s"doc $id")
+    }
+  }
+
+  test("bloom screen finds planted cross-generation dups with exact copy counts") {
+    // this corpus's exact dups never span the generation boundary, so
+    // the dup-found path runs on planted data: new docs 100/101 both
+    // duplicate old content; 100 has TWO old copies, 102 is fresh
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, false, "ha"), (2L, false, "ha"), (3L, false, "hb"), (4L, false, "hc"),
+      (100L, true, "ha"), (101L, true, "hb"), (102L, true, "hz")
+    ).toDF("doc_id", "is_new", "h")
+    val got = DedupOps.bloomScreenFrom(docs, capacity = 64L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_old_copies"), r.getAs[Boolean]("dup_in_old"))).toMap
+    assert(got == Map(100L -> ((2L, true)), 101L -> ((1L, true)), 102L -> ((0L, false))))
+  }
+
+  test("bloom filter prunes: far fewer probe-positives than new docs at fpp 0.01") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select((substring(col("source"), 4, 8).cast("int") >= 16).as("is_new"),
+        sha2(col("text"), 256).as("h"))
+    val bloom = docs.filter(!col("is_new"))
+      .stat.bloomFilter("h", 1000L, 0.01)
+    val probe = org.apache.spark.sql.graft.Bridge.columnOf(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expressionOf(col("h")),
+        graft.plans.BloomHolder(bloom)))
+    val newDocs = docs.filter(col("is_new"))
+    val nNew = newDocs.count()
+    val nCand = newDocs.filter(probe).count()
+    val nTrue = newDocs.join(docs.filter(!col("is_new")).select("h").distinct(),
+      Seq("h"), "left_semi").count()
+    assert(nCand >= nTrue, "bloom must have no false negatives")
+    // fpp 0.01 over ~(nNew - nTrue) non-members: expect ≈1% fps, allow 10×
+    assert(nCand - nTrue <= math.max(5L, nNew / 10),
+      s"bloom pruned too little: $nCand candidates of $nNew new ($nTrue true dups)")
+  }
+
+  test("pagerank: deterministic top-100, ordered, every rank at least the damping base") {
+    val out1 = GraphOps.qPagerank(spark, sf).collect()
+    assert(out1.length == 100)
+    val prs = out1.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "pr must be non-increasing")
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val base = (15L * (1000000000000L / n)) / 100
+    assert(prs.forall(p => p >= base && p <= 1000000000000L))
+    // deterministic under re-execution (fixed-point arithmetic, total-order tiebreak)
+    val out2 = GraphOps.qPagerank(spark, sf).collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
+  test("mv incremental: merged state+delta partials equal the one-pass rollup, boundary week straddles") {
+    val direct = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v_e3"))
+      .withColumn("week", expr("day DIV 7"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n_events"), sum("v_e3").as("sum_value_e3"),
+        min("v_e3").as("min_value_e3"), max("v_e3").as("max_value_e3"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val got = ExtendedQueries.qMvIncremental(spark, sf).collect()
+    assert(got.length == direct.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(r.toSeq.drop(2) == direct(k), s"week $k")
+    }
+    // the cutoff (day 19743) must fall strictly inside week 2820 so the
+    // merge at that week combines one state partial and one delta partial
+    val days = graft.Tables.events(spark, sf)
+      .select(expr("ts div 86400000000000").as("day"))
+      .filter(expr("day DIV 7") === 2820L).agg(
+        sum(when(col("day") < 19743L, 1).otherwise(0)).as("before"),
+        sum(when(col("day") >= 19743L, 1).otherwise(0)).as("after")).head()
+    assert(days.getLong(0) > 0 && days.getLong(1) > 0,
+      "cutoff must split the boundary week into non-empty halves")
+  }
+}
