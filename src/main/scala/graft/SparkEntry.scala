@@ -24,6 +24,7 @@ object SparkEntry {
       operators.MultimodalOps.queries -> operators.MultimodalOps.oracle,
       operators.OlapQueries.queries -> operators.OlapQueries.oracle,
       operators.GraphOps.queries -> operators.GraphOps.oracle,
+      operators.BehaviorOps.queries -> operators.BehaviorOps.oracle,
       operators.PretrainOps.queries -> operators.PretrainOps.oracle,
       streaming.StreamOps.queries -> streaming.StreamOps.oracle,
       streaming.StreamIngest.queries -> streaming.StreamIngest.oracle

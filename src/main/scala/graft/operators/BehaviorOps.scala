@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics: the product/marketing warehouse primitives
+  * (attribution, ordered-pattern detection, cohort retention, RFM
+  * segmentation) over the `events` / `orders` streams.
+  *
+  * Scale posture shared by the family: every operator partitions by its
+  * natural entity key (`user_id` / `o_custkey`) and stays linear —
+  * window scans over per-user streams, never self-joins against the
+  * event table (an attribution or pattern-match via time-range
+  * self-join is |events_u|² per hot user; the running-conditional-
+  * min/max idiom is one sorted pass). The only global orderings are in
+  * q_rfm's quantile scoring, which uses the q_pareto_dist
+  * range-partitioned exact-rank pattern over the CUSTOMER-grain
+  * aggregate — P-way parallel, no single-partition window anywhere.
+  */
+object BehaviorOps {
+
+  /** Last-touch attribution (the marketing-warehouse classic): each
+    * purchase is credited to the user's most recent preceding touch
+    * (click/view) within a 7-day lookback, else `unattributed`.
+    *
+    * The touch lookup is NOT a time-range self-join (quadratic per hot
+    * user): touches are packed into a single long `µs·8 + channel_code`
+    * and a running `max` over the strictly-preceding frame carries the
+    * latest touch to every purchase row in one sorted pass — the same
+    * running-conditional idiom as q_asof_join. Packing keeps the window
+    * state one primitive long (codegen'd UnboundedPreceding max), and
+    * the µs·8 encoding is overflow-safe (µs epoch ~1.7e15 · 8 ≪ 2⁶³)
+    * with a deterministic same-instant tiebreak (higher code wins).
+    * Purchase cents are `floor(v·100+0.5)` longs so sums are exact and
+    * engine-portable. One shuffle (user_id), then a hash aggregate. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("touch_key",
+        when(col("event_type") === "click", expr("(ts DIV 1000) * 8 + 1"))
+          .when(col("event_type") === "view", expr("(ts DIV 1000) * 8 + 2")))
+      .withColumn("last_touch", max("touch_key").over(wPrev))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch").isNull, lit("unattributed"))
+          .when(expr("ts DIV 1000 - last_touch DIV 8 > 604800000000"), lit("unattributed"))
+          .when(expr("last_touch % 8 = 1"), lit("click"))
+          .otherwise(lit("view")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("attributed_cents"))
+  }
+
+  /** Ordered event-pattern match (MATCH_RECOGNIZE-lite / CEP): users
+    * whose stream contains view → click → purchase at strictly
+    * increasing timestamps, with the three stage times.
+    *
+    * Three chained running-min window columns over ONE (user_id)
+    * partitioning — Catalyst plans them in a single sort, one shuffle:
+    * `t1` = running min of view times; a click qualifies when the
+    * prefix already holds a view strictly earlier (`ts > t1` — the
+    * prefix min equals the global first-view whenever the prefix holds
+    * any view, because the earliest view sorts first, so the strict
+    * comparison matches the declarative "min click after the first
+    * view" exactly); `t3` likewise over qualifying purchases. The final
+    * per-user values are the aggregate `min`s of the running columns
+    * (running mins are monotone, so the observed min IS the full-stream
+    * value). A k-stage pattern is k window columns over the same sort —
+    * never k self-joins. */
+  def qSequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val wIncl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(wIncl))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("t1").isNotNull &&
+          col("ts") > col("t1"), col("ts"))).over(wIncl))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("t2").isNotNull &&
+          col("ts") > col("t2"), col("ts"))).over(wIncl))
+      .groupBy("user_id")
+      .agg(min("t1").as("v"), min("t2").as("c"), min("t3").as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("user_id"),
+        expr("v DIV 1000000000").as("first_view_s"),
+        expr("c DIV 1000000000").as("first_click_s"),
+        expr("p DIV 1000000000").as("first_purchase_s"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week
+    * (cohort), counted in each subsequent activity week — the
+    * product-analytics triangle chart behind q_retention's
+    * week-over-week view. Distinct (user, week) grain first, cohort via
+    * a user-partitioned min window (no join back), then one hash
+    * aggregate; rows in the distinct table are already unique per
+    * (user, week) so `count(*)` IS distinct users. */
+  def qCohortMatrix(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 604800").as("wk"))
+      .distinct()
+      .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Exact ntile(k) without a single-partition window — the
+    * q_pareto_dist pattern factored for reuse: range-partition on the
+    * ordering, per-partition row_number, global rank = local + the
+    * P-row broadcast exclusive prefix, bucket by ntile's ceil-division
+    * arithmetic (first n%k buckets hold n/k+1 rows). The checkpoint
+    * freezes the sampled range bounds in data so every consumer sees
+    * one pid assignment (see qParetoDist's rationale); the bounds only
+    * steer parallelism — ranks come from actual counts, so the result
+    * is exact regardless of sampling. */
+  private def ntileDist(df0: DataFrame, order: Seq[Column], k: Int,
+                        scoreCol: String): DataFrame = {
+    import DedupOps.TruncOps
+    val ranged = df0.repartitionByRange(order: _*)
+      .withColumn("pid", spark_partition_id()).truncEager
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(order: _*)))
+      .join(broadcast(offsets.select("pid", "off")), "pid")
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("n_total"))))
+      .withColumn(scoreCol, expr(
+        s"""CASE WHEN off + rn <= (n_total % $k) * ((n_total DIV $k) + 1)
+           |  THEN (off + rn + (n_total DIV $k)) DIV ((n_total DIV $k) + 1)
+           |  ELSE (n_total % $k)
+           |       + (off + rn - (n_total % $k) * ((n_total DIV $k) + 1)
+           |          + (n_total DIV $k) - 1) DIV (n_total DIV $k)
+           |END""".stripMargin).cast("int"))
+      .drop("pid", "rn", "off", "n_total")
+  }
+
+  /** RFM segmentation: recency / frequency / monetary quintile scores
+    * per customer (1 = best: most recent, most orders, highest spend),
+    * reported as segment counts + spend. Metrics are one hash aggregate
+    * over orders (cents as exact longs); each score is an exact
+    * ntile(5) over the CUSTOMER-grain table via [[ntileDist]] — three
+    * range exchanges of the aggregated grain, which is what exact
+    * global quantile scoring costs, and P-way parallel throughout
+    * (contrast: the textbook ntile window is a single-partition sort of
+    * every customer). Tiebreak o_custkey on every ordering keeps the
+    * bucket split deterministic and the oracle's ntile bit-identical. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val ref = orders(s, d).agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+    val cust = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_date")))
+      .select("o_custkey", "recency_days", "freq", "monetary_cents")
+    val scored = Seq[(String, Seq[Column])](
+      ("r_score", Seq(col("recency_days").asc, col("o_custkey").asc)),
+      ("f_score", Seq(col("freq").desc, col("o_custkey").asc)),
+      ("m_score", Seq(col("monetary_cents").desc, col("o_custkey").asc))
+    ).foldLeft(cust) { case (df, (name, ord)) => ntileDist(df, ord, 5, name) }
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary_cents").as("cents"))
+      .select(col("r_score"), col("f_score"), col("m_score"), col("n_customers"),
+        (col("cents").cast("double") / 100).as("segment_monetary"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_sequence_match" -> (qSequenceMatch _),
+    "q_cohort_matrix" -> (qCohortMatrix _),
+    "q_rfm" -> (qRfm _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type, value
+        |  FROM events),
+        |coded AS (SELECT *,
+        |    CASE WHEN event_type = 'click' THEN (tsn // 1000) * 8 + 1
+        |         WHEN event_type = 'view'  THEN (tsn // 1000) * 8 + 2 END AS touch_key
+        |  FROM ev),
+        |lt AS (SELECT *,
+        |    max(touch_key) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM coded)
+        |SELECT CASE WHEN last_touch IS NULL THEN 'unattributed'
+        |            WHEN tsn // 1000 - last_touch // 8 > 604800000000 THEN 'unattributed'
+        |            WHEN last_touch % 8 = 1 THEN 'click' ELSE 'view' END AS channel,
+        |  count(*) AS n_purchases,
+        |  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS attributed_cents
+        |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_sequence_match" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events),
+        |t1 AS (SELECT user_id, min(tsn) AS v FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(tsn) AS c FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.tsn > t1.v GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(tsn) AS p FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsn > t2.c GROUP BY 1)
+        |SELECT t1.user_id, v // 1000000000 AS first_view_s,
+        |  c // 1000000000 AS first_click_s, p // 1000000000 AS first_purchase_s
+        |FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+        |JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "q_cohort_matrix" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 604800 AS wk FROM events),
+        |c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM weeks)
+        |SELECT cohort_wk, wk - cohort_wk AS weeks_since, count(*) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_rfm" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+        |cust AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_date,
+        |    count(*) AS freq,
+        |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (SELECT o_custkey, monetary_cents,
+        |    ntile(5) OVER (ORDER BY datediff('day', last_date,
+        |      (SELECT ref_date FROM ref)), o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+        |  FROM cust)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  SUM(monetary_cents) / 100.0 AS segment_monetary
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin
+  )
+}

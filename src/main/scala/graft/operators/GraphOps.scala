@@ -36,17 +36,28 @@ object GraphOps {
   private val ITERS = 3              // fixed iteration count
   private val TOP = 100              // result rows (total-order tiebreak)
 
+  /** doc ids with the corpus count attached (scalar broadcast) — the
+    * shared root of every derived-graph operator. */
+  private def idsFor(s: SparkSession, d: String): DataFrame = {
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    documents(s, d).select(col("doc_id")).crossJoin(broadcast(nDocs))
+  }
+
+  /** The deterministic K-regular edge set (src, dst) both engines
+    * rebuild identically — see the object scaladoc. */
+  private def edgesFor(ids: DataFrame): DataFrame =
+    ids.select(col("doc_id").as("src"),
+      explode(array((1 to K).map(k =>
+        conv(substring(md5(concat(lit("pr:"), col("doc_id"), lit(s":$k"))), 1, 8), 16, 10)
+          .cast("long") % col("n_docs")): _*)).as("dst"))
+
   /** PageRank with damping 0.85 over the derived K-regular link graph:
     * p'(v) = (15·(SCALE div N)) div 100 + (85·Σ_{u→v} p(u) div K) div 100,
     * ITERS fixed steps from the uniform vector, all arithmetic on
     * longs. Output: top-TOP docs by (pr desc, doc_id) with in-degree. */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val ids = documents(s, d).select(col("doc_id")).crossJoin(broadcast(nDocs))
-    val edges = ids.select(col("doc_id").as("src"),
-      explode(array((1 to K).map(k =>
-        conv(substring(md5(concat(lit("pr:"), col("doc_id"), lit(s":$k"))), 1, 8), 16, 10)
-          .cast("long") % col("n_docs")): _*)).as("dst"))
+    val ids = idsFor(s, d)
+    val edges = edgesFor(ids)
     var ranks = ids.select(col("doc_id").as("rid"),
       expr(s"$SCALE DIV n_docs").as("p"))
     for (_ <- 1 to ITERS) {
@@ -69,6 +80,41 @@ object GraphOps {
       .limit(TOP)
   }
 
+  /** Triangle + wedge census of the derived link graph (global
+    * clustering coefficient — the graph-cohesion profile next to
+    * PageRank's centrality): undirected-distinct edges canonicalized
+    * a<b, triangles {a<b<c} enumerated once via the two-path join
+    * e(a,b)⋈e(b,c) semi-joined against the closing edge e(a,c) — the
+    * MapReduce triangle-counting shape (Suri & Vassilvitskii, WWW'11).
+    * Wedge work per center is (smaller-neighbors)·(larger-neighbors) ≤
+    * deg²; here in-degrees are hash-uniform (Poisson(K), max
+    * O(log n/log log n)) so id-ordering already bounds the join width —
+    * on a power-law graph the same plan orients edges by (degree, id)
+    * instead, which caps the width at O(√m) per node; everything else
+    * is unchanged. Three shuffles total (distinct, wedge join, closing
+    * semi-join), output one row. */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val und = edgesFor(idsFor(s, d))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tri = und.as("x")
+      .join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+      .join(und.as("z"),
+        col("wa") === col("z.a") && col("wc") === col("z.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        (floor(lit(3.0) * col("n_triangles") / col("n_wedges") * 1e6 + 0.5) / 1e6)
+          .as("closure"))
+  }
+
   /** DuckDB parse of the first 8 md5 hex digits as a BIGINT — the
     * oracle-side mirror of conv(substring(md5(x), 1, 8), 16, 10). */
   private def hex8(m: String): String =
@@ -86,17 +132,37 @@ object GraphOps {
        |  ON ids.doc_id = s.dst)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPagerank _)
+    "q_pagerank" -> (qPagerank _),
+    "q_triangle_count" -> (qTriangleCount _)
   )
 
+  /** the derived-edge CTE chain shared by every graph oracle — the SQL
+    * mirror of [[edgesFor]]. */
+  private def edgeCtes: String =
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |ids AS (SELECT doc_id FROM documents),
+       |em AS (SELECT doc_id AS src, md5('pr:' || doc_id || ':' || k) AS m
+       |  FROM ids, (SELECT unnest([${(1 to K).mkString(", ")}]) AS k) ks),
+       |e AS (SELECT src,
+       |    (${hex8("m")}) % (SELECT n FROM nn) AS dst FROM em)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_triangle_count" ->
+      s"""WITH $edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |tri AS (SELECT count(*) AS n_triangles FROM und x
+         |  JOIN und y ON x.b = y.a
+         |  JOIN und z ON z.a = x.a AND z.b = y.b),
+         |deg AS (SELECT node, count(*) AS dg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+         |  GROUP BY 1),
+         |wed AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6 AS closure
+         |FROM tri, wed""".stripMargin,
     "q_pagerank" ->
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |ids AS (SELECT doc_id FROM documents),
-         |em AS (SELECT doc_id AS src, md5('pr:' || doc_id || ':' || k) AS m
-         |  FROM ids, (SELECT unnest([${(1 to K).mkString(", ")}]) AS k) ks),
-         |e AS (SELECT src,
-         |    (${hex8("m")}) % (SELECT n FROM nn) AS dst FROM em),
+      s"""WITH $edgeCtes,
          |r0 AS (SELECT doc_id AS rid, $SCALE // (SELECT n FROM nn) AS p FROM ids),
          |${rankStep("r0", "r1")},
          |${rankStep("r1", "r2")},

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class BehaviorOpsSpec extends SparkTestBase {
+
+  private lazy val evRows: Seq[(Long, Long, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("attribution: matches a naive per-purchase last-touch walk") {
+    // naive: for each purchase, scan the user's strictly-preceding
+    // events in (ts, event_id) order for the latest click/view
+    val byUser = evRows.groupBy(_._1)
+    val naive = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    byUser.values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.zipWithIndex.foreach { case (e, i) =>
+        if (e._4 == "purchase") {
+          val touches = sorted.take(i).filter(t => t._4 == "click" || t._4 == "view")
+          val channel = touches.lastOption match {
+            case Some(t) if e._3 / 1000 - t._3 / 1000 <= 604800000000L =>
+              // same-instant µs tie: view (code 2) outranks click (1),
+              // mirroring the packed-key max
+              val sameUs = touches.filter(x => x._3 / 1000 == t._3 / 1000)
+              if (sameUs.exists(_._4 == "view")) "view" else "click"
+            case _ => "unattributed"
+          }
+          val (n, cents) = naive(channel)
+          naive(channel) = (n + 1, cents + math.floor(e._5 * 100 + 0.5).toLong)
+        }
+      }
+    }
+    val got = BehaviorOps.qAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive.toMap)
+    assert(got.values.map(_._1).sum == evRows.count(_._4 == "purchase"))
+  }
+
+  test("sequence match: matches the declarative min-after-min cascade") {
+    val naive = evRows.groupBy(_._1).flatMap { case (u, es) =>
+      val t1 = es.filter(_._4 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(v => es.filter(e => e._4 == "click" && e._3 > v).map(_._3).minOption)
+      val t3 = t2.flatMap(c => es.filter(e => e._4 == "purchase" && e._3 > c).map(_._3).minOption)
+      t3.map(p => u -> (t1.get / 1000000000L, t2.get / 1000000000L, p / 1000000000L))
+    }
+    val got = BehaviorOps.qSequenceMatch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("cohort matrix: week-0 diagonal covers every user exactly once") {
+    val rows = BehaviorOps.qCohortMatrix(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 0L))
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == nUsers) // every user is active in their cohort week
+    val total = rows.map(_.getLong(2)).sum
+    val userWeeks = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 604800")).distinct().count()
+    assert(total == userWeeks)
+  }
+
+  test("rfm: identical to the textbook global ntile window; quintiles balanced") {
+    val ref = Tables.orders(spark, sf).agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+    val cust = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_date")))
+    val naive = cust
+      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum("monetary_cents").cast("double") / 100).as("segment_monetary"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val got = BehaviorOps.qRfm(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got == naive)
+    // per-axis quintiles are ntile-balanced: sizes differ by at most 1
+    (0 to 2).foreach { axis =>
+      val sizes = got.toSeq.groupBy(_._1.productElement(axis))
+        .view.mapValues(_.map(_._2._1).sum).values.toSeq
+      assert(sizes.size == 5 && sizes.max - sizes.min <= 1, s"axis $axis: $sizes")
+    }
+  }
+}

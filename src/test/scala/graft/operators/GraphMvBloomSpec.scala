@@ -74,6 +74,33 @@ class GraphMvBloomSpec extends SparkTestBase {
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("triangle count: matches a brute-force census of the derived graph") {
+    import graft.Tables
+    // rebuild the same K-regular edge set JVM-side and count by brute force
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    def h8(sx: String): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 8), 16)
+    }
+    val und = ids.flatMap(id => (1 to 3).map(k => (id, h8(s"pr:$id:$k") % n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val nTri = und.map { case (a, b) => (adj(a) & adj(b)).count(_ > b) }.sum.toLong
+    val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .values.map(_.length.toLong)
+    val nWed = deg.map(d => d * (d - 1) / 2).sum
+    val row = GraphOps.qTriangleCount(spark, sf).collect().head
+    assert(row.getAs[Long]("n_triangles") == nTri)
+    assert(row.getAs[Long]("n_wedges") == nWed)
+    assert(row.getAs[Double]("closure") ==
+      math.floor(3.0 * nTri / nWed * 1e6 + 0.5) / 1e6)
+  }
+
   test("mv incremental: merged state+delta partials equal the one-pass rollup, boundary week straddles") {
     val direct = graft.Tables.events(spark, sf)
       .select(col("event_type"),
