@@ -30,6 +30,36 @@ object PipelineRunner {
   final case class StepReport(name: String, attempts: Int, resumed: Boolean,
                               runId: String = "")
 
+  /** Terminal completion report — the analogue of the state machine's
+    * `NotifyWhenComplete` SNS publish (SemiStructureInvictusPost_
+    * stateMachine.yml:113, Subject + Execution.Name + StartTime): fires
+    * exactly once per completed [[run]], AFTER every step has
+    * committed, never on a failed run (the state machine only reaches
+    * the notify state when all branches succeed). */
+  final case class RunReport(runId: String, nSteps: Int, resumedSteps: Int,
+                             totalAttempts: Int, startedAtMs: Long,
+                             finishedAtMs: Long)
+
+  /** Default notify sink: a durable one-file JSON marker under
+    * `workDir/_complete/<runId>.json` — the SNS topic re-expressed as a
+    * filesystem signal any scheduler/monitor can poll, written through
+    * the same Hadoop FS as the step checkpoints so it lands wherever
+    * the pipeline state lives (HDFS/object store on a cluster).
+    * Overwrite semantics: re-completing the SAME runId refreshes its
+    * marker rather than erroring — one notification per run id. */
+  private def fileNotify(fs: org.apache.hadoop.fs.FileSystem, workDir: String)
+      (r: RunReport): Unit = {
+    val dir = new Path(workDir, "_complete")
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, s"${r.runId}.json"), true)
+    try out.write(
+      (s"""{"run_id":"${r.runId}","n_steps":${r.nSteps},""" +
+        s""""resumed_steps":${r.resumedSteps},"total_attempts":${r.totalAttempts},""" +
+        s""""started_at_ms":${r.startedAtMs},"finished_at_ms":${r.finishedAtMs}}""" + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Run the chain; returns the final output plus a per-step report.
     * Step i reads step i−1's materialized parquet, so lineage is cut at
     * every boundary (a retry re-runs ONE step, not the chain).
@@ -43,11 +73,15 @@ object PipelineRunner {
     * grep. Callers pass their own id to join several pipelines under
     * one umbrella run; the default mints a fresh one. */
   def run(input: DataFrame, steps: Seq[Step], workDir: String,
-          runId: String = graft.ObservabilityListener.newRunId())
+          runId: String = graft.ObservabilityListener.newRunId(),
+          notify: RunReport => Unit = null)
       : (DataFrame, Seq[StepReport]) = {
+    val startedAt = System.currentTimeMillis()
     val spark = input.sparkSession
     spark.conf.set("spark.graft.runId", runId)
     val fs = new Path(workDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val notifier: RunReport => Unit =
+      if (notify != null) notify else fileNotify(fs, workDir)
     var cur = input
     val reports = Seq.newBuilder[StepReport]
     steps.foreach { st =>
@@ -87,6 +121,12 @@ object PipelineRunner {
         reports += StepReport(st.name, attempts = attempt, resumed = false, runId)
       }
     }
-    (cur, reports.result())
+    val rep = reports.result()
+    // terminal notify: reached only when every step committed (a step
+    // that exhausts retries throws above) — exactly once per run() even
+    // when every step was a marker-resume skip
+    notifier(RunReport(runId, rep.size, rep.count(_.resumed),
+      rep.map(_.attempts).sum, startedAt, System.currentTimeMillis()))
+    (cur, rep)
   }
 }

@@ -26,29 +26,42 @@ object BehaviorOps {
     * (click/view) within a 7-day lookback, else `unattributed`.
     *
     * The touch lookup is NOT a time-range self-join (quadratic per hot
-    * user): touches are packed into a single long `µs·8 + channel_code`
-    * and a running `max` over the strictly-preceding frame carries the
-    * latest touch to every purchase row in one sorted pass — the same
-    * running-conditional idiom as q_asof_join. Packing keeps the window
-    * state one primitive long (codegen'd UnboundedPreceding max), and
-    * the µs·8 encoding is overflow-safe (µs epoch ~1.7e15 · 8 ≪ 2⁶³)
-    * with a deterministic same-instant tiebreak (higher code wins).
-    * Purchase cents are `floor(v·100+0.5)` longs so sums are exact and
-    * engine-portable. One shuffle (user_id), then a hash aggregate. */
+    * user): `last(ignoreNulls)` over the strictly-preceding frame
+    * carries the latest touch's channel + time to every purchase row in
+    * one sorted pass (O(1)-per-row incremental frame, same shuffle
+    * shape as q_asof_join — one user_id exchange, then a hash
+    * aggregate). The two last() columns share one frame and always come
+    * from the same row (both are null exactly on non-touch rows).
+    *
+    * Cross-engine determinism is load-bearing here (the r13 driver gate
+    * caught the previous packed-max form): every ts enters the plan
+    * µs-TRUNCATED (`ts DIV 1000`), because the two engines do not agree
+    * on sub-µs precision — on TIMESTAMP_NS driver data Spark reads full
+    * nanos (`nanosAsLong`) while DuckDB's TIMESTAMP comparisons sit at
+    * µs — so any ordering or lookback arithmetic touching sub-µs bits
+    * diverges silently. (tsu, event_id) is a TOTAL order (event_id
+    * unique) shared bit-for-bit by both engines, which also fixes the
+    * r13 form's same-µs quirk where channel code outranked stream
+    * order: ties inside one µs now resolve by event_id, i.e. the
+    * frame's own order — true last-touch. Purchase cents are
+    * `floor(v·100+0.5)` longs so sums are exact and engine-portable. */
   def qAttribution(s: SparkSession, d: String): DataFrame = {
-    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wPrev = Window.partitionBy("user_id").orderBy("tsu", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
-      .withColumn("touch_key",
-        when(col("event_type") === "click", expr("(ts DIV 1000) * 8 + 1"))
-          .when(col("event_type") === "view", expr("(ts DIV 1000) * 8 + 2")))
-      .withColumn("last_touch", max("touch_key").over(wPrev))
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"),
+        col("event_type"), col("value"))
+      .withColumn("tcode",
+        when(col("event_type") === "click", lit(1))
+          .when(col("event_type") === "view", lit(2)))
+      .withColumn("tts", when(col("tcode").isNotNull, col("tsu")))
+      .withColumn("last_code", last("tcode", ignoreNulls = true).over(wPrev))
+      .withColumn("last_ts", last("tts", ignoreNulls = true).over(wPrev))
       .filter(col("event_type") === "purchase")
       .withColumn("channel",
-        when(col("last_touch").isNull, lit("unattributed"))
-          .when(expr("ts DIV 1000 - last_touch DIV 8 > 604800000000"), lit("unattributed"))
-          .when(expr("last_touch % 8 = 1"), lit("click"))
+        when(col("last_code").isNull, lit("unattributed"))
+          .when(col("tsu") - col("last_ts") > 604800000000L, lit("unattributed"))
+          .when(col("last_code") === 1, lit("click"))
           .otherwise(lit("view")))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),
@@ -131,12 +144,16 @@ object BehaviorOps {
         Window.partitionBy("pid").orderBy(order: _*)))
       .join(broadcast(offsets.select("pid", "off")), "pid")
       .crossJoin(broadcast(counts.agg(sum("cnt").as("n_total"))))
+      // the ELSE divisor is greatest(q, 1): when n_total < k the THEN
+      // branch covers every rank (q = 0, first condition always holds),
+      // so ELSE is unreachable — but its division must not rely on CASE
+      // short-circuit to avoid a 0 divisor under refactor or ANSI mode
       .withColumn(scoreCol, expr(
         s"""CASE WHEN off + rn <= (n_total % $k) * ((n_total DIV $k) + 1)
            |  THEN (off + rn + (n_total DIV $k)) DIV ((n_total DIV $k) + 1)
            |  ELSE (n_total % $k)
            |       + (off + rn - (n_total % $k) * ((n_total DIV $k) + 1)
-           |          + (n_total DIV $k) - 1) DIV (n_total DIV $k)
+           |          + (n_total DIV $k) - 1) DIV greatest(n_total DIV $k, 1)
            |END""".stripMargin).cast("int"))
       .drop("pid", "rn", "off", "n_total")
   }
@@ -181,20 +198,28 @@ object BehaviorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every ts µs-truncated (epoch_ns // 1000 — bit-identical to the
+    // Spark side's `ts DIV 1000` whatever the parquet layout), window
+    // ordered by the (tsu, event_id) total order, true last preceding
+    // touch via last_value IGNORE NULLS: see qAttribution's scaladoc
+    // for why nothing here may touch sub-µs bits or tiebreak by code
     "q_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type, value
-        |  FROM events),
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
+        |    event_type, value FROM events),
         |coded AS (SELECT *,
-        |    CASE WHEN event_type = 'click' THEN (tsn // 1000) * 8 + 1
-        |         WHEN event_type = 'view'  THEN (tsn // 1000) * 8 + 2 END AS touch_key
+        |    CASE WHEN event_type = 'click' THEN 1
+        |         WHEN event_type = 'view'  THEN 2 END AS tcode,
+        |    CASE WHEN event_type IN ('click', 'view') THEN tsu END AS tts
         |  FROM ev),
         |lt AS (SELECT *,
-        |    max(touch_key) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
-        |  FROM coded)
-        |SELECT CASE WHEN last_touch IS NULL THEN 'unattributed'
-        |            WHEN tsn // 1000 - last_touch // 8 > 604800000000 THEN 'unattributed'
-        |            WHEN last_touch % 8 = 1 THEN 'click' ELSE 'view' END AS channel,
+        |    last_value(tcode IGNORE NULLS) OVER w AS last_code,
+        |    last_value(tts IGNORE NULLS) OVER w AS last_ts
+        |  FROM coded
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN last_code IS NULL THEN 'unattributed'
+        |            WHEN tsu - last_ts > 604800000000 THEN 'unattributed'
+        |            WHEN last_code = 1 THEN 'click' ELSE 'view' END AS channel,
         |  count(*) AS n_purchases,
         |  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS attributed_cents
         |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   private val SCALE = 1000000000000L // total rank mass, fixed-point
-  private val K = 3                  // out-degree of every doc
+  private[operators] val K = 3       // out-degree of every doc (specs reuse it)
   private val ITERS = 3              // fixed iteration count
   private val TOP = 100              // result rows (total-order tiebreak)
 

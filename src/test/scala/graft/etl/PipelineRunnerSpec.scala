@@ -89,6 +89,42 @@ class PipelineRunnerSpec extends SparkTestBase {
     assert(e.getMessage.contains("boom") && e.getCause.getMessage.contains("permanent"))
   }
 
+  test("completion notify fires exactly once per completed run — fresh, resumed, and never on failure") {
+    // the NotifyWhenComplete analogue: terminal RunReport through a
+    // counting notifier + the default durable _complete/<runId>.json
+    val wd = Files.createTempDirectory("graft_steps_notify").toString
+    val steps = Seq(
+      PipelineRunner.Step("tokenize", tokenize),
+      PipelineRunner.Step("aggregate", aggregate))
+    val fired = new java.util.concurrent.CopyOnWriteArrayList[PipelineRunner.RunReport]()
+    PipelineRunner.run(docs, steps, wd, runId = "run-n1", notify = fired.add(_): Unit)
+    assert(fired.size == 1)
+    val r1 = fired.get(0)
+    assert(r1.runId == "run-n1" && r1.nSteps == 2 && r1.resumedSteps == 0
+      && r1.totalAttempts == 2 && r1.finishedAtMs >= r1.startedAtMs)
+    // resume path: every step marker-skips, the terminal notify STILL
+    // fires exactly once (the state machine notifies per execution,
+    // not per computed step)
+    PipelineRunner.run(docs, steps, wd, runId = "run-n2", notify = fired.add(_): Unit)
+    assert(fired.size == 2)
+    assert(fired.get(1).runId == "run-n2" && fired.get(1).resumedSteps == 2
+      && fired.get(1).totalAttempts == 0)
+    // failure: an exhausted step throws BEFORE the terminal notify
+    intercept[IllegalStateException] {
+      PipelineRunner.run(docs,
+        Seq(PipelineRunner.Step("boom", _ => sys.error("no"), maxRetries = 0)),
+        Files.createTempDirectory("graft_steps_notify2").toString,
+        runId = "run-n3", notify = fired.add(_): Unit)
+    }
+    assert(fired.size == 2, "failed run must not notify")
+    // default sink: the durable JSON marker lands under workDir/_complete
+    val wd2 = Files.createTempDirectory("graft_steps_notify3").toString
+    PipelineRunner.run(docs, steps.take(1), wd2, runId = "run-n4")
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wd2/_complete/run-n4.json")), "UTF-8")
+    assert(marker.contains(""""run_id":"run-n4"""") && marker.contains(""""n_steps":1"""))
+  }
+
   test("one correlation id threads step reports, observability lines and errors") {
     val wd = Files.createTempDirectory("graft_steps_runid").toString
     val (_, lines) = graft.ObservabilityListener.buffering(spark)

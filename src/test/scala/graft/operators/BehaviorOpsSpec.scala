@@ -16,21 +16,20 @@ class BehaviorOpsSpec extends SparkTestBase {
 
   test("attribution: matches a naive per-purchase last-touch walk") {
     // naive: for each purchase, scan the user's strictly-preceding
-    // events in (ts, event_id) order for the latest click/view
+    // events in (µs, event_id) order — the operator's declared total
+    // order — for the latest click/view (true last-touch, no code
+    // tiebreak: the r13 packed-max quirk is gone)
     val byUser = evRows.groupBy(_._1)
     val naive = scala.collection.mutable.Map.empty[String, (Long, Long)]
       .withDefaultValue((0L, 0L))
     byUser.values.foreach { es =>
-      val sorted = es.sortBy(e => (e._3, e._2))
+      val sorted = es.sortBy(e => (e._3 / 1000, e._2))
       sorted.zipWithIndex.foreach { case (e, i) =>
         if (e._4 == "purchase") {
           val touches = sorted.take(i).filter(t => t._4 == "click" || t._4 == "view")
           val channel = touches.lastOption match {
             case Some(t) if e._3 / 1000 - t._3 / 1000 <= 604800000000L =>
-              // same-instant µs tie: view (code 2) outranks click (1),
-              // mirroring the packed-key max
-              val sameUs = touches.filter(x => x._3 / 1000 == t._3 / 1000)
-              if (sameUs.exists(_._4 == "view")) "view" else "click"
+              if (t._4 == "view") "view" else "click"
             case _ => "unattributed"
           }
           val (n, cents) = naive(channel)
@@ -42,6 +41,50 @@ class BehaviorOpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == naive.toMap)
     assert(got.values.map(_._1).sum == evRows.count(_._4 == "purchase"))
+  }
+
+  test("attribution: sub-µs order and same-µs ties resolve by (µs, event_id), " +
+    "pinning the r13 driver-gate divergence") {
+    // ns-grain events in the driver's TIMESTAMP_NS shape (Spark reads
+    // BIGINT nanos under nanosAsLong; DuckDB compares at µs): sub-µs
+    // bits deliberately CONTRADICT event_id order, so any plan that
+    // orders or tiebreaks on full-ns ts — or on channel code, like the
+    // r13 packed max — flips a channel here. The declared semantics:
+    // last preceding touch in (ts DIV 1000, event_id) order.
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // u1: click(ns .5) vs view(ns .2) in ONE µs — event_id says view last
+      (1L, 10L, 1_000_000_500L, "click", 0.0),
+      (1L, 20L, 1_000_000_200L, "view", 0.0),
+      (1L, 30L, 2_000_000_000L, "purchase", 10.0),
+      // u2: view has the LATER ns but the EARLIER event_id — click wins
+      // (r13's code-tiebreak max would say view; full-ns order would too)
+      (2L, 40L, 5_000_000_900L, "view", 0.0),
+      (2L, 50L, 5_000_000_100L, "click", 0.0),
+      (2L, 60L, 6_000_000_000L, "purchase", 20.0),
+      // u3: no touches at all
+      (3L, 65L, 8_000_000_000L, "purchase", 1.0),
+      // u4: touch outside the 7-day lookback
+      (4L, 66L, 0L, "click", 0.0),
+      (4L, 67L, 700_000_000_000_000_000L, "purchase", 3.0),
+      // u5: touch and purchase share a µs, touch event_id SMALLER →
+      // touch precedes the purchase in the total order → attributed
+      // (purchase's ns is earlier — full-ns order would drop it)
+      (5L, 70L, 9_000_000_100L, "click", 0.0),
+      (5L, 80L, 9_000_000_050L, "purchase", 5.0),
+      // u6: same µs but touch event_id LARGER → not preceding
+      (6L, 85L, 11_000_000_900L, "purchase", 7.0),
+      (6L, 90L, 11_000_000_100L, "view", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_ns").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = BehaviorOps.qAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "view" -> (1L, 1000L),
+      "click" -> (2L, 2500L),
+      "unattributed" -> (3L, 1100L)))
   }
 
   test("sequence match: matches the declarative min-after-min cascade") {

@@ -84,7 +84,7 @@ class GraphMvBloomSpec extends SparkTestBase {
         .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(m.substring(0, 8), 16)
     }
-    val und = ids.flatMap(id => (1 to 3).map(k => (id, h8(s"pr:$id:$k") % n)))
+    val und = ids.flatMap(id => (1 to GraphOps.K).map(k => (id, h8(s"pr:$id:$k") % n)))
       .filter { case (a, b) => a != b }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .distinct
