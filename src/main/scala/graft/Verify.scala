@@ -27,6 +27,12 @@ object Verify {
       // read those as long nanos (current timestamp[us] data is
       // normalized by Tables.events instead)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // layout-primary queries (SparkEntry.layoutPrimary) save bucketed
+      // tables: give them a fresh throwaway warehouse — the driver's
+      // cwd may not be writable, and a stale location from a previous
+      // JVM would collide (same rationale as Bench/QTime)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_verify_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

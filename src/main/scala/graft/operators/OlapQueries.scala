@@ -557,36 +557,39 @@ object OlapQueries {
           .agg(sum("prev_e4").as("srev_e4"), count(lit(1)).as("n_parts"))
       }
     val m = supGrain.select(col("l_suppkey"),
-      (expr("(srev_e4 + 50) DIV 100").cast("double") / 100).as("revenue"),
+      expr("(srev_e4 + 50) DIV 100").as("cents"),
       col("n_parts"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
     val j = m.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
-        col("revenue"), col("n_parts"))
-    // one explicit nation repartition serves BOTH the pair-dedup
-    // aggregate and the window (nation ⊆ both clusterings): without
-    // it, distinct() plans partial+final with its own exchange and
-    // the window adds a second — two stage launches for supplier-grain
-    // data (Lab r13: the post-aggregate stages cost more than the
-    // fact aggregate itself, ~2 s of the 3.4 s total at sf3)
-    val pairs = j.select("nation", "revenue", "n_parts")
-      .repartition(col("nation")).dropDuplicates("nation", "revenue", "n_parts")
-    val w = Window.partitionBy("nation")
-      .orderBy(col("revenue").desc, col("n_parts").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = pairs.withColumn("mx", max("n_parts").over(w))
-      .filter(col("mx").isNull || col("mx") < col("n_parts"))
-      .select(col("nation").as("sk_n"), col("revenue").as("sk_r"),
-        col("n_parts").as("sk_p"))
-    // the skyline side is frontier-cardinality (tiny at any SF):
-    // broadcast it explicitly so the semi-join never plans a shuffled
-    // variant whose left-side ENSURE_REQUIREMENTS exchange AQE then
-    // has to localize after the fact
-    j.join(broadcast(sky), col("nation") === col("sk_n") &&
-        col("revenue") === col("sk_r") && col("n_parts") === col("sk_p"),
-      "left_semi")
+        col("cents"), col("n_parts"))
+    // Dominance as TWO frames of ONE window over the supplier rows
+    // directly (r14 — replaces the r13 pair-distinct → window → semi-
+    // join-restore tail, whose three extra supplier-grain stages cost
+    // more than the fact aggregate itself at sf3, and whose double
+    // consumption of j leaned on ReuseExchange):
+    //   p is on the frontier  ⟺  no q with rev > p.rev has np ≥ p.np
+    //                         ∧  no q with rev = p.rev has np > p.np
+    //   ⟺ max(np | cents ≥ p.cents+1) < p.np (or empty)
+    //     ∧ max(np | cents = p.cents) = p.np
+    // The window orders by EXACT integer cents (revenue·100 — the same
+    // e4→cents rounding both engines apply), so the RANGE offset −1 is
+    // precisely "strictly greater revenue" with no float-boundary
+    // hazard, and the peer frame is the revenue tie group. Both frames
+    // share one (nation) partitioning + sort → ONE exchange, ONE
+    // WindowExec, no distinct, no semi-join, j consumed once.
+    val wStrict = Window.partitionBy("nation").orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wPeers = Window.partitionBy("nation").orderBy(col("cents").desc)
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    j.withColumn("mxs", max("n_parts").over(wStrict))
+      .withColumn("mxp", max("n_parts").over(wPeers))
+      .filter((col("mxs").isNull || col("mxs") < col("n_parts")) &&
+        col("n_parts") === col("mxp"))
+      .select(col("nation"), col("suppkey"),
+        (col("cents").cast("double") / 100).as("revenue"), col("n_parts"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -46,7 +46,10 @@ def main():
 
     twins, queries = {}, {}
     for name, rec in spark["queries"].items():
-        if name.endswith("_bucketed") or name.endswith("_partitioned"):
+        # _plain: the layout-free continuity twin of a query whose
+        # PRIMARY plan reads a clustered layout (SparkEntry.layoutPrimary)
+        if (name.endswith("_bucketed") or name.endswith("_partitioned")
+                or name.endswith("_plain")):
             twins[name] = rec["sec"]
         elif name in duck:
             d = duck[name]
