@@ -592,7 +592,138 @@ object OlapQueries {
         (col("cents").cast("double") / 100).as("revenue"), col("n_parts"))
   }
 
+  /** TPC-H Q8 shape: a supplier nation's market share inside one
+    * region's order stream, by year. Dimension-side reduction FIRST
+    * (the q7 idiom): orders carry only (orderkey, year) after the
+    * two-year cut, customers reduce through the broadcast nation→region
+    * chain to an ASIA-only key list, and the fact stream crosses the
+    * wire once with (orderkey, rev_e4, supp_nation). Share = the
+    * NATION_7-conditional revenue over total revenue per year — both
+    * split-long exact sums at year grain (2 groups; conditional value
+    * is rev_e4-or-0, so the v ≥ 0 precondition holds), ratio of the two
+    * exact totals floor-rounded at 1e-6 (engine-portable: each total is
+    * one nearest-double rounding of the same rational in both engines,
+    * then one IEEE division). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val supN = nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val custAsia = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation(s, d).select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val oc = o.join(custAsia, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_year")
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("tr",
+        when(col("supp_nation") === "NATION_7", col("r")).otherwise(lit(0L)))
+      .groupBy("o_year")
+      .agg(Money.splitLoE4(col("tr")).as("tlo"), Money.splitHiE4(col("tr")).as("thi"),
+        Money.splitLoE4(col("r")).as("alo"), Money.splitHiE4(col("r")).as("ahi"))
+      .select(col("o_year"),
+        (floor(Money.splitToDollarsE4(col("thi"), col("tlo")) /
+          Money.splitToDollarsE4(col("ahi"), col("alo")) * 1e6 + 0.5) / 1e6)
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation and year for one part
+    * family (p_name containing "red"), with p_retailprice × quantity
+    * standing in for the missing partsupp supplycost. The part filter
+    * broadcasts INTO the fact scan (the stream shrinks to the family's
+    * ~1/8 before anything shuffles), supplier→nation broadcasts, and
+    * the one fact-scale exchange is the slim (orderkey, year) join.
+    * Profit can be negative per row, so revenue and cost are summed
+    * SEPARATELY (each ≥ 0 — the split-long precondition) and
+    * subtracted as exact totals at the 175-group output grain. */
+  def q9ProfitByNation(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), Money.e2(col("p_retailprice")).as("retail_e2"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"),
+      Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val supN = nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    val o = orders(s, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("cost_e4",
+        col("retail_e2") * col("l_quantity").cast("long") * 100L)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(Money.splitLoE4(col("r")).as("rlo"), Money.splitHiE4(col("r")).as("rhi"),
+        Money.splitLoE4(col("cost_e4")).as("clo"),
+        Money.splitHiE4(col("cost_e4")).as("chi"))
+      .select(col("nation"), col("o_year"),
+        (Money.splitToDollarsE4(col("rhi"), col("rlo")) -
+          Money.splitToDollarsE4(col("chi"), col("clo"))).as("profit"))
+  }
+
+  /** TPC-H Q15 shape: the quarter's top supplier(s) by revenue — a
+    * supplier-grain exact long aggregate (map-side combine on the
+    * clustered layout), the scalar max broadcast back, equality tested
+    * on the EXACT e4 longs (never on rounded doubles, so ties survive
+    * both engines identically), supplier name attached to the winner
+    * rows only. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("srev_e4"))
+    val mx = rev.agg(max("srev_e4").as("mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("srev_e4") === col("mx"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        Money.e4ToDouble(col("srev_e4")).as("total_revenue"))
+  }
+
+  /** TPC-H Q22 shape: lapsed high-balance customers — in a 7-nation
+    * slice, customers whose balance beats the slice's positive-balance
+    * mean and who placed NO order since the cutoff, counted per nation.
+    * The mean is integer cents with DIV (sum_e2 and count are exact, so
+    * the threshold is ONE integer in both engines — no float-mean
+    * boundary flips); the no-recent-orders test is a left anti join
+    * against the date-pruned order slice (custkey shuffle of two slim
+    * streams, never a correlated probe). */
+  def q22SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val nats = Seq(1, 3, 5, 7, 9, 11, 13).map(lit(_))
+    val cust = customer(s, d).filter(col("c_nationkey").isin(nats: _*))
+      .select(col("c_custkey"), col("c_nationkey"),
+        Money.e2(col("c_acctbal")).as("bal_e2"))
+    val thr = cust.filter(col("bal_e2") > 0)
+      .agg(expr("sum(bal_e2) DIV count(1)").as("thr_e2"))
+    val recent = orders(s, d).filter(
+      col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr)).filter(col("bal_e2") > col("thr_e2"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"), sum("bal_e2").as("sum_e2"))
+      .select(col("c_nationkey"), col("n_custs"),
+        Money.e2ToDouble(col("sum_e2")).as("total_acctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_profit" -> (q9ProfitByNation _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q_skyline" -> (qSkyline _),
     "q13_order_dist" -> (q13OrderDist _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -609,6 +740,71 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact e4-integer sums mirror the split-long plan; one
+    // nearest-double rounding per total on both sides, then the same
+    // IEEE division + 1e-6 floor
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS r,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+        |SELECT o_year,
+        |  floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN r ELSE 0 END)
+        |          AS DOUBLE) / 10000
+        |      / (CAST(SUM(r) AS DOUBLE) / 10000) * 1e6 + 0.5) / 1e6 AS mkt_share
+        |FROM f GROUP BY 1""".stripMargin,
+    "q9_profit" ->
+      """WITH f AS (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS r,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * 100 AS cost_e4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_name LIKE '%red%')
+        |SELECT nation, o_year,
+        |  CAST(SUM(r) AS DOUBLE) / 10000 - CAST(SUM(cost_e4) AS DOUBLE) / 10000
+        |    AS profit
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    // winner equality on the EXACT e4 integer sums (ties engine-portable)
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS srev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(srev_e4 AS DOUBLE) / 10000 AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE srev_e4 = (SELECT max(srev_e4) FROM r)""".stripMargin,
+    // integer-cent threshold via DIV: one exact integer in both engines
+    "q22_sales_opportunity" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |thr AS (SELECT CAST(SUM(bal_e2) AS BIGINT) // count(*) AS thr_e2
+        |  FROM cust WHERE bal_e2 > 0)
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(SUM(bal_e2) AS DOUBLE) / 100 AS total_acctbal
+        |FROM cust
+        |WHERE bal_e2 > (SELECT thr_e2 FROM thr)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     // dominance stated declaratively (NOT EXISTS); the Spark side's
     // window-scan skyline must produce the identical frontier
     "q_skyline" ->

@@ -32,6 +32,88 @@ class OlapQueriesSpec extends SparkTestBase {
       s"skyline must stay sort/window-based, not a quadratic join:\n$plan")
   }
 
+  test("q8: market share equals the declarative join mirror, shares in [0,1]") {
+    val got = OlapQueries.q8MarketShare(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = spark.sql(
+      s"""WITH f AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS r,
+         |    n2.n_name AS supp_nation
+         |  FROM parquet.`$sf/lineitem.parquet`
+         |  JOIN parquet.`$sf/orders.parquet` ON l_orderkey = o_orderkey
+         |  JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |  JOIN parquet.`$sf/nation.parquet` n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN parquet.`$sf/region.parquet` ON n1.n_regionkey = r_regionkey
+         |  JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
+         |  JOIN parquet.`$sf/nation.parquet` n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+         |SELECT o_year,
+         |  floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN r ELSE 0 END)
+         |          AS DOUBLE) / 10000
+         |      / (CAST(SUM(r) AS DOUBLE) / 10000) * 1e6 + 0.5) / 1e6 AS share
+         |FROM f GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == want && got.keySet == Set(1996, 1997))
+    assert(got.values.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("q9: profit equals exact revenue-minus-cost recomputed declaratively") {
+    val got = OlapQueries.q9ProfitByNation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val want = spark.sql(
+      s"""SELECT n_name, year(o_orderdate) AS y,
+         |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
+         |  - CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+         |    * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE) / 10000 AS profit
+         |FROM parquet.`$sf/lineitem.parquet`
+         |JOIN parquet.`$sf/part.parquet` ON l_partkey = p_partkey
+         |JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
+         |JOIN parquet.`$sf/nation.parquet` ON s_nationkey = n_nationkey
+         |JOIN parquet.`$sf/orders.parquet` ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%' GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q15: exactly the max-revenue suppliers, equality on exact longs") {
+    val rows = OlapQueries.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, s"all winners share the max revenue: ${revs.toSeq}")
+    // the winner's revenue is the true max of the per-supplier aggregate
+    val mx = spark.sql(
+      s"""SELECT max(srev) FROM (SELECT
+         |  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS srev
+         |FROM parquet.`$sf/lineitem.parquet`
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+         |GROUP BY l_suppkey)""".stripMargin).head.getLong(0)
+    assert(revs.head == mx.toDouble / 10000)
+  }
+
+  test("q22: lapsed high-balance customers match the correlated definition") {
+    val got = OlapQueries.q22SalesOpportunity(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = spark.sql(
+      s"""WITH cust AS (SELECT c_custkey, c_nationkey,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+         |  FROM parquet.`$sf/customer.parquet`
+         |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+         |thr AS (SELECT SUM(bal_e2) DIV count(*) AS thr_e2
+         |  FROM cust WHERE bal_e2 > 0)
+         |SELECT c_nationkey, count(*) AS n, CAST(SUM(bal_e2) AS DOUBLE) / 100 AS bal
+         |FROM cust WHERE bal_e2 > (SELECT thr_e2 FROM thr)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$sf/orders.parquet`
+         |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+         |GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q6: pure scan-agg — no join, no Exchange beyond the final single-row agg") {
     val df = OlapQueries.q6Forecast(spark, sf)
     val r = df.head()
