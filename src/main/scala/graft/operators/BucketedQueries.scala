@@ -31,6 +31,15 @@ object BucketedQueries {
   def ensureBucketed(s: SparkSession, d: String): (String, String) = {
     val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    // Since Spark 3.0 a bucketed scan does NOT report its sortBy order
+    // unless this flag makes planning list the files (one file per
+    // bucket required — which the repartition-before-write guarantees).
+    // Without it EnsureRequirements re-sorts BOTH sides of every merge
+    // join above the sorted buckets — the r12 artifact's q3_bucketed
+    // (9.6 s vs 1.9 s plain at sf10) was paying exactly this, defeating
+    // the layout's whole point. File listing at planning is bounded:
+    // BUCKETS files per table.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     this.synchronized {
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
         // a previous JVM may have left the table's location on disk
