@@ -153,10 +153,7 @@ object BucketedQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_bucketed" -> (q3Bucketed _),
     "q5_bucketed" -> (q5Bucketed _),
-    // q7's PRIMARY is the bucketed plan (SparkEntry.layoutPrimary —
-    // the fact⋈fact join is the layout's textbook case); the raw-scan
-    // form stays measured here as the layout-free continuity twin
-    "q7_plain" -> (OlapQueries.q7Volume _),
+    "q7_bucketed" -> (q7Bucketed _),
     "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _),
     "q_skyline_bucketed" -> (qSkylineBucketed _)
