@@ -624,11 +624,16 @@ object OlapQueries {
       .select("c_custkey")
     val oc = o.join(custAsia, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_year")
+    // the nation NAME reduces to one boolean BEFORE the fact exchange —
+    // the only thing the aggregate needs is "is this the target
+    // nation"; carrying the 9-char string across the 60M-row shuffle
+    // would be pure exchange weight (the q7 slim-before-shuffle rule)
     l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .select(col("l_orderkey"), col("r"),
+        (col("supp_nation") === "NATION_7").as("is_t"))
       .join(oc, col("l_orderkey") === col("o_orderkey"))
-      .withColumn("tr",
-        when(col("supp_nation") === "NATION_7", col("r")).otherwise(lit(0L)))
+      .withColumn("tr", when(col("is_t"), col("r")).otherwise(lit(0L)))
       .groupBy("o_year")
       .agg(Money.splitLoE4(col("tr")).as("tlo"), Money.splitHiE4(col("tr")).as("thi"),
         Money.splitLoE4(col("r")).as("alo"), Money.splitHiE4(col("r")).as("ahi"))
