@@ -68,6 +68,10 @@ object Bench {
       // ~15-20% on q3/q5 at sf3. SMJ remains for non-equi/huge-both-
       // sides cases; AQE skew splitting applies to SHJ the same way.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // set at construction (not lazily in ensureBucketed) so plan
+      // shapes are identical whether or not a bucketed query ran first
+      // in this session — see BucketedQueries.ensureBucketed
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,6 +36,10 @@ object QTime {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // set at construction (not lazily in ensureBucketed) so plan
+      // shapes are identical whether or not a bucketed query ran first
+      // in this session — see BucketedQueries.ensureBucketed
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // events.ts NTZ->TZ normalization (Tables.tsToNanos) is exact only

@@ -27,6 +27,10 @@ object Verify {
       // read those as long nanos (current timestamp[us] data is
       // normalized by Tables.events instead)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // set at construction (not lazily in ensureBucketed) so plan
+      // shapes are identical whether or not a bucketed query ran first
+      // in this session — see BucketedQueries.ensureBucketed
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // layout-primary queries (SparkEntry.layoutPrimary) save bucketed
       // tables: give them a fresh throwaway warehouse — the driver's
       // cwd may not be writable, and a stale location from a previous

@@ -51,9 +51,14 @@ object PipelineRunner {
       (r: RunReport): Unit = {
     val dir = new Path(workDir, "_complete")
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, s"${r.runId}.json"), true)
+    // caller-supplied runIds are sanitized to [A-Za-z0-9._-] before use
+    // as BOTH the marker filename and the (unescaped) JSON string — a
+    // quote/backslash/control char in a custom id must not produce an
+    // invalid JSON body or a path-traversing filename
+    val safeId = r.runId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = fs.create(new Path(dir, s"$safeId.json"), true)
     try out.write(
-      (s"""{"run_id":"${r.runId}","n_steps":${r.nSteps},""" +
+      (s"""{"run_id":"$safeId","n_steps":${r.nSteps},""" +
         s""""resumed_steps":${r.resumedSteps},"total_attempts":${r.totalAttempts},""" +
         s""""started_at_ms":${r.startedAtMs},"finished_at_ms":${r.finishedAtMs}}""" + "\n")
         .getBytes("UTF-8"))

@@ -26,47 +26,80 @@ object BehaviorOps {
     * (click/view) within a 7-day lookback, else `unattributed`.
     *
     * The touch lookup is NOT a time-range self-join (quadratic per hot
-    * user): `last(ignoreNulls)` over the strictly-preceding frame
-    * carries the latest touch's channel + time to every purchase row in
-    * one sorted pass (O(1)-per-row incremental frame, same shuffle
-    * shape as q_asof_join — one user_id exchange, then a hash
-    * aggregate). The two last() columns share one frame and always come
-    * from the same row (both are null exactly on non-touch rows).
+    * user): a RUNNING MAX of a packed (tsu, event_id, tcode) value
+    * carries the latest touch to every purchase row in one sorted pass
+    * (O(1)-per-row incremental frame, same shuffle shape as q_asof_join
+    * — one user_id exchange, then a hash aggregate).
     *
-    * Cross-engine determinism is load-bearing here (the r13 driver gate
-    * caught the previous packed-max form): every ts enters the plan
-    * µs-TRUNCATED (`ts DIV 1000`), because the two engines do not agree
-    * on sub-µs precision — on TIMESTAMP_NS driver data Spark reads full
-    * nanos (`nanosAsLong`) while DuckDB's TIMESTAMP comparisons sit at
-    * µs — so any ordering or lookback arithmetic touching sub-µs bits
-    * diverges silently. (tsu, event_id) is a TOTAL order (event_id
-    * unique) shared bit-for-bit by both engines, which also fixes the
-    * r13 form's same-µs quirk where channel code outranked stream
-    * order: ties inside one µs now resolve by event_id, i.e. the
-    * frame's own order — true last-touch. Purchase cents are
-    * `floor(v·100+0.5)` longs so sums are exact and engine-portable. */
-  def qAttribution(s: SparkSession, d: String): DataFrame = {
-    val wPrev = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    * Why a packed max and not `last_value(... IGNORE NULLS)` over the
+    * 1-PRECEDING frame (the r14 form): frame-excluded IGNORE NULLS is
+    * the one nonstandard window corner engines disagree on across
+    * versions — the r14 plan and oracle agreed bit-for-bit on every
+    * local DuckDB run yet the driver gate still hash-mismatched, so r15
+    * retires the construct from BOTH sides. `max()` as a window
+    * aggregate over a running frame is SQL-2003 bedrock: aggregates
+    * skip NULLs identically everywhere, no IGNORE NULLS syntax, no
+    * frame-exclusion corner. The packing is ordering-preserving 128-bit
+    * integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle):
+    *   tpack = tsu·10^20 + event_id·10 + tcode   (touch rows only)
+    * tsu ≤ ~1.8e15 µs keeps tpack ≤ ~1.8e35 < 10^38, and the 10^20
+    * rung holds event_id·10 + tcode for ANY long event_id, so
+    * lexicographic (tsu, event_id, tcode) order ≡ numeric tpack order
+    * (event_id is unique, so tcode never decides). The running max over
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW equals "latest touch
+    * strictly before this row in (tsu, event_id) order": the current
+    * row's own tpack is NULL on purchase rows, and same-µs ties resolve
+    * by event_id — stream order, true last-touch.
+    *
+    * Cross-engine determinism (the r13 gate lesson): every ts enters
+    * the plan µs-TRUNCATED (`ts DIV 1000`), because the engines do not
+    * agree on sub-µs precision — on TIMESTAMP_NS driver data Spark
+    * reads full nanos (`nanosAsLong`) while DuckDB's TIMESTAMP sits at
+    * µs. (Spark's DIV truncates toward zero vs DuckDB's floor `//`;
+    * identical on the non-negative epochs this data model ships —
+    * pre-epoch timestamps are outside the contract.) (tsu, event_id)
+    * is a TOTAL order shared bit-for-bit by both engines. Purchase
+    * cents are `floor(v·100+0.5)` longs so sums are exact. */
+  private def attributedPurchases(s: SparkSession, d: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"),
         col("event_type"), col("value"))
       .withColumn("tcode",
-        when(col("event_type") === "click", lit(1))
-          .when(col("event_type") === "view", lit(2)))
-      .withColumn("tts", when(col("tcode").isNotNull, col("tsu")))
-      .withColumn("last_code", last("tcode", ignoreNulls = true).over(wPrev))
-      .withColumn("last_ts", last("tts", ignoreNulls = true).over(wPrev))
+        when(col("event_type") === "click", lit(1L))
+          .when(col("event_type") === "view", lit(2L)))
+      .withColumn("tpack", expr(
+        "CAST(tsu AS DECIMAL(38,0)) * 10000000000 * 10000000000" +
+          " + event_id * 10 + tcode"))
+      .withColumn("last_pack", max("tpack").over(wRun))
       .filter(col("event_type") === "purchase")
+      .withColumn("last_code", expr("CAST(last_pack % 10 AS INT)"))
+      .withColumn("last_ts",
+        expr("last_pack DIV 100000000000000000000"))
       .withColumn("channel",
-        when(col("last_code").isNull, lit("unattributed"))
+        when(col("last_pack").isNull, lit("unattributed"))
           .when(col("tsu") - col("last_ts") > 604800000000L, lit("unattributed"))
           .when(col("last_code") === 1, lit("click"))
           .otherwise(lit("view")))
+  }
+
+  def qAttribution(s: SparkSession, d: String): DataFrame =
+    attributedPurchases(s, d)
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("attributed_cents"))
-  }
+
+  /** Row-grain attribution twin: the per-purchase (user_id, event_id,
+    * channel) assignments behind [[qAttribution]], deterministically
+    * sampled (event_id % 251 == 0 — engine-identical on the
+    * non-negative ids) to a bounded output. Exists so a hash mismatch
+    * on the 3-row aggregate pinpoints WHICH purchases flip channel
+    * instead of hiding behind the rollup. */
+  def qAttributionRows(s: SparkSession, d: String): DataFrame =
+    attributedPurchases(s, d)
+      .filter(col("event_id") % 251 === 0)
+      .select(col("user_id"), col("event_id"), col("channel"))
 
   /** Ordered event-pattern match (MATCH_RECOGNIZE-lite / CEP): users
     * whose stream contains view → click → purchase at strictly
@@ -192,37 +225,51 @@ object BehaviorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> (qAttribution _),
+    "q_attribution_rows" -> (qAttributionRows _),
     "q_sequence_match" -> (qSequenceMatch _),
     "q_cohort_matrix" -> (qCohortMatrix _),
     "q_rfm" -> (qRfm _)
   )
 
+  // every ts µs-truncated (epoch_ns // 1000 — bit-identical to the
+  // Spark side's `ts DIV 1000` on the non-negative epochs this data
+  // model ships, whatever the parquet layout); latest preceding touch
+  // via a plain running `max()` over the ordering-preserving HUGEINT
+  // packing (tsu·10^20 + event_id·10 + tcode, touch rows only) — see
+  // qAttribution's scaladoc for why no IGNORE NULLS / frame-excluded
+  // window construct may appear on either side
+  private val attributionCore: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
+      |    event_type, value FROM events),
+      |coded AS (SELECT *,
+      |    CASE WHEN event_type = 'click' THEN 1
+      |         WHEN event_type = 'view'  THEN 2 END AS tcode
+      |  FROM ev),
+      |pk AS (SELECT *,
+      |    CAST(tsu AS HUGEINT) * 10000000000 * 10000000000
+      |      + event_id * 10 + tcode AS tpack
+      |  FROM coded),
+      |lt AS (SELECT *,
+      |    max(tpack) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pack
+      |  FROM pk),
+      |att AS (SELECT *,
+      |    CASE WHEN last_pack IS NULL THEN 'unattributed'
+      |         WHEN tsu - CAST(last_pack // 100000000000000000000 AS BIGINT)
+      |           > 604800000000 THEN 'unattributed'
+      |         WHEN last_pack % 10 = 1 THEN 'click' ELSE 'view' END AS channel
+      |  FROM lt WHERE event_type = 'purchase')""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // every ts µs-truncated (epoch_ns // 1000 — bit-identical to the
-    // Spark side's `ts DIV 1000` whatever the parquet layout), window
-    // ordered by the (tsu, event_id) total order, true last preceding
-    // touch via last_value IGNORE NULLS: see qAttribution's scaladoc
-    // for why nothing here may touch sub-µs bits or tiebreak by code
-    "q_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu,
-        |    event_type, value FROM events),
-        |coded AS (SELECT *,
-        |    CASE WHEN event_type = 'click' THEN 1
-        |         WHEN event_type = 'view'  THEN 2 END AS tcode,
-        |    CASE WHEN event_type IN ('click', 'view') THEN tsu END AS tts
-        |  FROM ev),
-        |lt AS (SELECT *,
-        |    last_value(tcode IGNORE NULLS) OVER w AS last_code,
-        |    last_value(tts IGNORE NULLS) OVER w AS last_ts
-        |  FROM coded
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT CASE WHEN last_code IS NULL THEN 'unattributed'
-        |            WHEN tsu - last_ts > 604800000000 THEN 'unattributed'
-        |            WHEN last_code = 1 THEN 'click' ELSE 'view' END AS channel,
-        |  count(*) AS n_purchases,
+    "q_attribution" -> (attributionCore +
+      """
+        |SELECT channel, count(*) AS n_purchases,
         |  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS attributed_cents
-        |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+        |FROM att GROUP BY 1""".stripMargin),
+    "q_attribution_rows" -> (attributionCore +
+      """
+        |SELECT user_id, event_id, channel FROM att
+        |WHERE event_id % 251 = 0""".stripMargin),
     "q_sequence_match" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events),
         |t1 AS (SELECT user_id, min(tsn) AS v FROM e WHERE event_type = 'view' GROUP BY 1),

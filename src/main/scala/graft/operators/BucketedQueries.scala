@@ -39,6 +39,13 @@ object BucketedQueries {
     // (9.6 s vs 1.9 s plain at sf10) was paying exactly this, defeating
     // the layout's whole point. File listing at planning is bounded:
     // BUCKETS files per table.
+    // NOTE: this is a SESSION-WIDE conf that stays set for the rest of
+    // the session (correctness-safe — Spark only reports ordering when
+    // the one-file-per-bucket requirement holds — but it makes plan
+    // shapes order-dependent on whether a bucketed query ran first).
+    // Bench/Verify therefore set it at session construction so every
+    // pass plans identically; this set() is the belt-and-braces for
+    // ad-hoc sessions (tests, spark-shell).
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     this.synchronized {
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {

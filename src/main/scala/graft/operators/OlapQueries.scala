@@ -626,17 +626,27 @@ object OlapQueries {
       .select("o_orderkey", "o_year")
     // the nation NAME reduces to one boolean BEFORE the fact exchange —
     // the only thing the aggregate needs is "is this the target
-    // nation"; carrying the 9-char string across the 60M-row shuffle
-    // would be pure exchange weight (the q7 slim-before-shuffle rule)
-    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    // nation" (the q7 slim-before-shuffle rule) — and the line stream
+    // pre-aggregates to ORDER grain before the fact join (the q3
+    // idiom): per-order target/total revenue are ≤7-line sums that fit
+    // plain longs at any corpus size, the orderkey-clustered layout
+    // gives the partial aggregate full map-side combine, and the
+    // orderkey exchange carries one (key, long, long) row per order
+    // instead of the raw line stream (~4× lighter — r14 measured q8 at
+    // 7.9× DuckDB shipping line grain). Split-long re-aggregation to
+    // year grain happens ABOVE the join; its v ≤ ~8e9 per-order inputs
+    // sit far inside splitHiE4's 1e12 exactness bound (Money.scala).
+    val lo = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .select(col("l_orderkey"), col("r"),
         (col("supp_nation") === "NATION_7").as("is_t"))
-      .join(oc, col("l_orderkey") === col("o_orderkey"))
-      .withColumn("tr", when(col("is_t"), col("r")).otherwise(lit(0L)))
+      .groupBy("l_orderkey")
+      .agg(sum(when(col("is_t"), col("r")).otherwise(lit(0L))).as("tr"),
+        sum(col("r")).as("ar"))
+    lo.join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_year")
       .agg(Money.splitLoE4(col("tr")).as("tlo"), Money.splitHiE4(col("tr")).as("thi"),
-        Money.splitLoE4(col("r")).as("alo"), Money.splitHiE4(col("r")).as("ahi"))
+        Money.splitLoE4(col("ar")).as("alo"), Money.splitHiE4(col("ar")).as("ahi"))
       .select(col("o_year"),
         (floor(Money.splitToDollarsE4(col("thi"), col("tlo")) /
           Money.splitToDollarsE4(col("ahi"), col("alo")) * 1e6 + 0.5) / 1e6)
@@ -648,10 +658,16 @@ object OlapQueries {
     * standing in for the missing partsupp supplycost. The part filter
     * broadcasts INTO the fact scan (the stream shrinks to the family's
     * ~1/8 before anything shuffles), supplier→nation broadcasts, and
-    * the one fact-scale exchange is the slim (orderkey, year) join.
-    * Profit can be negative per row, so revenue and cost are summed
-    * SEPARATELY (each ≥ 0 — the split-long precondition) and
-    * subtracted as exact totals at the 175-group output grain. */
+    * the one fact-scale exchange ships (orderkey, nationkey) GRAIN
+    * pre-aggregates, not lines (the q3 idiom — r14 measured 4.97× vs
+    * DuckDB shipping line grain): per-(order, nation) revenue/cost are
+    * ≤7-line sums in plain longs (≤ ~8e9, inside splitHiE4's 1e12
+    * bound), the clustered layout gives full map-side combine, and the
+    * nation STRING never rides the exchange — the int nationkey does,
+    * with the name broadcast-joined at the 175-group output grain (the
+    * q7 slim-before-shuffle rule). Profit can be negative per row, so
+    * revenue and cost are summed SEPARATELY (each ≥ 0 — the split-long
+    * precondition) and subtracted as exact totals at output grain. */
   def q9ProfitByNation(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d).filter(col("p_name").contains("red"))
       .select(col("p_partkey"), Money.e2(col("p_retailprice")).as("retail_e2"))
@@ -667,12 +683,15 @@ object OlapQueries {
       .withColumn("cost_e4",
         col("retail_e2") * col("l_quantity").cast("long") * 100L)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .groupBy("l_orderkey", "s_nationkey")
+      .agg(sum(col("r")).as("ro"), sum(col("cost_e4")).as("co"))
+      .hint("shuffle_hash")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("nation", "o_year")
-      .agg(Money.splitLoE4(col("r")).as("rlo"), Money.splitHiE4(col("r")).as("rhi"),
-        Money.splitLoE4(col("cost_e4")).as("clo"),
-        Money.splitHiE4(col("cost_e4")).as("chi"))
+      .groupBy("s_nationkey", "o_year")
+      .agg(Money.splitLoE4(col("ro")).as("rlo"), Money.splitHiE4(col("ro")).as("rhi"),
+        Money.splitLoE4(col("co")).as("clo"),
+        Money.splitHiE4(col("co")).as("chi"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .select(col("nation"), col("o_year"),
         (Money.splitToDollarsE4(col("rhi"), col("rlo")) -
           Money.splitToDollarsE4(col("chi"), col("clo"))).as("profit"))
@@ -747,7 +766,12 @@ object OlapQueries {
   val oracle: Map[String, String] = Map(
     // exact e4-integer sums mirror the split-long plan; one
     // nearest-double rounding per total on both sides, then the same
-    // IEEE division + 1e-6 floor
+    // IEEE division + 1e-6 floor. Equivalence headroom: the oracle
+    // casts the exact integer e4 total to DOUBLE before dividing, so
+    // "same rounding on both sides" holds while each group total stays
+    // below 2^53 e4-units (~$9.2e11/group — ASIA×year groups at sf10
+    // reach ~6.5e14 e4 ≈ 7% of the bound; a corpus past it should move
+    // the oracle's /10000 into DECIMAL, mirroring splitToDollarsE4)
     "q8_market_share" ->
       """WITH f AS (
         |  SELECT year(o_orderdate) AS o_year,

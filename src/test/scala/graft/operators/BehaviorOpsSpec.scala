@@ -43,6 +43,29 @@ class BehaviorOpsSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == evRows.count(_._4 == "purchase"))
   }
 
+  test("attribution rows twin: per-purchase channels match the naive walk " +
+    "on the sampled ids") {
+    val byUser = evRows.groupBy(_._1)
+    val naive = scala.collection.mutable.Map.empty[(Long, Long), String]
+    byUser.values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3 / 1000, e._2))
+      sorted.zipWithIndex.foreach { case (e, i) =>
+        if (e._4 == "purchase" && e._2 % 251 == 0) {
+          val touches = sorted.take(i).filter(t => t._4 == "click" || t._4 == "view")
+          val channel = touches.lastOption match {
+            case Some(t) if e._3 / 1000 - t._3 / 1000 <= 604800000000L =>
+              if (t._4 == "view") "view" else "click"
+            case _ => "unattributed"
+          }
+          naive((e._1, e._2)) = channel
+        }
+      }
+    }
+    val got = BehaviorOps.qAttributionRows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == naive.toMap)
+  }
+
   test("attribution: sub-µs order and same-µs ties resolve by (µs, event_id), " +
     "pinning the r13 driver-gate divergence") {
     // ns-grain events in the driver's TIMESTAMP_NS shape (Spark reads
