@@ -166,6 +166,102 @@ object Lab {
           .groupBy().agg(count(lit(1)).as("n"), sum("h").as("s"))
       }),
 
+      // ---- q9 exchange-grain A/B (r15): the part filter already thins
+      // lines to ~1 per order, so the (orderkey, nationkey) pre-agg may
+      // get no map-side combine — measure all three forms ----
+      "q9_current" -> (() => operators.OlapQueries.queries("q9_profit")(s, d)),
+      "q9_v14" -> (() => {
+        import operators.Money
+        val p = part(s, d).filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), Money.e2(col("p_retailprice")).as("retail_e2"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+        val o = orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("cost_e4",
+            col("retail_e2") * col("l_quantity").cast("long") * 100L)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("nation", "o_year")
+          .agg(Money.splitLoE4(col("r")).as("rlo"), Money.splitHiE4(col("r")).as("rhi"),
+            Money.splitLoE4(col("cost_e4")).as("clo"),
+            Money.splitHiE4(col("cost_e4")).as("chi"))
+          .select(col("nation"), col("o_year"),
+            (Money.splitToDollarsE4(col("rhi"), col("rlo")) -
+              Money.splitToDollarsE4(col("chi"), col("clo"))).as("profit"))
+      }),
+      "q9_intkey" -> (() => {
+        import operators.Money
+        val p = part(s, d).filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), Money.e2(col("p_retailprice")).as("retail_e2"))
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+        val o = orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("cost_e4",
+            col("retail_e2") * col("l_quantity").cast("long") * 100L)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .hint("shuffle_hash")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("s_nationkey", "o_year")
+          .agg(Money.splitLoE4(col("r")).as("rlo"), Money.splitHiE4(col("r")).as("rhi"),
+            Money.splitLoE4(col("cost_e4")).as("clo"),
+            Money.splitHiE4(col("cost_e4")).as("chi"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .select(col("nation"), col("o_year"),
+            (Money.splitToDollarsE4(col("rhi"), col("rlo")) -
+              Money.splitToDollarsE4(col("chi"), col("clo"))).as("profit"))
+      }),
+
+      // ---- q8 exchange-grain A/B (r15) ----
+      "q8_current" -> (() => operators.OlapQueries.queries("q8_market_share")(s, d)),
+      "q8_v14" -> (() => {
+        import operators.Money
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val custAsia = customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(nation(s, d).select(
+            col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val oc = o.join(custAsia, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_year")
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .select(col("l_orderkey"), col("r"),
+            (col("supp_nation") === "NATION_7").as("is_t"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("tr", when(col("is_t"), col("r")).otherwise(lit(0L)))
+          .groupBy("o_year")
+          .agg(Money.splitLoE4(col("tr")).as("tlo"), Money.splitHiE4(col("tr")).as("thi"),
+            Money.splitLoE4(col("r")).as("alo"), Money.splitHiE4(col("r")).as("ahi"))
+          .select(col("o_year"),
+            (floor(Money.splitToDollarsE4(col("thi"), col("tlo")) /
+              Money.splitToDollarsE4(col("ahi"), col("alo")) * 1e6 + 0.5) / 1e6)
+              .as("mkt_share"))
+      }),
+
       // ---- q7 / q5 / q10 with shuffle_hash hints on the fact joins ----
       "q7_current" -> (() => operators.OlapQueries.queries("q7_volume")(s, d)),
       "q7_shj" -> (() => {

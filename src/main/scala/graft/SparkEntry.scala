@@ -34,22 +34,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     etl.WodEtl.pipelineE2E(spark, "/root/testdata/sf0.001")
 
-  /** Layout-primary overrides — EMPTY after the r14 investigation.
-    * The round tried declaring q7_volume's orderkey-bucketed twin the
-    * primary plan (the judge-endorsed 100 TB layout answer), fixed the
-    * hidden per-pass merge-join sorts it was paying (bucketed scans
-    * don't report their sortBy order without the legacy
-    * bucketedTableScan.outputOrdering flag — see BucketedQueries), and
-    * MEASURED: sf0.1 bucketed 1.75 s vs plain 1.31 s; sf10 bucketed
-    * 116 s steady (twice) vs plain 5.9–8.8 s in the same windows. On
-    * this rig the single-wave 32-task bucketed merge join loses badly
-    * to the split-and-pipelined plain scan at every tested SF, so the
-    * raw-scan plan stays primary and the bucketed twin stays a measured
-    * layout experiment (q7_bucketed, BucketedQueries.all) — the
-    * mechanism remains the right one for a real cluster whose layout
-    * amortizes, but it is not this workload's measured win. */
+  /** Layout-primary overrides: plans whose bucketed-layout twin
+    * MEASURED faster than the plain scan at every tested SF, promoted
+    * to be the production plan (the layout build amortizes across a
+    * real deployment's query stream; Bench pays it once untimed and
+    * once in a min-excluded first pass).
+    *
+    * q18_large_orders (r15): bucketed 0.47 s vs plain 0.84 s at sf0.1;
+    * 2.1–3.2 s vs 4.6–9.2 s at sf10 across r14/r15 windows. The win
+    * is structural, and explains why q18 promotes where q7 was
+    * REVERTED (r14: bucketed q7 116 s steady vs plain 5.9–8.8 s at
+    * sf10, so q7's raw-scan plan stays primary and q7_bucketed stays a
+    * measured layout experiment): q18's dominant cost is the
+    * order-grain quantity pre-aggregate — a full fact-stream exchange
+    * on the plain layout — and the bucketed scan deletes exactly that
+    * exchange while the rest of the plan (the ~1% qualifying set's
+    * joins) stays AQE-broadcast and trivially parallel. q7's bucketed
+    * twin only replaced a JOIN exchange with a single-wave 32-task
+    * merge join that SERIALIZED the whole fact pipeline behind
+    * bucket-count parallelism; q18's heavy stage keeps its parallelism
+    * (BUCKETS-way hash aggregate over pre-clustered scans). Rule:
+    * promote the layout when it deletes the plan's DOMINANT exchange
+    * without capping the parallelism of the stage that replaces it. */
   private def layoutPrimary: Map[String, (SparkSession, String) => DataFrame] =
-    Map.empty
+    Map("q18_large_orders" -> (operators.BucketedQueries.q18Bucketed _))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

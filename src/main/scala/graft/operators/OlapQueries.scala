@@ -658,16 +658,19 @@ object OlapQueries {
     * standing in for the missing partsupp supplycost. The part filter
     * broadcasts INTO the fact scan (the stream shrinks to the family's
     * ~1/8 before anything shuffles), supplier→nation broadcasts, and
-    * the one fact-scale exchange ships (orderkey, nationkey) GRAIN
-    * pre-aggregates, not lines (the q3 idiom — r14 measured 4.97× vs
-    * DuckDB shipping line grain): per-(order, nation) revenue/cost are
-    * ≤7-line sums in plain longs (≤ ~8e9, inside splitHiE4's 1e12
-    * bound), the clustered layout gives full map-side combine, and the
-    * nation STRING never rides the exchange — the int nationkey does,
-    * with the name broadcast-joined at the 175-group output grain (the
-    * q7 slim-before-shuffle rule). Profit can be negative per row, so
-    * revenue and cost are summed SEPARATELY (each ≥ 0 — the split-long
-    * precondition) and subtracted as exact totals at output grain. */
+    * the one fact-scale exchange ships SLIM line rows — (orderkey,
+    * nationkey-int, r, cost) — never the nation STRING, which
+    * broadcast-joins at the 175-group output grain (the q7
+    * slim-before-shuffle rule). An order-grain pre-aggregate (the q3
+    * idiom, q8's r15 fix) was measured and REJECTED here: the
+    * selective part filter already thins the stream to ~1.07 lines per
+    * (order, nation) group, so the pre-agg pass gets no map-side
+    * combine and just adds a full aggregation over the same exchange
+    * volume (Lab q9_current 7.0 s vs q9_intkey 5.4 s at sf10, same
+    * JVM) — the idiom pays only when the clustered key keeps several
+    * rows per key. Profit can be negative per row, so revenue and cost
+    * are summed SEPARATELY (each ≥ 0 — the split-long precondition)
+    * and subtracted as exact totals at output grain. */
   def q9ProfitByNation(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d).filter(col("p_name").contains("red"))
       .select(col("p_partkey"), Money.e2(col("p_retailprice")).as("retail_e2"))
@@ -683,14 +686,12 @@ object OlapQueries {
       .withColumn("cost_e4",
         col("retail_e2") * col("l_quantity").cast("long") * 100L)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .groupBy("l_orderkey", "s_nationkey")
-      .agg(sum(col("r")).as("ro"), sum(col("cost_e4")).as("co"))
       .hint("shuffle_hash")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("s_nationkey", "o_year")
-      .agg(Money.splitLoE4(col("ro")).as("rlo"), Money.splitHiE4(col("ro")).as("rhi"),
-        Money.splitLoE4(col("co")).as("clo"),
-        Money.splitHiE4(col("co")).as("chi"))
+      .agg(Money.splitLoE4(col("r")).as("rlo"), Money.splitHiE4(col("r")).as("rhi"),
+        Money.splitLoE4(col("cost_e4")).as("clo"),
+        Money.splitHiE4(col("cost_e4")).as("chi"))
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .select(col("nation"), col("o_year"),
         (Money.splitToDollarsE4(col("rhi"), col("rlo")) -
