@@ -111,6 +111,15 @@ object BucketedQueries {
     OlapQueries.q18From(s.table(lt), sorted(s.table(ot)), customer(s, d))
   }
 
+  /** Q8's order-grain revenue pre-aggregate inherits the bucket
+    * partitioning exactly like q18's — the plain plan's one fact-scale
+    * exchange (15M slim order rows at sf10) disappears; the ASIA
+    * order-year side stays AQE-broadcast. */
+  def q8Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (_, lt) = ensureBucketed(s, d)
+    OlapQueries.q8From(s, d, s.table(lt))
+  }
+
   /** A SECOND bucketed copy of lineitem, on the supplier key — the
     * supplier-grain analytics lane (q_skyline's two aggregates). Kept
     * separate from [[ensureBucketed]] so the order-key twins never pay
@@ -161,6 +170,7 @@ object BucketedQueries {
     "q3_bucketed" -> (q3Bucketed _),
     "q5_bucketed" -> (q5Bucketed _),
     "q7_bucketed" -> (q7Bucketed _),
+    "q8_bucketed" -> (q8Bucketed _),
     "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _),
     "q_skyline_bucketed" -> (qSkylineBucketed _)

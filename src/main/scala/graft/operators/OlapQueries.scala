@@ -604,8 +604,17 @@ object OlapQueries {
     * exact totals floor-rounded at 1e-6 (engine-portable: each total is
     * one nearest-double rounding of the same rational in both engines,
     * then one IEEE division). */
-  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
-    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+  def q8MarketShare(s: SparkSession, d: String): DataFrame =
+    q8From(s, d, lineitem(s, d))
+
+  /** Plan body parameterized over the lineitem source, so the
+    * orderkey-bucketed twin (q8_bucketed) shares one definition: on the
+    * bucketed scan the order-grain pre-aggregate inherits
+    * hashpartitioning(l_orderkey) and plans ZERO exchange — the same
+    * dominant-exchange deletion that made q18 layout-primary. */
+  private[operators] def q8From(s: SparkSession, d: String,
+                                lineitemT: DataFrame): DataFrame = {
+    val l = lineitemT.select(col("l_orderkey"), col("l_suppkey"),
       Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
     val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
     val supN = nation(s, d).select(
