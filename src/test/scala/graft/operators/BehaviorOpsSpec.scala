@@ -110,6 +110,65 @@ class BehaviorOpsSpec extends SparkTestBase {
       "unattributed" -> (3L, 1100L)))
   }
 
+  test("attribution: randomized adversarial ns streams match the naive walk " +
+    "(seeded; same-µs pileups, exact 7-day boundaries, ns jitter vs event_id)") {
+    // the generator deliberately over-represents every corner the
+    // driver-gate history touched: 25% zero-µs steps (same-µs pileups
+    // of touches AND purchases), 10% steps at exactly the lookback
+    // boundary ±1 µs, sub-µs jitter that contradicts event_id order,
+    // and users with no touches at all
+    val rnd = new scala.util.Random(20260815L)
+    val base = 1704067200000000000L
+    val rows = Seq.newBuilder[(Long, Long, Long, String, Double)]
+    var eid = 0L
+    (0 until 150).foreach { u =>
+      var t = base + u.toLong * 1000000000000L
+      (0 until (1 + rnd.nextInt(40))).foreach { _ =>
+        val et = Seq("click", "view", "purchase", "signup")(rnd.nextInt(4))
+        val stepUs = rnd.nextInt(100) match {
+          case s if s < 25 => 0L
+          case s if s < 30 => 604800000000L      // exactly 7 days
+          case s if s < 35 => 604800000001L      // just past
+          case s if s < 40 => 604799999999L      // just inside
+          case _ => 1L + rnd.nextInt(1000000000).toLong
+        }
+        t += stepUs * 1000L
+        rows += ((u.toLong, eid, t + rnd.nextInt(1000).toLong, et,
+          math.floor(rnd.nextDouble() * 50000) / 100.0))
+        eid += 1
+      }
+    }
+    val evs = rows.result()
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_rand").toString
+    evs.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // naive per-purchase walk under the declared (ts DIV 1000, event_id)
+    // total order — the oracle the packed running max must reproduce
+    val naive = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    evs.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3 / 1000, e._2))
+      sorted.zipWithIndex.foreach { case (e, i) =>
+        if (e._4 == "purchase") {
+          val touches = sorted.take(i).filter(x => x._4 == "click" || x._4 == "view")
+          val ch = touches.lastOption match {
+            case Some(tc) if e._3 / 1000 - tc._3 / 1000 <= 604800000000L =>
+              if (tc._4 == "view") "view" else "click"
+            case _ => "unattributed"
+          }
+          val (n, c) = naive(ch)
+          naive(ch) = (n + 1, c + math.floor(e._5 * 100 + 0.5).toLong)
+        }
+      }
+    }
+    val got = BehaviorOps.qAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive.toMap)
+    assert(got.values.map(_._1).sum == evs.count(_._4 == "purchase"))
+  }
+
   test("sequence match: matches the declarative min-after-min cascade") {
     val naive = evRows.groupBy(_._1).flatMap { case (u, es) =>
       val t1 = es.filter(_._4 == "view").map(_._3).minOption
