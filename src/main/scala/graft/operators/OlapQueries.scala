@@ -371,19 +371,31 @@ object OlapQueries {
     * results is the contract, the same proof obligation as
     * q_salted_agg. SkewBench measures the win on a deliberately skewed
     * table (2.3× over naive at 90%-hot); here the declared query
-    * proves the rewrite is semantics-preserving. */
+    * proves the rewrite is semantics-preserving.
+    *
+    * The replicated join is still built lean (r15 — the sf10 sweep
+    * caught the original shipping 2×2.4 GB exchanges into a sort-merge
+    * join, 27 s steady): revenue collapses to ONE e4 long BEFORE the
+    * exchange (prices never ride the wire), and the shuffle_hash hint
+    * keeps the ×S-replicated stream out of SMJ's per-pass sorts — a
+    * salted join exists to spread reducers, so handing its output to a
+    * sort defeats the point. Note the technique itself is priced at
+    * S× exchange by construction: its honest cost twin is the plain
+    * join (the oracle), and on Spark AQE's skew-join split makes
+    * manual salting necessary only for extreme single-key skew. */
   def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
     val S = 4 // enough fan-out to prove the rewrite; replication cost is S-linear
     val li = lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+      .select(col("l_orderkey"),
+        Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"),
         (col("l_linenumber") % S).as("salt"))
     val ord = orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"),
         explode(array((0 until S).map(lit): _*)).as("salt_r"))
-    li.join(ord,
+    li.join(ord.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey") && col("salt") === col("salt_r"))
       .groupBy(col("o_orderstatus"), Money.bucket(col("l_orderkey")).as("mb"))
-      .agg(sum(Money.revE4(col("l_extendedprice"), col("l_discount"))).as("r_e4"),
+      .agg(sum(col("r")).as("r_e4"),
         count(lit(1)).as("cnt"))
       .groupBy("o_orderstatus")
       .agg(
