@@ -262,6 +262,50 @@ object Lab {
               .as("mkt_share"))
       }),
 
+      // ---- q2 exchange-count A/B (r15): groupBy(pk,sk) then window(pk)
+      // plans TWO pair-grain exchanges; one up-front repartition(pk)
+      // satisfies both (subset rule) ----
+      "q2_current" -> (() => operators.ExtendedQueries.queries("q2_min_cost_supplier")(s, d)),
+      "q2_onex" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val li = lineitem(s, d)
+        val p = part(s, d).filter(col("p_size") <= 10)
+        val sup = supplier(s, d)
+        val n = nation(s, d)
+        val r = region(s, d).filter(col("r_name") === "EUROPE")
+        val euroSup = sup
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val cost = li
+          .join(broadcast(p.select("p_partkey")), li("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("uc"))
+          .repartition(col("l_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("uc")).as("unit_cost"))
+        val w = Window.partitionBy("l_partkey")
+        cost
+          .withColumn("min_cost", min("unit_cost").over(w))
+          .filter(col("unit_cost") === col("min_cost"))
+          .join(euroSup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+            (floor(col("unit_cost") * 10000 + 0.5) / 10000).as("min_unit_cost"))
+      }),
+
+      // ---- q_json_extract A/B (r15): per-row get_json_object vs
+      // from_json vs Spark 4 VARIANT (parse once, typed path get) ----
+      "json_current" -> (() => operators.CoreQueries.queries("q_json_extract")(s, d)),
+      "json_fromjson" -> (() => events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
+      "json_variant" -> (() => events(s, d)
+        .withColumn("k", expr("variant_get(try_parse_json(props), '$.k', 'long')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
+
       // ---- q7 / q5 / q10 with shuffle_hash hints on the fact joins ----
       "q7_current" -> (() => operators.OlapQueries.queries("q7_volume")(s, d)),
       "q7_shj" -> (() => {

@@ -22,12 +22,6 @@ object SimilarityOps {
   private val K = 5
   private val NQ = 5 // query vectors: vec_id < NQ
 
-  /** Fold-based dot product of two float vectors, in double. (Kept for
-    * the LSH signature path, where one side is a literal ±1 plane.) */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Cosine via the native codegen'd expression (graft.plans
     * .CosineSimilarity) — one fused loop per row, no intermediate
     * arrays; accumulation order identical to the fold form. */
@@ -74,26 +68,28 @@ object SimilarityOps {
   }
 
   /** Deterministic ±1 hyperplanes from md5 nibble parity — no RNG, same
-    * plane set on every executor with zero coordination. */
-  private def hyperplane(j: Int, dim: Int): Array[Double] = {
-    val mdAlg = java.security.MessageDigest.getInstance("MD5")
-    (0 until dim).map { k =>
-      val h = mdAlg.digest(s"$j:$k".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1.0 else -1.0
-    }.toArray
-  }
+    * plane set on every executor with zero coordination. Single source
+    * of the derivation is [[graft.plans.SignBits.planes]]; this wrapper
+    * keeps the per-plane view the spec's recall harness reads. */
+  private[operators] def hyperplane(j: Int, dim: Int): Array[Double] =
+    graft.plans.SignBits.planes(j + 1, dim).slice(j * dim, (j + 1) * dim)
 
   /** LSH-bucketed ANN (scale path). The ±1 hyperplanes come from md5
     * nibble parity, so the oracle reconstructs the identical planes in
     * SQL from a generated (j, k) grid — the whole pipeline is
     * oracle-checkable. */
   /** Bit-string LSH signature from the md5-derived hyperplanes — shared
-    * by the ANN bucketing and the dedup sub-bucketing. */
-  private def lshSig(v: Column, bits: Int, dim: Int): Column =
-    concat((0 until bits).map { j =>
-      val pl = array(hyperplane(j, dim).map(lit): _*)
-      when(dot(v, pl) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    * by the ANN bucketing and the dedup sub-bucketing. Native fused
+    * expression (plans.SignBits) since r15: the previous per-plane
+    * `aggregate(zip_with(...))` folds were higher-order-function
+    * machinery per element per plane — ~20 s of sim_ann_lsh's 20.7 s
+    * sf10 wall for what is one tight loop's worth of work. Signatures
+    * are bit-identical (same planes, same double accumulation order),
+    * so every bucket, candidate set and oracle row is unchanged. */
+  private def lshSig(s: SparkSession, v: Column, bits: Int, dim: Int): Column = {
+    graft.plans.SignBits.register(s)
+    call_function("graft_sign_bits", v, lit(bits), lit(dim))
+  }
 
   /** Multi-table configuration: T independent signature tables of
     * ANN_BITS hyperplanes each (plane j of table t is global plane
@@ -123,7 +119,7 @@ object SimilarityOps {
   private[operators] def simAnnLshTables(s: SparkSession, d: String,
       tables: Int, bits: Int): DataFrame = {
     val emb = embeddings(s, d)
-      .withColumn("sig", lshSig(col("embedding"), bits = tables * bits, dim = 64))
+      .withColumn("sig", lshSig(s, col("embedding"), bits = tables * bits, dim = 64))
     val q = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("sig").as("qsig"))
@@ -208,7 +204,7 @@ object SimilarityOps {
         col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"), col("ea"), col("eb"))
 
-    val sig = lshSig(col("embedding"), SUB_BITS, dim = 64)
+    val sig = lshSig(s, col("embedding"), SUB_BITS, dim = 64)
     val keys = (0 until SUB_BANDS).map(bd =>
       substring(sig, bd * SUB_W + 1, SUB_W).as(s"k$bd"))
     val bandedBig = labelsWhere(col("n_label") > cap)
