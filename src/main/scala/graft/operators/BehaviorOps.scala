@@ -264,7 +264,8 @@ object BehaviorOps {
     "q_attribution" -> (attributionCore +
       """
         |SELECT channel, count(*) AS n_purchases,
-        |  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS attributed_cents
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS attributed_cents
         |FROM att GROUP BY 1""".stripMargin),
     "q_attribution_rows" -> (attributionCore +
       """
