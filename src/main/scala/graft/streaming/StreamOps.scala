@@ -306,7 +306,68 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Core of the stream-stream join, parameterized over the two input
+    * streams so the MemoryStream spec can drive watermark eviction
+    * explicitly. Contract: `views` carries (v_user, view_id, v_time)
+    * with a watermark on v_time; `purchases` carries (user_id,
+    * purchase_id, p_time) with a watermark on p_time. Inner join on
+    * user with the view inside [purchase − 1 h, purchase].
+    *
+    * This is THE bounded-state shape for joining two unbounded streams:
+    * the time-range predicate ties the two event-time columns together,
+    * so the engine derives a state watermark for EACH side (a buffered
+    * view is droppable once the purchase-side watermark passes
+    * v_time + 1 h; a buffered purchase once the view side passes
+    * p_time) — state size tracks the join window + watermark delay,
+    * never stream history. An equi-join without the time bound would
+    * buffer both streams forever — the unbounded-state killer at
+    * continuous-ingest scale. State is partitioned by the join key
+    * (user), so it shards across executors like any keyed state store.
+    * Inner-join rows emit as soon as both sides have arrived (no
+    * watermark wait — only OUTER sides must hold emission back). */
+  def joinViewsPurchases(views: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("p_time"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("p_time")) - unix_micros(col("v_time"))).as("gap_us"))
+
+  /** Stream-stream windowed join: each purchase event joins the same
+    * user's view events from the preceding hour — two independently
+    * watermarked event streams, a time-range join condition, append
+    * output. The batch oracle is the equivalent self range-join on the
+    * events table, so the stateful operator (buffering + matching) is
+    * oracle-checked; watermark state EVICTION is proven in the
+    * MemoryStream spec (a view arriving after the watermark passed its
+    * join window produces no pair and state row counts shrink). */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, d).schema
+    // two separate sources (separate temp dirs): a real deployment's
+    // two streams are distinct queues/topics, not one scan forked
+    def src = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(streamDir(d, "events")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val name = replaceOwnedView(s, "sjoin_")
+    val q = joinViewsPurchases(views, purchases).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join" -> (streamJoin _),
     "stream_enrich" -> (streamEnrich _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_sessions" -> (streamSessions _),
@@ -315,6 +376,17 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the batch self range-join mirror of the stream-stream join: every
+    // (purchase, same-user view within the preceding hour) pair, gap in
+    // exact µs (both engines derive it from the same µs-truncated ts)
+    "stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  v.event_id AS view_id, p.us - v.us AS gap_us
+        |FROM e p JOIN e v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
     "stream_enrich" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  n_name AS nation, count(*) AS n_events,

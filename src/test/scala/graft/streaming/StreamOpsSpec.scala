@@ -82,6 +82,74 @@ class StreamOpsSpec extends SparkTestBase {
       "events.event_id must be unique for the dedup oracle to be exact")
   }
 
+  test("stream-stream join matches the batch range join on the events table") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("view_id"), r.getAs[Long]("gap_us"))).toSet
+    val e = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS us")
+    val batch = e.as("p").filter(col("p.event_type") === "purchase")
+      .join(e.as("v").filter(col("v.event_type") === "view"),
+        col("p.user_id") === col("v.user_id") &&
+        col("v.us") >= col("p.us") - 3600000000L &&
+        col("v.us") <= col("p.us"))
+      .select(col("p.user_id"), col("p.event_id"), col("v.event_id"),
+        (col("p.us") - col("v.us")).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "sf0.001 must produce at least one pair")
+  }
+
+  test("stream-stream join evicts buffered state past the watermark and drops late rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def tts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // (user, id, time) feeders for each side
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = vIn.toDF().toDF("v_user", "view_id", "v_time")
+      .withWatermark("v_time", "10 seconds")
+    val purchases = pIn.toDF().toDF("user_id", "purchase_id", "p_time")
+      .withWatermark("p_time", "10 seconds")
+    val name = "sjoin_evict_test"
+    val q = StreamOps.joinViewsPurchases(views, purchases).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: a view at t=1000 and a purchase at t=2000 (within 1 h) → pair
+    vIn.addData((1L, 10L, tts(1000)))
+    pIn.addData((1L, 20L, tts(2000)))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 1)
+    val buffered = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(buffered >= 2, s"both rows buffered in join state, got $buffered")
+
+    // batch 2: push BOTH watermarks far past t=1000 + 1 h join window —
+    // the buffered view (and purchase) become unreachable and evict
+    vIn.addData((9L, 11L, tts(20000)))
+    pIn.addData((9L, 21L, tts(20000)))
+    q.processAllAvailable()
+    // one more batch so the new watermark's eviction pass runs
+    vIn.addData((9L, 12L, tts(20010)))
+    pIn.addData((9L, 22L, tts(20010)))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(after < buffered + 4,
+      s"state must shrink by eviction: started $buffered, now $after")
+
+    // batch 3: a LATE purchase at t=2100 (behind the watermark) whose
+    // matching view was evicted — must produce NO new pair
+    val before = spark.table(name).count()
+    pIn.addData((1L, 23L, tts(2100)))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == before,
+      "late row behind the watermark must not join against evicted state")
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gaps and keeps state across batches") {
     val s = spark
     import s.implicits._
