@@ -755,6 +755,96 @@ object Lab {
       }),
       "sky_bkt" -> (() =>
         operators.BucketedQueries.qSkylineBucketed(s, d)),
+      "q8_current" -> (() => operators.OlapQueries.q8MarketShare(s, d)),
+      "q8_oc_probe" -> (() => {
+        // scan + the ONE oc probe (no supplier joins, no year agg):
+        // isolates the probe cost over 60M rows
+        import operators.Money
+        val l = lineitem(s, d).select(col("l_orderkey"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val custAsia = customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(nation(s, d).select(
+            col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val oc = o.join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_year")
+        l.join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+          .groupBy().agg(sum(col("r") % 1000000L).as("a"), count(lit(1)).as("n"))
+      }),
+      "q8_oc_build" -> (() => {
+        // the oc side alone: orders scan + custAsia broadcast joins
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val custAsia = customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(nation(s, d).select(
+            col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        o.join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_year")
+          .groupBy().agg(count(lit(1)).as("n"), sum("o_year").as("sy"))
+      }),
+      "q8_scan_floor" -> (() => {
+        // lower bound for ANY q8 plan: one pass over lineitem computing
+        // rev_e4 + one long sum (no joins, no filter)
+        import operators.Money
+        lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+          .groupBy().agg(sum(col("r") % 1000000L).as("a"), count(lit(1)).as("n"))
+      }),
+      "q8_bcast_oc" -> (() => {
+        // r16 experiment: broadcast the qualifying (orderkey, year)
+        // order list INTO the fact scan and aggregate at year grain
+        // directly — deletes the order-grain pre-agg exchange (94% of
+        // whose output the oc join discards). Split-long year sums over
+        // line-grain rev_e4 (≤1e9 < the 1e12 exactness bound).
+        import operators.Money
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val supN = nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+        val custAsia = customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(nation(s, d).select(
+            col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val oc = o.join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_year")
+        val tr = when(col("supp_nation") === "NATION_7", col("r")).otherwise(lit(0L))
+        // most selective probe FIRST: oc keeps ~6% of lines, so the
+        // supplier/nation probes run on 3.6M rows instead of 60M
+        l.join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+          .groupBy("o_year")
+          .agg(Money.splitLoE4(tr).as("tlo"), Money.splitHiE4(tr).as("thi"),
+            Money.splitLoE4(col("r")).as("alo"), Money.splitHiE4(col("r")).as("ahi"))
+          .select(col("o_year"),
+            (floor(Money.splitToDollarsE4(col("thi"), col("tlo")) /
+              Money.splitToDollarsE4(col("ahi"), col("alo")) * 1e6 + 0.5) / 1e6)
+              .as("mkt_share"))
+      }),
       "pareto_ntile_only" -> (() => {
         import org.apache.spark.sql.expressions.Window
         orders(s, d).groupBy("o_custkey")

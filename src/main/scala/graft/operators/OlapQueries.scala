@@ -643,7 +643,35 @@ object OlapQueries {
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
         .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey")
-    val oc = o.join(custAsia, col("o_custkey") === col("c_custkey"))
+    // planning-time broadcast (r16): without the hint AQE does convert
+    // this join to broadcast at runtime, but only AFTER materializing
+    // the date-filtered orders into an exchange (~146 MB at sf10 — the
+    // AQE framework stages every exchange before re-planning). Hinting
+    // the customer side at plan time deletes that exchange: the orders
+    // slice streams straight through the join into the o_orderkey
+    // exchange the fact join needs (sf10 QTime 2.99 → 2.75 s; plan
+    // verified exchange-free on the orders side). The broadcast side is
+    // a single-long projection of the region's customer subset (~1/5 of
+    // customers — same growth class as the supplier broadcasts this
+    // plan already carries). At an SF where a region's customer list
+    // outgrows executor memory, drop the hint and take the staged
+    // exchange — AQE's shuffle join is the graceful fallback, not a
+    // different algorithm.
+    //
+    // Measured and REJECTED (r16, Lab q8_bcast_oc): broadcasting the
+    // whole qualifying (orderkey, year) order list into the fact scan
+    // and aggregating at year grain directly — deletes the order-grain
+    // pre-agg exchange entirely and wins at sf10 (1.67 vs 2.09 s
+    // same-JVM; the oc-side build is 0.85 s of either plan, the bare
+    // fact scan floor 0.44 s). Rejected because the broadcast is the
+    // ENTIRE two-year × one-region order key set — ~64 MB at sf10,
+    // linear in SF (~6 GB at SF1000) — a driver/executor OOM at the
+    // target scale, where this pre-agg + shuffle-hash plan keeps
+    // working unchanged. Spark's native runtime bloom injection
+    // (runtimeFilter.bloomFilter) was also measured: no win (2.30 vs
+    // 2.09 s). The residual DuckDB gap (~0.43 s pristine-window) is
+    // structural single-node pipelining, the q7 class.
+    val oc = o.join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_year")
     // the nation NAME reduces to one boolean BEFORE the fact exchange —
     // the only thing the aggregate needs is "is this the target
