@@ -302,7 +302,54 @@ object SimilarityOps {
       .filter(col("rk") <= KNN_K)
   }
 
+  private val MP_C = 32      // multiprobe coarse cells
+  private val MP_NPROBE = 2  // cells probed per query
+
+  /** Cross-block k-NN graph (r16 — closes the "exact within label
+    * blocks only" recall gap of [[simKnnGraph]]): IVF-style multi-probe.
+    * Blocks are geometric coarse cells (nearest of MP_C deterministic
+    * centroids, as in [[simAnnIvf]]) instead of labels, and each probe
+    * searches its MP_NPROBE nearest cells — so a true neighbor sitting
+    * just across the probe's cell boundary (the single-probe recall
+    * cliff) is reachable through the second cell. Candidates live in
+    * exactly ONE cell (crn = 1), so probing distinct cells never
+    * duplicates a pair and needs no post-union distinct.
+    *
+    * Scale: identical shape to [[simAnnIvf]] — centroids broadcast,
+    * assignment map-side, probes broadcast into the cell lists, exact
+    * rerank on candidates only; cost O(n·C) assign + O(|probes| ·
+    * nprobe·n/C) rerank. Recall vs the label-blocked baseline is
+    * measured in TextSimMmSpec at equal candidate budget
+    * (nprobe=2,C=32 vs nprobe=1,C=16). */
+  def simKnnMultiprobe(s: SparkSession, d: String): DataFrame =
+    simKnnMultiprobeCfg(s, d, MP_C, MP_NPROBE)
+
+  /** Parameterized form for the spec's equal-budget recall compare. */
+  private[operators] def simKnnMultiprobeCfg(s: SparkSession, d: String,
+      c: Int, nprobe: Int): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("cid"))
+    val assign = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(s, col("embedding"), col("ce")).as("c_sim"))
+      .withColumn("crn", row_number().over(aw))
+    val lists = assign.filter(col("crn") === 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cid"))
+    val probes = assign.filter(col("crn") <= nprobe &&
+        col("vec_id") % KNN_STRIDE === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_multiprobe" -> (simKnnMultiprobe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_cosine_topk" -> (simCosineTopK _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -328,6 +375,39 @@ object SimilarityOps {
       .withColumn("is_keeper", (col("vec_id") === col("cluster_rep")).cast("int"))
 
   private val baseOracle: Map[String, String] = Map(
+    // sim_ann_ivf's assignment grid with MP_C cells, stride probes and
+    // MP_NPROBE probed cells per query — candidates still crn = 1
+    "sim_knn_multiprobe" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $MP_C),
+         |apairs AS (SELECT e.vec_id AS avid, c.cid, e.embedding AS ave, c.ce
+         |  FROM embeddings e, cents c),
+         |aflat AS (SELECT avid, cid, unnest(ave) AS x, unnest(ce) AS y FROM apairs),
+         |asim AS (SELECT avid, cid,
+         |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+         |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+         |     sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS c_sim
+         |  FROM aflat GROUP BY avid, cid),
+         |ranked AS (SELECT avid, cid,
+         |  row_number() OVER (PARTITION BY avid ORDER BY c_sim DESC, cid) AS crn
+         |  FROM asim),
+         |lists AS (SELECT avid AS vid, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT avid AS qid, cid FROM ranked
+         |  WHERE crn <= $MP_NPROBE AND avid % $KNN_STRIDE = 0),
+         |cand AS (SELECT qid, l.vid AS vid FROM probes p JOIN lists l ON p.cid = l.cid
+         |  WHERE l.vid <> p.qid),
+         |cpairs AS (SELECT qid, vid, eq.embedding AS qe, ev.embedding AS ve
+         |  FROM cand JOIN embeddings eq ON eq.vec_id = qid
+         |            JOIN embeddings ev ON ev.vec_id = vid),
+         |cflat AS (SELECT qid, vid, unnest(qe) AS qx, unnest(ve) AS vx FROM cpairs),
+         |sims AS (SELECT qid, vid,
+         |  round(sum(CAST(qx AS DOUBLE) * CAST(vx AS DOUBLE)) /
+         |    (sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) *
+         |     sqrt(sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cflat GROUP BY qid, vid)
+         |SELECT qid, vid, cos_sim, rk FROM (
+         |  SELECT qid, vid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rk
+         |  FROM sims) WHERE rk <= $KNN_K""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
          |  FROM embeddings WHERE vec_id % $KNN_STRIDE = 0),

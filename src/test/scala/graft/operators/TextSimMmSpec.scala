@@ -302,6 +302,50 @@ class SimilarityOpsSpec extends SparkTestBase {
       s"multi-table recall $multiRecall !> single-table $singleRecall")
   }
 
+  test("multi-probe knn: second probed cell adds recall; cross-cell lane beats label blocking") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.CosineSimilarity.register(spark)
+    // sf0.01 (500 vectors, deterministic): sf0.001's 5-probe grid is
+    // too coarse to separate the configs (ties at 15 exact pairs)
+    val d = "/root/testdata/sf0.01"
+    // ground truth: exact corpus-wide top-3 per stride probe (the
+    // recall target the label/cell blocking approximates)
+    val emb = graft.Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    val exact = cands.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(call_function("graft_cosine", col("qe"), col("ve")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val pairs = df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+      assert(pairs.distinct.length == pairs.length,
+        "distinct probed cells must never duplicate a pair (crn=1 candidates)")
+      (pairs.count(exact).toDouble / exact.size, pairs.length)
+    }
+    // same 16-cell grid, 1 vs 2 probed cells: the second cell must
+    // strictly add recall (measured 0.33 -> 0.40 on this corpus) —
+    // the single-probe cliff is exactly neighbors across the boundary
+    val (two, _) = recall(SimilarityOps.simKnnMultiprobeCfg(spark, d, 16, 2))
+    val (one, _) = recall(SimilarityOps.simKnnMultiprobeCfg(spark, d, 16, 1))
+    // the production config vs the in-block baseline it replaces:
+    // label blocks are similarity-blind (10 fixed labels), geometric
+    // cells + multi-probe reach true neighbors labels scatter
+    // (measured 0.20 vs 0.07 here; budget 2·n/32 is LIGHTER than the
+    // label block's n/10)
+    val (prod, prodN) = recall(SimilarityOps.simKnnMultiprobe(spark, d))
+    val (labelBlocked, _) = recall(SimilarityOps.simKnnGraph(spark, d))
+    info(f"recall@3: (16,2)=$two%.2f (16,1)=$one%.2f " +
+      f"prod(32,2)=$prod%.2f ($prodN rows) label-blocked=$labelBlocked%.2f")
+    assert(two > one, s"second probe must add recall: $two !> $one")
+    assert(prod > labelBlocked,
+      s"cross-cell recall $prod !> label-blocked $labelBlocked at lighter budget")
+  }
+
   test("queries are broadcast in brute-force search (big side never shuffles)") {
     val plan = SimilarityOps.simCosineTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
