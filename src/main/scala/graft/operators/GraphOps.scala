@@ -21,20 +21,29 @@ import org.apache.spark.sql.functions._
   * stream (3N rows) joined map-side against the previous rank vector
   * (N rows, AQE-broadcast while ranks fit, shuffle-join beyond that) —
   * the standard distributed PageRank step, linear per iteration, no
-  * driver-side state. Iteration count is FIXED (not convergence-tested)
-  * so the plan depth is bounded and both engines run the same number of
-  * steps; production materializes the edge projection once (the
-  * memoized-table pattern dedup_canonical uses) instead of re-deriving
-  * it per iteration. Ranks are integer fixed-point (1e12 total mass,
-  * integer division only), so no float accumulation order can diverge
-  * between engines — the same exactness discipline as Money.
+  * driver-side state. [[qPagerank]] runs a FIXED 3 steps (cheap smoke
+  * twin, bounded plan depth); [[qPagerankConverged]] is the production
+  * form — integer-mass delta stopping rule, checkpointed iterates, the
+  * oracle mirroring the RULE rather than a pinned depth. Both
+  * materialize the edge projection once (the memoized-table pattern
+  * dedup_canonical uses) instead of re-deriving it per iteration.
+  * Ranks are integer fixed-point (1e12 total mass, integer division
+  * only), so no float accumulation order can diverge between engines —
+  * the same exactness discipline as Money.
   */
 object GraphOps {
 
   private val SCALE = 1000000000000L // total rank mass, fixed-point
   private[operators] val K = 3       // out-degree of every doc (specs reuse it)
-  private val ITERS = 3              // fixed iteration count
+  private[operators] val ITERS_SMOKE = 3 // fixed iteration count (q_pagerank)
   private val TOP = 100              // result rows (total-order tiebreak)
+  // convergence-driven form: stop when the total absolute rank change
+  // (integer mass units) drops to ≤ EPS = SCALE·1e-6, hard-bounded at
+  // MAX_ITERS. Deltas halve per step from ~0.36·SCALE (measured r16,
+  // sf0.001→sf1), so the rule fires around step 20 at every tested SF;
+  // 26 bounds the pathological case.
+  private[operators] val PR_EPS = SCALE / 1000000L
+  private[operators] val PR_MAX = 26
 
   /** doc ids with the corpus count attached (scalar broadcast) — the
     * shared root of every derived-graph operator. */
@@ -60,7 +69,7 @@ object GraphOps {
     val edges = edgesFor(ids)
     var ranks = ids.select(col("doc_id").as("rid"),
       expr(s"$SCALE DIV n_docs").as("p"))
-    for (_ <- 1 to ITERS) {
+    for (_ <- 1 to ITERS_SMOKE) {
       val insum = edges.join(ranks, col("src") === col("rid"))
         .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
       ranks = ids.join(insum, col("doc_id") === col("dst"), "left")
@@ -76,6 +85,67 @@ object GraphOps {
       .select(col("doc_id"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         col("p").as("pr"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+      .limit(TOP)
+  }
+
+  /** PageRank run to CONVERGENCE — the production form of
+    * [[qPagerank]] (which keeps its fixed 3 steps as the cheap
+    * smoke-depth twin). The loop applies the identical integer
+    * fixed-point step, but stops on an integer-mass delta rule:
+    * Σ|p_i − p_{i−1}| ≤ PR_EPS (1e-6 of total mass), hard-bounded at
+    * PR_MAX. Per iteration the driver sees ONE scalar (the delta) —
+    * the CC-loop posture; edges and each iterate are
+    * lineage-truncated (localCheckpoint; `spark.graft.checkpointDir`
+    * upgrades to reliable checkpoints on a cluster) so iteration d
+    * never recomputes iterations 1..d−1, and the delta job itself
+    * materializes the lazily-checkpointed iterate — one job per step.
+    *
+    * The ORACLE mirrors the stopping rule, not a pinned depth: the
+    * chained-CTE rank steps unroll to PR_MAX, per-step deltas are
+    * scalar CTEs, and the final select picks the vector at
+    * min{i : delta_i ≤ EPS} (PR_MAX if none) — so both engines choose
+    * the same depth BY THE SAME RULE at any SF, and the converged
+    * depth rides the output as n_iters. Integer arithmetic end to end:
+    * no float accumulation can diverge, and the rounding floor that
+    * keeps delta from ever reaching exactly 0 (measured: the tail
+    * flattens near O(n_docs) mass units) is why the rule is a
+    * threshold, not a fixpoint test. */
+  def qPagerankConverged(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val ids = idsFor(s, d).truncEager
+    val edges = edgesFor(ids).truncEager
+    var ranks = ids.select(col("doc_id").as("rid"),
+      expr(s"$SCALE DIV n_docs").as("p")).truncEager
+    var it = 0
+    var converged = false
+    while (!converged && it < PR_MAX) {
+      val insum = edges.join(ranks, col("src") === col("rid"))
+        .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
+      val next = ids.join(insum, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id").as("rid"),
+          (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
+            expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
+        .truncLazy
+      // the one scalar the driver sees per step; this action also
+      // materializes `next`'s checkpoint (no separate job)
+      val delta = next
+        .join(ranks.select(col("rid").as("rid0"), col("p").as("p0")),
+          col("rid") === col("rid0"))
+        .agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
+      ranks = next
+      it += 1
+      converged = delta <= PR_EPS
+    }
+    val indeg = edges.groupBy(col("dst").as("ind_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    ids.select(col("doc_id"))
+      .join(indeg, col("doc_id") === col("ind_id"), "left")
+      .join(ranks, col("doc_id") === col("rid"))
+      .select(col("doc_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("p").as("pr"),
+        lit(it.toLong).as("n_iters"))
       .orderBy(col("pr").desc, col("doc_id").asc)
       .limit(TOP)
   }
@@ -122,6 +192,20 @@ object GraphOps {
       s"CAST(strpos('0123456789abcdef', substr($m, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
       .mkString(" + ")
 
+  /** Materialized variant for the converged chain: every r_i is read
+    * 3–4 times (next step, two delta terms, allr) — DuckDB 1.0 inlines
+    * plain CTEs per REFERENCE, which is exponential in chain depth
+    * (the dedup_semantic lesson; the plain 26-step chain hung at 500
+    * docs). */
+  private def rankStepM(prev: String, next: String): String =
+    s"""$next AS MATERIALIZED (SELECT ids.doc_id AS rid,
+       |    (15 * ($SCALE // (SELECT n FROM nn))) // 100
+       |    + (85 * COALESCE(s.insum, 0)) // 100 AS p
+       |  FROM ids LEFT JOIN (
+       |    SELECT e.dst, SUM($prev.p // $K) AS insum
+       |    FROM e JOIN $prev ON e.src = $prev.rid GROUP BY e.dst) s
+       |  ON ids.doc_id = s.dst)""".stripMargin
+
   private def rankStep(prev: String, next: String): String =
     s"""$next AS (SELECT ids.doc_id AS rid,
        |    (15 * ($SCALE // (SELECT n FROM nn))) // 100
@@ -133,6 +217,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_converged" -> (qPagerankConverged _),
     "q_triangle_count" -> (qTriangleCount _)
   )
 
@@ -172,6 +257,34 @@ object GraphOps {
          |  CAST(r3.p AS BIGINT) AS pr
          |FROM ids LEFT JOIN indeg ON ids.doc_id = indeg.dst
          |JOIN r3 ON ids.doc_id = r3.rid
+         |ORDER BY pr DESC, ids.doc_id LIMIT $TOP""".stripMargin,
+    // the convergence-driven twin: the STOPPING RULE is mirrored in
+    // SQL, not a pinned depth — rank steps unroll to PR_MAX, per-step
+    // deltas are scalar CTEs, and the final vector is the one at
+    // min{i : delta_i <= EPS} (PR_MAX if none), so both engines choose
+    // the same depth by the same rule at any SF
+    "q_pagerank_converged" -> {
+      val steps = (1 to PR_MAX).map(i => rankStepM(s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      val deltas = (1 to PR_MAX).map(i =>
+        s"SELECT $i AS i, SUM(ABS(a.p - b.p)) AS dv FROM r$i a JOIN r${i - 1} b ON a.rid = b.rid")
+        .mkString("\n  UNION ALL ")
+      val allr = (1 to PR_MAX).map(i => s"SELECT $i AS i, rid, p FROM r$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $edgeCtes,
+         |r0 AS MATERIALIZED (SELECT doc_id AS rid, $SCALE // (SELECT n FROM nn) AS p FROM ids),
+         |$steps,
+         |dl AS MATERIALIZED ($deltas),
+         |pick AS (SELECT COALESCE(MIN(i), $PR_MAX) AS ic FROM dl WHERE dv <= $PR_EPS),
+         |allr AS ($allr),
+         |indeg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst)
+         |SELECT ids.doc_id, COALESCE(indeg.in_deg, 0) AS in_deg,
+         |  CAST(fr.p AS BIGINT) AS pr,
+         |  CAST((SELECT ic FROM pick) AS BIGINT) AS n_iters
+         |FROM ids LEFT JOIN indeg ON ids.doc_id = indeg.dst
+         |JOIN (SELECT rid, p FROM allr WHERE i = (SELECT ic FROM pick)) fr
+         |  ON ids.doc_id = fr.rid
          |ORDER BY pr DESC, ids.doc_id LIMIT $TOP""".stripMargin
+    }
   )
 }

@@ -74,6 +74,24 @@ class GraphMvBloomSpec extends SparkTestBase {
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("converged pagerank: delta rule fires before the bound; deeper and stabler than 3 steps") {
+    val out = GraphOps.qPagerankConverged(spark, sf).collect()
+    assert(out.length == 100)
+    val iters = out.map(_.getAs[Long]("n_iters")).distinct
+    assert(iters.length == 1, "n_iters is one scalar for the whole run")
+    // the delta halves per step from ~0.36 of total mass, so the 1e-6
+    // rule fires around step 20 — well past the smoke twin's 3 and
+    // strictly inside the PR_MAX bound (the bound is a safety net, not
+    // the effective depth)
+    assert(iters.head > GraphOps.ITERS_SMOKE && iters.head < GraphOps.PR_MAX,
+      s"converged at ${iters.head}, bound ${GraphOps.PR_MAX}")
+    val prs = out.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "pr non-increasing")
+    // determinism under re-execution (integer arithmetic + same rule)
+    val out2 = GraphOps.qPagerankConverged(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("triangle count: matches a brute-force census of the derived graph") {
     import graft.Tables
     // rebuild the same K-regular edge set JVM-side and count by brute force
