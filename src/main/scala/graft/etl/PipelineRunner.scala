@@ -51,14 +51,31 @@ object PipelineRunner {
       (r: RunReport): Unit = {
     val dir = new Path(workDir, "_complete")
     fs.mkdirs(dir)
-    // caller-supplied runIds are sanitized to [A-Za-z0-9._-] before use
-    // as BOTH the marker filename and the (unescaped) JSON string — a
-    // quote/backslash/control char in a custom id must not produce an
-    // invalid JSON body or a path-traversing filename
-    val safeId = r.runId.replaceAll("[^A-Za-z0-9._-]", "_")
+    // caller-supplied runIds are sanitized to [A-Za-z0-9._-] for the
+    // marker FILENAME — a quote/backslash/control char in a custom id
+    // must not produce a path-traversing filename. Sanitization alone
+    // collides distinct ids ('run:1' and 'run/1' both map to 'run_1'),
+    // so ids that lost characters get a short hash of the ORIGINAL id
+    // appended, and the JSON body records the original id (escaped)
+    // rather than the mangled one.
+    val mangled = r.runId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safeId =
+      if (mangled == r.runId) mangled
+      else {
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(r.runId.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        s"${mangled}_$h"
+      }
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val out = fs.create(new Path(dir, s"$safeId.json"), true)
     try out.write(
-      (s"""{"run_id":"$safeId","n_steps":${r.nSteps},""" +
+      (s"""{"run_id":"${jsonEsc(r.runId)}","n_steps":${r.nSteps},""" +
         s""""resumed_steps":${r.resumedSteps},"total_attempts":${r.totalAttempts},""" +
         s""""started_at_ms":${r.startedAtMs},"finished_at_ms":${r.finishedAtMs}}""" + "\n")
         .getBytes("UTF-8"))

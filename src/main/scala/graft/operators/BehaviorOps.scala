@@ -43,7 +43,11 @@ object BehaviorOps {
     * integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle):
     *   tpack = tsu·10^20 + event_id·10 + tcode   (touch rows only)
     * tsu ≤ ~1.8e15 µs keeps tpack ≤ ~1.8e35 < 10^38, and the 10^20
-    * rung holds event_id·10 + tcode for ANY long event_id, so
+    * rung holds event_id·10 + tcode for any event_id < 2^63/10 ≈
+    * 9.2e17 (the `event_id * 10` term is evaluated in 64-bit BEFORE
+    * the 128-bit promotion on both engines — Spark would silently
+    * wrap beyond that, DuckDB would raise; the data model's dense ids
+    * sit 8+ orders of magnitude below the bound), so
     * lexicographic (tsu, event_id, tcode) order ≡ numeric tpack order
     * (event_id is unique, so tcode never decides). The running max over
     * ROWS UNBOUNDED PRECEDING..CURRENT ROW equals "latest touch

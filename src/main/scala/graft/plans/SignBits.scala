@@ -26,10 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * — bit-identical to the fold form AND to the oracle's SQL sum, so
   * every signature (and thus every bucket) is unchanged.
   *
-  * Edge semantics: a vector whose length differs from `dim` returns
-  * NULL (mirrors CosineSimilarity's explicit-signal posture; the fold
-  * form would silently zip-truncate, which has never been exercised —
-  * Preflight pins the 64-dim contract).
+  * Edge semantics: a vector whose length differs from `dim`, or that
+  * carries a NULL element, returns NULL (mirrors CosineSimilarity's
+  * explicit-signal posture; the fold form would silently zip-truncate
+  * on length and fold a null element into a '0' bit — neither has ever
+  * been exercised: Preflight pins the 64-dim no-null contract, and the
+  * type check accepts containsNull=true only because parquet arrays
+  * declare it even for null-free data).
   */
 case class SignBits(child: Expression, nBits: Int, dim: Int)
   extends UnaryExpression {
@@ -54,6 +57,8 @@ case class SignBits(child: Expression, nBits: Int, dim: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return null; i += 1 }
     val sb = new Array[Byte](nBits)
     val pl = planes
     var j = 0
@@ -76,8 +81,16 @@ case class SignBits(child: Expression, nBits: Int, dim: Int)
       val k = ctx.freshName("k")
       val dot = ctx.freshName("dot")
       val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNull")
       s"""
-         |if ($v.numElements() != $dim) {
+         |boolean $hasNull = false;
+         |if ($v.numElements() == $dim) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { $hasNull = true; break; }
+         |  }
+         |}
+         |if ($v.numElements() != $dim || $hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  byte[] $sb = new byte[$nBits];

@@ -125,6 +125,33 @@ class PipelineRunnerSpec extends SparkTestBase {
     assert(marker.contains(""""run_id":"run-n4"""") && marker.contains(""""n_steps":1"""))
   }
 
+  test("distinct unsafe runIds neither collide on markers nor lose the original id") {
+    // r16 ADVICE fix: 'run:1' and 'run/1' both sanitized to 'run_1' —
+    // the second overwrote the first's marker and the JSON recorded
+    // the mangled id
+    val wd = Files.createTempDirectory("graft_steps_collide").toString
+    val steps = Seq(PipelineRunner.Step("tokenize", tokenize))
+    PipelineRunner.run(docs, steps, wd, runId = "run:1")
+    PipelineRunner.run(docs, steps, wd, runId = "run/1")
+    val dir = java.nio.file.Paths.get(s"$wd/_complete")
+    val markers = java.nio.file.Files.list(dir).iterator()
+    val names = Iterator.continually(markers).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".")).toSeq
+    assert(names.length == 2, s"both runs must keep a marker, got $names")
+    val bodies = names.map(n => new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(n)), "UTF-8"))
+    assert(bodies.exists(_.contains(""""run_id":"run:1"""")), bodies.mkString)
+    assert(bodies.exists(_.contains(""""run_id":"run/1"""")), bodies.mkString)
+    // sanitized filenames stay path-safe
+    assert(names.forall(_.matches("[A-Za-z0-9._-]+")), names.mkString(","))
+    // a clean id keeps its plain marker name (no hash suffix)
+    val wd2 = Files.createTempDirectory("graft_steps_collide2").toString
+    PipelineRunner.run(docs, steps, wd2, runId = "clean-id.1")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wd2/_complete/clean-id.1.json")))
+  }
+
   test("one correlation id threads step reports, observability lines and errors") {
     val wd = Files.createTempDirectory("graft_steps_runid").toString
     val (_, lines) = graft.ObservabilityListener.buffering(spark)
