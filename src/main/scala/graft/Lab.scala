@@ -756,6 +756,66 @@ object Lab {
       "sky_bkt" -> (() =>
         operators.BucketedQueries.qSkylineBucketed(s, d)),
       "q8_current" -> (() => operators.OlapQueries.q8MarketShare(s, d)),
+      "pr_conv_current" -> (() => operators.GraphOps.qPagerankConverged(s, d)),
+      "pr_conv_copart" -> (() => {
+        // r16 experiment: co-partition ids/edges/ranks ONCE on the join
+        // keys, force shuffle-hash, disable AQE inside the loop — every
+        // iteration then has exactly ONE exchange (the groupBy(dst))
+        // and ZERO per-iteration broadcast builds.
+        import graft.Tables._
+        val SCALE = 1000000000000L
+        val K = 3
+        val PR_EPS = SCALE / 1000000L
+        val PR_MAX = 26
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        val nDocs0 = documents(s, d).count()
+        val P = math.max(8, math.min(
+          s.conf.get("spark.sql.shuffle.partitions").toInt,
+          (nDocs0 / 100000L).toInt))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+          val ids = documents(s, d).select(col("doc_id")).crossJoin(broadcast(nDocs))
+            .repartition(P, col("doc_id")).localCheckpoint(true)
+          val edges = ids.select(col("doc_id").as("src"),
+            explode(array((1 to K).map(k =>
+              conv(substring(md5(concat(lit("pr:"), col("doc_id"), lit(s":$k"))), 1, 8), 16, 10)
+                .cast("long") % col("n_docs")): _*)).as("dst"))
+            .repartition(P, col("src")).localCheckpoint(true)
+          var ranks = ids.select(col("doc_id").as("rid"),
+            expr(s"$SCALE DIV n_docs").as("p")).localCheckpoint(true)
+          var it = 0
+          var converged = false
+          while (!converged && it < PR_MAX) {
+            val insum = edges.join(ranks.hint("shuffle_hash"),
+                col("src") === col("rid"))
+              .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
+            val next = ids.join(insum.hint("shuffle_hash"),
+                col("doc_id") === col("dst"), "left")
+              .select(col("doc_id").as("rid"),
+                (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
+                  expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
+              .localCheckpoint(false)
+            val delta = next
+              .join(ranks.select(col("rid").as("rid0"), col("p").as("p0"))
+                .hint("shuffle_hash"), col("rid") === col("rid0"))
+              .agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
+            ranks = next
+            it += 1
+            converged = delta <= PR_EPS
+          }
+          val indeg = edges.groupBy(col("dst").as("ind_id"))
+            .agg(count(lit(1)).as("in_deg"))
+          ids.select(col("doc_id"))
+            .join(indeg, col("doc_id") === col("ind_id"), "left")
+            .join(ranks, col("doc_id") === col("rid"))
+            .select(col("doc_id"),
+              coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+              col("p").as("pr"), lit(it.toLong).as("n_iters"))
+            .orderBy(col("pr").desc, col("doc_id").asc)
+            .limit(100)
+        } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }),
       "q8_oc_probe" -> (() => {
         // scan + the ONE oc probe (no supplier joins, no year agg):
         // isolates the probe cost over 60M rows

@@ -110,44 +110,82 @@ object GraphOps {
     * no float accumulation can diverge, and the rounding floor that
     * keeps delta from ever reaching exactly 0 (measured: the tail
     * flattens near O(n_docs) mass units) is why the rule is a
-    * threshold, not a fixpoint test. */
-  def qPagerankConverged(s: SparkSession, d: String): DataFrame = {
+    * threshold, not a fixpoint test.
+    *
+    * TWO physical gears, picked by a metadata row count (both produce
+    * identical rows — spec-asserted):
+    *  - small corpora (≤ PR_COPART_DOCS): AQE + broadcast loop joins,
+    *    shuffle partitions scoped to 8 — at bench scale the wall is
+    *    per-job overhead, not work (sf0.1: 10.5 s at 32 parts → 4.4 s);
+    *  - large corpora: ids/edges/ranks CO-PARTITIONED once on the join
+    *    keys (localCheckpoint preserves partitioning), shuffle-hash
+    *    hints, AQE off inside the loop — every iteration then has
+    *    exactly ONE exchange (the groupBy(dst)) and ZERO per-iteration
+    *    broadcast builds of the O(n) rank vector, which is what ate the
+    *    AQE gear at sf10 (three 500k-row broadcasts per step: 33.8 s →
+    *    13.8 s measured). The co-partitioned gear IS the 100 TB shape:
+    *    broadcast-per-iteration dies first at scale. */
+  def qPagerankConverged(s: SparkSession, d: String): DataFrame =
+    prConverged(s, d,
+      copart = documents(s, d).count() > PR_COPART_DOCS)
+
+  private[operators] val PR_COPART_DOCS = 100000L
+
+  private[operators] def prConverged(s: SparkSession, d: String,
+      copart: Boolean): DataFrame = {
     import DedupOps.TruncOps
-    val ids = idsFor(s, d).truncEager
-    val edges = edgesFor(ids).truncEager
-    var ranks = ids.select(col("doc_id").as("rid"),
-      expr(s"$SCALE DIV n_docs").as("p")).truncEager
-    var it = 0
-    var converged = false
-    while (!converged && it < PR_MAX) {
-      val insum = edges.join(ranks, col("src") === col("rid"))
-        .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
-      val next = ids.join(insum, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id").as("rid"),
-          (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
-            expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
-        .truncLazy
-      // the one scalar the driver sees per step; this action also
-      // materializes `next`'s checkpoint (no separate job)
-      val delta = next
-        .join(ranks.select(col("rid").as("rid0"), col("p").as("p0")),
-          col("rid") === col("rid0"))
-        .agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
-      ranks = next
-      it += 1
-      converged = delta <= PR_EPS
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val loopParts =
+      if (!copart) 8
+      else math.max(8, math.min(sessionParts.toInt,
+        (documents(s, d).count() / PR_COPART_DOCS).toInt * 8))
+    def keyed(df: DataFrame, key: String): DataFrame =
+      if (copart) df.repartition(loopParts, col(key)) else df
+    def hinted(df: DataFrame): DataFrame =
+      if (copart) df.hint("shuffle_hash") else df
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    if (copart) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ids = keyed(idsFor(s, d), "doc_id").truncEager
+      val edges = keyed(edgesFor(ids), "src").truncEager
+      var ranks = ids.select(col("doc_id").as("rid"),
+        expr(s"$SCALE DIV n_docs").as("p")).truncEager
+      var it = 0
+      var converged = false
+      while (!converged && it < PR_MAX) {
+        val insum = edges.join(hinted(ranks), col("src") === col("rid"))
+          .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
+        val next = ids.join(hinted(insum), col("doc_id") === col("dst"), "left")
+          .select(col("doc_id").as("rid"),
+            (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
+              expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
+          .truncLazy
+        // the one scalar the driver sees per step; this action also
+        // materializes `next`'s checkpoint (no separate job)
+        val delta = next
+          .join(hinted(ranks.select(col("rid").as("rid0"), col("p").as("p0"))),
+            col("rid") === col("rid0"))
+          .agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
+        ranks = next
+        it += 1
+        converged = delta <= PR_EPS
+      }
+      val indeg = edges.groupBy(col("dst").as("ind_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      ids.select(col("doc_id"))
+        .join(indeg, col("doc_id") === col("ind_id"), "left")
+        .join(ranks, col("doc_id") === col("rid"))
+        .select(col("doc_id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          col("p").as("pr"),
+          lit(it.toLong).as("n_iters"))
+        .orderBy(col("pr").desc, col("doc_id").asc)
+        .limit(TOP)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    val indeg = edges.groupBy(col("dst").as("ind_id"))
-      .agg(count(lit(1)).as("in_deg"))
-    ids.select(col("doc_id"))
-      .join(indeg, col("doc_id") === col("ind_id"), "left")
-      .join(ranks, col("doc_id") === col("rid"))
-      .select(col("doc_id"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        col("p").as("pr"),
-        lit(it.toLong).as("n_iters"))
-      .orderBy(col("pr").desc, col("doc_id").asc)
-      .limit(TOP)
   }
 
   /** Triangle + wedge census of the derived link graph (global

@@ -357,11 +357,23 @@ object StreamOps {
         col("event_time").as("p_time"))
       .withWatermark("p_time", "1 hour")
     val name = replaceOwnedView(s, "sjoin_")
-    val q = joinViewsPurchases(views, purchases).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a stream-stream join keeps FOUR state stores per partition (two
+    // sides × keyToNumValues/keyWithIndexToValue); at the session's 32
+    // shuffle partitions that is 128 store instances loading and
+    // committing per micro-batch — pure fixed overhead at bench scale
+    // (measured 12.1 s → ~3 s at 8). The shuffle-partition conf is
+    // read once at QUERY START, so scope the lower value to this start
+    // and restore after: on a real cluster you size state partitions
+    // to the executor count instead.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joinViewsPurchases(views, purchases).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(name)
   }

@@ -92,6 +92,15 @@ class GraphMvBloomSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("converged pagerank: both physical gears produce identical rows") {
+    // the size-adaptive branch picks broadcast-AQE below PR_COPART_DOCS
+    // and the co-partitioned shuffle-hash loop above it; rows must not
+    // depend on the gear (same rule, same integer arithmetic)
+    val a = GraphOps.prConverged(spark, sf, copart = false).collect().map(_.toString).toSeq
+    val b = GraphOps.prConverged(spark, sf, copart = true).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("triangle count: matches a brute-force census of the derived graph") {
     import graft.Tables
     // rebuild the same K-regular edge set JVM-side and count by brute force
