@@ -378,8 +378,73 @@ object StreamOps {
     s.table(name)
   }
 
+  /** LEFT-OUTER stream-stream join with an EMISSION HORIZON — the
+    * "which purchases had no view?" completion of [[streamJoin]].
+    * Outer semantics are where streaming differs fundamentally from
+    * batch: a null row can only be emitted once the view-side watermark
+    * proves no matching view can still arrive, so unmatched purchases
+    * near the END of a bounded run sit in state rather than emit (on a
+    * live stream they emit as the watermark advances). Worse, the exact
+    * emission set inside the last watermark-delay + join-window span is
+    * engine-internal (it follows the per-micro-batch watermark
+    * trajectory — measured at sf0.01: all unmatched purchases older
+    * than max(ts)−2h emitted, none younger than max(ts)−1h, and a
+    * 5-row gray zone between that split 1/4 on batch boundaries).
+    *
+    * So the OPERATOR defines the deterministic contract: inner pairs
+    * always; null rows only for purchases at or below the horizon
+    * max(ts) − watermark delay − join window (= 2 h), where emission is
+    * provable for ANY batch layout — final watermark = max(ts)−1h, and
+    * a purchase's state is evictable once the watermark passes
+    * p_time (+ join window ≤ 1 h). Gray-zone nulls are filtered from
+    * the sink output. The oracle is the batch left range-join with the
+    * SAME horizon predicate — exact at every SF. view_id/gap_us are
+    * COALESCEd to −1 on both sides (null-free driver hash). */
+  def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, d).schema
+    def src = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(streamDir(d, "events")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val joined = purchases.join(views,
+        col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("p_time"), "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("p_time")) - unix_micros(col("v_time")),
+          lit(-1L)).as("gap_us"),
+        unix_micros(col("p_time")).as("p_us"))
+    val name = replaceOwnedView(s, "sjoutr_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    // horizon from the batch table (the run is bounded; a live
+    // deployment has no horizon — rows emit as the watermark advances)
+    val maxUs = Tables.events(s, d)
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    s.table(name)
+      .filter(col("view_id") =!= -1L || col("p_us") <= maxUs - 7200000000L)
+      .drop("p_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_enrich" -> (streamEnrich _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_sessions" -> (streamSessions _),
@@ -399,6 +464,22 @@ object StreamOps {
         |FROM e p JOIN e v ON p.user_id = v.user_id
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
+    // batch left range-join with the SAME emission-horizon predicate
+    // the operator applies (see streamJoinOuter's scaladoc)
+    "stream_join_outer" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |m AS (SELECT max(us) AS mx FROM e),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, event_id AS vid, us AS vus FROM e
+        |  WHERE event_type = 'view')
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  COALESCE(v.vid, -1) AS view_id,
+        |  COALESCE(p.us - v.vus, -1) AS gap_us
+        |FROM p LEFT JOIN v ON p.user_id = v.vu
+        |  AND v.vus BETWEEN p.us - 3600000000 AND p.us
+        |WHERE v.vid IS NOT NULL
+        |   OR p.us <= (SELECT mx FROM m) - 7200000000""".stripMargin,
     "stream_enrich" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  n_name AS nation, count(*) AS n_events,

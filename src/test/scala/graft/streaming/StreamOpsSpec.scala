@@ -150,6 +150,53 @@ class StreamOpsSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("left-outer stream-stream join: null row emits only after the watermark proves no match") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def tts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = vIn.toDF().toDF("v_user", "view_id", "v_time")
+      .withWatermark("v_time", "10 seconds")
+    val purchases = pIn.toDF().toDF("user_id", "purchase_id", "p_time")
+      .withWatermark("p_time", "10 seconds")
+    val joined = purchases.join(views,
+        col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("p_time"), "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    val name = "sjo_evict_test"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: a matched pair (inner row emits immediately) and an
+    // unmatched purchase (must NOT emit yet — a view could still come)
+    vIn.addData((1L, 10L, tts(1000)))
+    pIn.addData((1L, 20L, tts(1000)), (2L, 21L, tts(1000)))
+    q.processAllAvailable()
+    val afterB1 = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterB1 == Set((1L, 20L, 10L)),
+      s"inner row immediate, unmatched held: $afterB1")
+
+    // push both watermarks past p_time + join window + delay, plus a
+    // follow-up batch so the new watermark's eviction pass runs
+    vIn.addData((9L, 11L, tts(20000))); pIn.addData((9L, 22L, tts(20000)))
+    q.processAllAvailable()
+    vIn.addData((9L, 12L, tts(20010))); pIn.addData((9L, 23L, tts(20010)))
+    q.processAllAvailable()
+    val afterB2 = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterB2.contains((2L, 21L, -1L)),
+      s"unmatched purchase must null-emit once provable: $afterB2")
+    // the matched purchase must NOT also null-emit
+    assert(!afterB2.contains((1L, 20L, -1L)), s"matched must not re-emit: $afterB2")
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gaps and keeps state across batches") {
     val s = spark
     import s.implicits._
