@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkTestBase {
+
+  private def fragment(dst: String, parts: Int): Long = {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    li.repartition(parts).write.mode("overwrite").parquet(dst)
+    li.count()
+  }
+
+  test("size-only compaction: shuffle-free, content-preserving, file count from bytes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = fragment(s"$base/frag", 64)
+    val rep = Compaction.compact(spark, s"$base/frag", s"$base/out",
+      targetBytes = 512L * 1024)
+    assert(rep.filesBefore == 64)
+    assert(rep.rows == rows)
+    assert(rep.filesAfter < rep.filesBefore,
+      s"compaction must reduce files: ${rep.filesBefore} -> ${rep.filesAfter}")
+    // ceil(bytes/target): coalesce can only hit the target count exactly
+    val want = math.max(1L, (rep.bytesBefore + rep.targetBytes - 1) / rep.targetBytes)
+    assert(rep.filesAfter == want, s"files ${rep.filesAfter} != ceil ${want}")
+    // content equality (multiset, via sorted collect on a stable key set)
+    def sig(dir: String) = spark.read.parquet(dir)
+      .groupBy().agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"),
+        sum(col("l_quantity").cast("decimal(18,2)")),
+        sum(col("l_extendedprice").cast("decimal(18,2)")))
+      .collect().head.toString
+    assert(sig(s"$base/frag") == sig(s"$base/out"))
+    // the unsorted mode must not shuffle: coalesce plans a single
+    // stage (no Exchange) — check the physical plan
+    val plan = spark.read.parquet(s"$base/frag").coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sort-compaction buys file-level pruning: a point filter touches one file") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_sort").toString
+    fragment(s"$base/frag", 32)
+    val rep = Compaction.compact(spark, s"$base/frag", s"$base/sorted",
+      targetBytes = 48L * 1024, sortKeys = Seq("l_orderkey"))
+    assert(rep.filesAfter > 1, "need several output files to demonstrate pruning")
+    val sorted = spark.read.parquet(s"$base/sorted")
+    val key = sorted.agg(min("l_orderkey")).head().getLong(0)
+    // row-group stats prune: only the file(s) whose range covers the key
+    // return rows — on the FRAGMENTED layout every file can hold any key
+    def filesTouched(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_orderkey") === key)
+      .select(input_file_name()).distinct().count()
+    assert(filesTouched(s"$base/sorted") == 1,
+      "sorted layout: a point key must come from exactly one file")
+    assert(filesTouched(s"$base/frag") > 1,
+      "fragmented layout: the same key is scattered across files")
+    // range partitioning means files carry near-disjoint key ranges:
+    // count per-file (min, max) overlaps
+    val ranges = sorted.groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val overlaps = ranges.zip(ranges.tail).count { case ((_, hi), (lo, _)) => lo < hi }
+    assert(overlaps == 0, s"range-partitioned files must not overlap: ${ranges.toSeq}")
+  }
+}
