@@ -70,6 +70,12 @@ object BehaviorOps {
     events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"),
         col("event_type"), col("value"))
+      // rows that are neither touches nor purchases (signup/error, ~40%
+      // of the stream) carry a NULL tpack the running max skips and are
+      // not output — dropping them BEFORE the user_id exchange + window
+      // sort changes nothing downstream (r16: pushed to the scan as an
+      // IN filter; the oracle keeps scanning all types, same result)
+      .filter(col("event_type").isin("click", "view", "purchase"))
       .withColumn("tcode",
         when(col("event_type") === "click", lit(1L))
           .when(col("event_type") === "view", lit(2L)))
