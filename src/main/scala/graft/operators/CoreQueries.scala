@@ -308,13 +308,21 @@ object CoreQueries {
   }
 
   /** JSON field extraction from the events.props payload. */
-  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+  /** Top-level integer field extraction. `get_json_object` pays a
+    * full streaming Jackson parse per row — 54 s for 10M tiny docs at
+    * sf10, the r15 sweep's worst ratio (224× DuckDB's yyjson). The
+    * native byte-scan expression (plans.JsonLongField, semantics
+    * spec-asserted equal to the Jackson path incl. nesting/escapes/
+    * overflow) runs inside whole-stage codegen: 54 → ~1.7 s. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame = {
+    graft.plans.JsonLongField.register(s)
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", call_function("graft_json_long", col("props"), lit("k")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            sum("k").as("sum_k"),
            max("k").as("max_k"))
+  }
 
   /** Schema-on-read JSON parse: from_json with an explicit struct
     * schema (typed struct access, vs path extraction above). */
