@@ -20,6 +20,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_json_long"),
+      new ExpressionInfo(classOf[JsonLongField].getName, "graft_json_long"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        val key = children(1) match {
+          case Literal(v: UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_json_long: key must be a string literal, got $other")
+        }
+        JsonLongField(children(0), key)
+      }))
     ext.injectPlannerStrategy(session => AsofJoinStrategy(session))
   }
 }
