@@ -756,6 +756,26 @@ object Lab {
       "sky_bkt" -> (() =>
         operators.BucketedQueries.qSkylineBucketed(s, d)),
       "q8_current" -> (() => operators.OlapQueries.q8MarketShare(s, d)),
+      "fuzzy_screened" -> (() =>
+        operators.ExtendedQueries.queries("text_fuzzy_pairs")(s, d)
+          .groupBy().agg(count(lit(1)).as("n"), sum("lev").as("sl"))),
+      "fuzzy_unscreened" -> (() => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 50").as("len_band"),
+            substring(col("text"), 1, 60).as("prefix"))
+        val a = docs.select(col("lang"), col("source"), col("len_band"),
+          col("doc_id").as("doc_a"), col("prefix").as("pref_a"))
+        val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
+          col("len_band").as("len_band_b"),
+          col("doc_id").as("doc_b"), col("prefix").as("pref_b"))
+        a.join(b,
+            col("lang") === col("lang_b") && col("source") === col("source_b") &&
+            col("len_band") === col("len_band_b") && col("doc_a") < col("doc_b"))
+          .withColumn("lev", levenshtein(col("pref_a"), col("pref_b"), 21))
+          .filter(col("lev").between(0, 20))
+          .groupBy().agg(count(lit(1)).as("n"), sum("lev").as("sl"))
+      }),
       "pr_conv_current" -> (() => operators.GraphOps.qPagerankConverged(s, d)),
       "pr_conv_copart" -> (() => {
         // r16 experiment: co-partition ids/edges/ranks ONCE on the join

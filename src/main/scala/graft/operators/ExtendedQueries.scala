@@ -171,6 +171,7 @@ object ExtendedQueries {
   private[operators] val FUZZY_BLOCK_CAP = 1000
 
   private[operators] def textFuzzyPairsCapped(s: SparkSession, d: String, cap: Int): DataFrame = {
+    graft.plans.BagLowerBound.register(s)
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         expr("n_chars div 50").as("len_band"),
@@ -194,6 +195,13 @@ object ExtendedQueries {
         col("lang") === col("lang_b") && col("source") === col("source_b") &&
         col("len_band") === col("len_band_b") &&
         col("doc_a") < col("doc_b"))
+      // LOSSLESS prescreen (r16): the bag lower bound (≥ max(|Δlen|,
+      // ⌈L1(bag)/2⌉) ≤ true edit distance) costs ~150 ops/pair vs the
+      // ~2600-cell banded DP, and on the word-salad corpus most
+      // candidate pairs exceed the threshold — those never reach the
+      // DP. Never drops a qualifying pair (property-spec'd), so the
+      // oracle is untouched.
+      .filter(call_function("graft_bag_lb", col("pref_a"), col("pref_b")) <= 20)
       // threshold form: banded O(len·k) DP with early exit instead of
       // the full len² table per pair — distances ≤20 come back exact
       // (oracle-identical), anything above collapses to -1 and is
