@@ -86,9 +86,39 @@ object StreamIngest {
     s.read.parquet(target)
   }
 
+  /** CDC changelog apply — the third ingest semantics next to
+    * first-writer-wins and last-writer-wins: a stream of keyed
+    * (op, version) changes where op = 'D' is a DELETE tombstone.
+    * Derived changelog: an 'error' event tombstones its user key,
+    * anything else upserts, versioned by event_id.
+    *
+    * The design point is tombstone RETENTION: the target keeps the
+    * winning tombstone ROW (op = 'D') instead of physically removing
+    * the key, and the read view filters `op != 'D'`. Physical removal
+    * would be replay-UNSAFE — foreachBatch is at-least-once, and a
+    * replayed older upsert against a target that already dropped the
+    * key would resurrect it; against the retained tombstone it loses
+    * the version comparison and lands nothing (spec-proven, including
+    * the resurrection counter-case and a genuine later upsert that
+    * correctly revives the key). A production deployment compacts
+    * tombstones out only past its replay horizon — exactly the
+    * Delta/Iceberg vacuum rule. Apply itself IS MergeSink.mergeKeyed:
+    * the tombstone is just a row whose version competes per key, so
+    * the whole crash-window recovery story carries over unchanged. */
+  def streamIngestCdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val target = tmp("graft_ing_cdc") + "/t.parquet"
+    val changelog = eventStream(s, d)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    runMerge(changelog, "user_id", "event_id", target, tmp("graft_ing_cdc_ck"))
+    s.read.parquet(target).filter(col("op") =!= "D").drop("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ingest_idempotent" -> (streamIngestIdempotent _),
-    "stream_ingest_merge" -> (streamIngestMerge _)
+    "stream_ingest_merge" -> (streamIngestMerge _),
+    "stream_ingest_cdc" -> (streamIngestCdc _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +137,16 @@ object StreamIngest {
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |SELECT event_id, user_id, event_type, ts_s, value
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+    // CDC apply: per key the LAST change wins; a key whose last change
+    // is the 'error' tombstone is absent from the read view
+    "stream_ingest_cdc" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts_s, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -83,4 +83,43 @@ class StreamIngestSpec extends SparkTestBase {
     assert(replayed == out, "replaying the merge batch must not change the table")
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("CDC apply: tombstone hides the key, retained tombstone defeats a replayed older upsert") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Long, String, String)]
+    val stream = input.toDS().toDF("k", "v", "p", "op")
+    val target = tmp("graft_si_cdc") + "/t.parquet"
+    val ckpt = tmp("graft_si_cdc_ck")
+    def view = spark.read.parquet(target).filter(col("op") =!= "D")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("p")).toMap
+
+    // batch 1: two upserts
+    input.addData((1L, 1L, "a1", "U"), (2L, 1L, "b1", "U"))
+    StreamIngest.runMerge(stream, "k", "v", target, ckpt)
+    assert(view == Map(1L -> "a1", 2L -> "b1"))
+
+    // batch 2: tombstone key 1, upsert key 3 — the read view hides 1,
+    // but the tombstone ROW is retained in the target
+    input.addData((1L, 2L, "gone", "D"), (3L, 1L, "c1", "U"))
+    StreamIngest.runMerge(stream, "k", "v", target, ckpt)
+    assert(view == Map(2L -> "b1", 3L -> "c1"))
+    assert(spark.read.parquet(target).filter(col("op") === "D").count() == 1,
+      "the winning tombstone must be RETAINED, not physically removed")
+
+    // at-least-once replay of batch 2's predecessor: the older upsert
+    // (1, v=1) must NOT resurrect key 1 — it loses to the retained
+    // tombstone's higher version. (This is exactly what physical
+    // deletion would get wrong.)
+    dropLastCommit(ckpt)
+    StreamIngest.runMerge(stream, "k", "v", target, ckpt)
+    assert(view == Map(2L -> "b1", 3L -> "c1"), "replay must not resurrect")
+
+    // a GENUINE later upsert revives the key
+    input.addData((1L, 3L, "a2", "U"))
+    StreamIngest.runMerge(stream, "k", "v", target, ckpt)
+    assert(view == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
 }
