@@ -69,38 +69,37 @@ object GraphOps {
     * converged loop, no size gear): ids/edges repartition once on the
     * join keys inside the SINGLE plan — 3 fixed steps need no
     * checkpoints, the reused exchange plays the checkpoint's role —
-    * with shuffle-hash hints and AQE off, so no O(n) rank vector is
-    * broadcast per step (the posture that survives 100×). Measured:
-    * sf10 4.9 → 4.3 s, sf0.1 parity; the gear machinery's metadata
-    * count job costs more than it saves at smoke depth. */
+    * with shuffle-hash hints, so no O(n) rank vector is broadcast per
+    * step (the posture that survives 100×). AQE stays ON: the hints
+    * carry the no-broadcast guarantee into adaptive replanning (a
+    * session-conf toggle around a LAZY DataFrame would not — the
+    * caller's action runs outside any scoped conf; r17, per advice).
+    * Measured: sf10 4.9 → 4.3 s, sf0.1 parity; the gear machinery's
+    * metadata count job costs more than it saves at smoke depth. */
   def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val ids = idsFor(s, d).repartition(col("doc_id"))
-      val edges = edgesFor(ids).repartition(col("src"))
-      def hinted(df: DataFrame): DataFrame = df.hint("shuffle_hash")
-      var ranks = ids.select(col("doc_id").as("rid"),
-        expr(s"$SCALE DIV n_docs").as("p"))
-      for (_ <- 1 to ITERS_SMOKE) {
-        val insum = edges.join(hinted(ranks), col("src") === col("rid"))
-          .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
-        ranks = ids.join(hinted(insum), col("doc_id") === col("dst"), "left")
-          .select(col("doc_id").as("rid"),
-            (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
-              expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
-      }
-      val indeg = edges.groupBy(col("dst").as("ind_id"))
-        .agg(count(lit(1)).as("in_deg"))
-      ids.select(col("doc_id"))
-        .join(indeg, col("doc_id") === col("ind_id"), "left")
-        .join(ranks, col("doc_id") === col("rid"))
-        .select(col("doc_id"),
-          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-          col("p").as("pr"))
-        .orderBy(col("pr").desc, col("doc_id").asc)
-        .limit(TOP)
-    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val ids = idsFor(s, d).repartition(col("doc_id"))
+    val edges = edgesFor(ids).repartition(col("src"))
+    def hinted(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    var ranks = ids.select(col("doc_id").as("rid"),
+      expr(s"$SCALE DIV n_docs").as("p"))
+    for (_ <- 1 to ITERS_SMOKE) {
+      val insum = edges.join(hinted(ranks), col("src") === col("rid"))
+        .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
+      ranks = ids.join(hinted(insum), col("doc_id") === col("dst"), "left")
+        .select(col("doc_id").as("rid"),
+          (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
+            expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
+    }
+    val indeg = edges.groupBy(col("dst").as("ind_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    ids.select(col("doc_id"))
+      .join(indeg, col("doc_id") === col("ind_id"), "left")
+      .join(ranks, col("doc_id") === col("rid"))
+      .select(col("doc_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("p").as("pr"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+      .limit(TOP)
   }
 
   /** PageRank run to CONVERGENCE — the production form of
@@ -139,21 +138,23 @@ object GraphOps {
     *    AQE gear at sf10 (three 500k-row broadcasts per step: 33.8 s →
     *    13.8 s measured). The co-partitioned gear IS the 100 TB shape:
     *    broadcast-per-iteration dies first at scale. */
-  def qPagerankConverged(s: SparkSession, d: String): DataFrame =
-    prConverged(s, d,
-      copart = documents(s, d).count() > PR_COPART_DOCS)
+  def qPagerankConverged(s: SparkSession, d: String): DataFrame = {
+    val nDocs = documents(s, d).count() // one metadata count serves both gear checks
+    prConverged(s, d, copart = nDocs > PR_COPART_DOCS, nDocs = nDocs)
+  }
 
   private[operators] val PR_COPART_DOCS = 100000L
 
   private[operators] def prConverged(s: SparkSession, d: String,
-      copart: Boolean): DataFrame = {
+      copart: Boolean, nDocs: Long = -1L): DataFrame = {
     import DedupOps.TruncOps
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     val loopParts =
       if (!copart) 8
       else math.max(8, math.min(sessionParts.toInt,
-        (documents(s, d).count() / PR_COPART_DOCS).toInt * 8))
+        ((if (nDocs >= 0) nDocs else documents(s, d).count()) /
+          PR_COPART_DOCS).toInt * 8))
     def keyed(df: DataFrame, key: String): DataFrame =
       if (copart) df.repartition(loopParts, col(key)) else df
     def hinted(df: DataFrame): DataFrame =

@@ -64,18 +64,50 @@ case class BagLowerBound(left: Expression, right: Expression)
 object BagLowerBound {
 
   /** max(|Δlen|, ceil(L1(bag32(a), bag32(b)) / 2)) — see the class
-    * scaladoc for why this never exceeds the edit distance. */
+    * scaladoc for why this never exceeds the edit distance.
+    *
+    * Computed over CODE POINTS, not bytes (r17, per advice): Spark's
+    * levenshtein counts code points, so a byte-level bag was NOT a
+    * valid lower bound on non-ASCII input ('x' vs one 4-byte char:
+    * lev = 1 but byte |Δlen| = 3). The loop decodes UTF-8 inline —
+    * on ASCII input it is the old byte loop plus one branch. */
   def bound(a: Array[Byte], b: Array[Byte]): Int = {
     val h = new Array[Int](32)
-    var i = 0
-    while (i < a.length) { h(a(i) & 31) += 1; i += 1 }
-    i = 0
-    while (i < b.length) { h(b(i) & 31) -= 1; i += 1 }
+    val la = accumulate(a, h, +1)
+    val lb = accumulate(b, h, -1)
     var l1 = 0
-    i = 0
+    var i = 0
     while (i < 32) { l1 += math.abs(h(i)); i += 1 }
-    val dlen = math.abs(a.length - b.length)
+    val dlen = math.abs(la - lb)
     math.max(dlen, (l1 + 1) / 2)
+  }
+
+  /** Adds each code point's bucket (cp mod 32) into `h` with `sign`;
+    * returns the CODE-POINT count. Any symbol→bucket map keeps the
+    * bound valid (merging symbols only lowers the L1); malformed
+    * trailing bytes are clamped rather than overrun. */
+  private def accumulate(bs: Array[Byte], h: Array[Int], sign: Int): Int = {
+    val n = bs.length
+    var i = 0
+    var cnt = 0
+    while (i < n) {
+      val c = bs(i) & 0xFF
+      var cp = c
+      if (c < 0x80) i += 1
+      else if ((c & 0xE0) == 0xC0 && i + 1 < n) {
+        cp = ((c & 0x1F) << 6) | (bs(i + 1) & 0x3F); i += 2
+      } else if ((c & 0xF0) == 0xE0 && i + 2 < n) {
+        cp = ((c & 0x0F) << 12) | ((bs(i + 1) & 0x3F) << 6) | (bs(i + 2) & 0x3F)
+        i += 3
+      } else if ((c & 0xF8) == 0xF0 && i + 3 < n) {
+        cp = ((c & 0x07) << 18) | ((bs(i + 1) & 0x3F) << 12) |
+          ((bs(i + 2) & 0x3F) << 6) | (bs(i + 3) & 0x3F)
+        i += 4
+      } else i += 1 // malformed lead byte: count it as one symbol
+      h(cp & 31) += sign
+      cnt += 1
+    }
+    cnt
   }
 
   /** Register `graft_bag_lb(a, b)`. Idempotent. */

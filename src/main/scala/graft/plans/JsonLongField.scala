@@ -26,8 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    string tracking, including backslash escapes);
   *  - the value must be an optionally-signed integer (optional
   *    whitespace around ':'); floats, strings, null, objects → NULL —
-  *    the same result the Jackson path's long cast produces;
-  *  - malformed JSON → NULL (get_json_object's posture);
+  *    the same result the Jackson path's long cast produces; leading
+  *    zeros on the raw number token (`007`) are rejected like Jackson
+  *    rejects them (quoted `"007"` still coerces — string-cast rules);
+  *  - malformed JSON → NULL (get_json_object's posture). DOCUMENTED
+  *    DIVERGENCE, malformed input only: when a valid `key: value` pair
+  *    precedes a LATER malformation (e.g. a trailing comma after it),
+  *    this scan returns the value it already proved well-formed while
+  *    the Jackson path NULLs the whole document — whole-document
+  *    validation would cost the full parse this expression exists to
+  *    avoid, and no well-formed document is affected (spec-asserted:
+  *    JsonLongFieldSpec covers both shapes);
   *  - values outside Long range → NULL (the string cast's posture).
   */
 case class JsonLongField(child: Expression, key: String)
@@ -120,7 +129,9 @@ object JsonLongField {
               if (b(e) == '\\') return null
               e += 1
             }
-            if (e >= n) return null
+            // a value at end-of-input means the object never closed —
+            // Jackson NULLs the whole (truncated) document (r17)
+            if (e >= n - 1) return null
             return parseLongRange(b, t + 1, e, trimmed = true)
           }
           var neg = false
@@ -128,8 +139,16 @@ object JsonLongField {
           if (t >= n || b(t) < '0' || b(t) > '9') return null
           var e = t
           while (e < n && b(e) >= '0' && b(e) <= '9') e += 1
-          // an integer must END here (",", "}", ws) — "12.5" is a float
-          if (e < n && b(e) != ',' && b(e) != '}' && !isWs(b(e))) return null
+          // a leading zero on a multi-digit token is malformed JSON
+          // (Jackson rejects `007` → get_json_object NULLs the whole
+          // document; r17, per advice) — the QUOTED path above keeps
+          // accepting "007" because the string cast does
+          if (b(t) == '0' && e - t > 1) return null
+          // an integer must END here (",", "}", ws) — "12.5" is a
+          // float — and END-OF-INPUT is a truncated document (the
+          // object never closed; Jackson NULLs it; r17)
+          if (e >= n) return null
+          if (b(e) != ',' && b(e) != '}' && !isWs(b(e))) return null
           return parseDigits(b, t, e, neg)
         }
         if (isKey) i = t + 1 // continue after the colon

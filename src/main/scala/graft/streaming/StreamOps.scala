@@ -393,13 +393,19 @@ object StreamOps {
     *
     * So the OPERATOR defines the deterministic contract: inner pairs
     * always; null rows only for purchases at or below the horizon
-    * max(ts) − watermark delay − join window (= 2 h), where emission is
-    * provable for ANY batch layout — final watermark = max(ts)−1h, and
-    * a purchase's state is evictable once the watermark passes
-    * p_time (+ join window ≤ 1 h). Gray-zone nulls are filtered from
-    * the sink output. The oracle is the batch left range-join with the
-    * SAME horizon predicate — exact at every SF. view_id/gap_us are
-    * COALESCEd to −1 on both sides (null-free driver hash). */
+    * min(max view ts, max purchase ts) − watermark delay − join window
+    * (= 2 h), where emission is provable for ANY batch layout — the
+    * GLOBAL watermark is the MIN across both inputs' (max event time −
+    * 1 h), so the final watermark is min(maxV, maxP) − 1h and a
+    * purchase's state is evictable once that watermark passes
+    * p_time (+ join window ≤ 1 h). (r17, per advice: the r16 horizon
+    * used max(ts) over ALL event types — if the trailing events were
+    * clicks/signups, or one joined side lagged the other, purchases in
+    * the gap passed the filter without provable emission.) Gray-zone
+    * nulls are filtered from the sink output. The oracle is the batch
+    * left range-join with the SAME horizon predicate — exact at every
+    * SF. view_id/gap_us are COALESCEd to −1 on both sides (null-free
+    * driver hash). */
   def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
     val schema = Tables.eventsRaw(s, d).schema
     def src = Tables.normalizeEventTs(
@@ -434,9 +440,14 @@ object StreamOps {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // horizon from the batch table (the run is bounded; a live
-    // deployment has no horizon — rows emit as the watermark advances)
+    // deployment has no horizon — rows emit as the watermark advances).
+    // min over the two joined sides: the engine's global watermark
+    // tracks the SLOWER input, never the corpus-wide max
     val maxUs = Tables.events(s, d)
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
+      .agg(least(
+        max(when(col("event_type") === "view", expr("ts div 1000"))),
+        max(when(col("event_type") === "purchase", expr("ts div 1000")))))
+      .head().getLong(0)
     s.table(name)
       .filter(col("view_id") =!= -1L || col("p_us") <= maxUs - 7200000000L)
       .drop("p_us")
@@ -469,7 +480,9 @@ object StreamOps {
     "stream_join_outer" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),
-        |m AS (SELECT max(us) AS mx FROM e),
+        |m AS (SELECT least(
+        |    max(CASE WHEN event_type = 'view' THEN us END),
+        |    max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx FROM e),
         |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS vu, event_id AS vid, us AS vus FROM e
         |  WHERE event_type = 'view')

@@ -12,19 +12,28 @@ class BagLowerBoundSpec extends SparkTestBase {
   test("bound <= levenshtein on 2000 seeded random string pairs") {
     BagLowerBound.register(spark)
     val rnd = new scala.util.Random(42)
-    def word(n: Int): String =
-      (1 to n).map(_ => ('a' + rnd.nextInt(27)).toChar).mkString
-        .replace('{', ' ') // 27th symbol: space
+    // alphabet includes MULTI-BYTE code points (r17, per advice): the
+    // bound must hold against code-point levenshtein, not byte counts —
+    // é (2 bytes), 你 (3 bytes), 𝕏 (4 bytes, surrogate pair in UTF-16)
+    def sym(): String = rnd.nextInt(10) match {
+      case 0 => "é"
+      case 1 => "你"
+      case 2 => new String(Character.toChars(0x1D54F)) // 𝕏, 4-byte UTF-8
+      case _ =>
+        val c = ('a' + rnd.nextInt(27)).toChar
+        (if (c == '{') ' ' else c).toString // 27th symbol: space
+    }
+    def word(n: Int): String = (1 to n).map(_ => sym()).mkString
     val pairs = (1 to 2000).map { _ =>
       val a = word(1 + rnd.nextInt(60))
       // half the pairs are mutations of a (small true distance), half
       // independent (large) — both sides of the threshold get coverage
       val b = if (rnd.nextBoolean()) {
-        val chars = a.toCharArray
+        val cps = a.codePoints().toArray
         (1 to rnd.nextInt(5)).foreach { _ =>
-          chars(rnd.nextInt(chars.length)) = ('a' + rnd.nextInt(26)).toChar
+          cps(rnd.nextInt(cps.length)) = 'a' + rnd.nextInt(26)
         }
-        new String(chars)
+        new String(cps, 0, cps.length)
       } else word(1 + rnd.nextInt(60))
       (a, b)
     }

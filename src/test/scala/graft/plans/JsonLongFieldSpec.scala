@@ -45,7 +45,14 @@ class JsonLongFieldSpec extends SparkTestBase {
       """{"k": 1e3}""",                       // scientific -> null
       """not json""",                         // malformed -> null
       """5""",                                // top-level scalar -> null
-      """{"k""""                              // truncated -> null
+      """{"k"""",                             // truncated -> null
+      """{"k": 007}""",                       // leading zero: Jackson rejects (r17)
+      """{"k": -007}""",                      // signed leading zero -> null
+      """{"k": 0}""",                         // bare zero is fine
+      """{"k": "007"}""",                     // QUOTED leading zero coerces (string cast)
+      """{"k": 7} trailing""",                // Jackson ignores post-object bytes -> 7
+      """{"k": 7""",                          // truncated AFTER the value -> null
+      """{"k": "12""""                        // truncated after a quoted value -> null
     )
     val s = spark
     import s.implicits._
@@ -57,6 +64,28 @@ class JsonLongFieldSpec extends SparkTestBase {
     val diffs = rows.filter(r => r.get(1) != r.get(2))
       .map(r => s"${r.getString(0)}: jackson=${r.get(1)} scan=${r.get(2)}")
     assert(diffs.isEmpty, "\n" + diffs.mkString("\n"))
+  }
+
+  test("DOCUMENTED divergence: valid key-value before a later malformation") {
+    // The scan returns a value it already proved well-formed; Jackson
+    // parses on and NULLs the whole document on the trailing comma /
+    // malformed sibling. Whole-document validation would cost the full
+    // parse this expression exists to avoid; divergence is confined to
+    // malformed input (scaladoc posture). Pinned HERE so a behavior
+    // change on either side is caught.
+    JsonLongField.register(spark)
+    val s = spark
+    import s.implicits._
+    val rows = Seq("""{"k": 7, }""", """{"k": 7, "x": }""")
+      .toDF("j")
+      .select(
+        expr("try_cast(get_json_object(j, '$.k') AS bigint)").as("jackson"),
+        call_function("graft_json_long", col("j"), lit("k")).as("scan"))
+      .collect()
+    for (r <- rows) {
+      assert(r.isNullAt(0), "Jackson NULLs the malformed document")
+      assert(r.getLong(1) == 7L, "the scan keeps the proven prefix value")
+    }
   }
 
   test("interpreted eval agrees with codegen") {
