@@ -932,8 +932,96 @@ object Lab {
           .withColumn("decile",
             ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
           .groupBy().agg(count(lit(1)).as("n"))
+      }),
+      // ---- r17: the fuzzy-pairs 510 s tail ------------------------------
+      // the r16 production form: builtin banded DP after the bag screen
+      "fuzzy_builtin_dp" -> (() => {
+        graft.plans.BagLowerBound.register(s)
+        fuzzyBlocked(s, d)
+          .filter(call_function("graft_bag_lb", col("pref_a"), col("pref_b")) <= 20)
+          .withColumn("lev", levenshtein(col("pref_a"), col("pref_b"), 21))
+          .filter(col("lev").between(0, 20))
+          .select("doc_a", "doc_b", "lev")
+      }),
+      // the r17 production form: Myers bit-parallel word DP (Lev64)
+      "fuzzy_lev64" -> (() =>
+        operators.ExtendedQueries.queries("text_fuzzy_pairs")(s, d)),
+      // stage census for the blocking argument: block-join candidates /
+      // bag-screen survivors (pairs that reach the DP) / qualifying
+      // output pairs. If out/bag_pass is high, the corpus is DENSE in
+      // qualifying pairs and NO candidate-blocking scheme can prune
+      // below the output count — the per-pair verify constant is the
+      // only lever.
+      "fuzzy_census" -> (() => {
+        graft.plans.BagLowerBound.register(s)
+        graft.plans.Lev64.register(s)
+        fuzzyBlocked(s, d)
+          .withColumn("bag_ok",
+            (call_function("graft_bag_lb", col("pref_a"), col("pref_b")) <= 20)
+              .cast("long"))
+          .withColumn("out_ok", when(col("bag_ok") === 1L,
+            (call_function("graft_lev64", col("pref_a"), col("pref_b"), lit(20)) >= 0)
+              .cast("long")).otherwise(0L))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum("bag_ok").as("n_bag_pass"),
+            sum("out_ok").as("n_out"))
+      }),
+      // PassJoin-style probe (r16 verdict #1): LOWER bound on the
+      // candidate count any segment-blocking scheme admits at k=20 on
+      // 60-char prefixes. This aligned variant joins only segment i of
+      // A to segment i of B at the SAME position — true PassJoin must
+      // also admit shifted matches (insertions move positions by up to
+      // k), so its candidate count is STRICTLY LARGER. If even this
+      // undercount approaches the block cross product, segment
+      // blocking loses to the bag screen + word DP.
+      "fuzzy_passjoin_probe" -> (() => {
+        val nSeg = 21 // k+1 pigeonhole segments for k=20
+        val segs = fuzzyDocs(s, d).select(col("lang"), col("source"),
+          col("len_band"), col("doc_id"),
+          posexplode(split(rpad(col("prefix"), 63, " "),
+            "(?<=\\G.{3})")).as(Seq("seg_id", "seg")))
+          .filter(col("seg_id") < nSeg)
+        val a = segs.select(col("lang"), col("source"), col("len_band"),
+          col("seg_id"), col("seg"), col("doc_id").as("doc_a"))
+        val b = segs.select(col("lang").as("lb_"), col("source").as("sb_"),
+          col("len_band").as("bb_"), col("seg_id").as("gb_"),
+          col("seg").as("segb_"), col("doc_id").as("doc_b"))
+        a.join(b, col("lang") === col("lb_") && col("source") === col("sb_") &&
+            col("len_band") === col("bb_") && col("seg_id") === col("gb_") &&
+            col("seg") === col("segb_") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .agg(count(lit(1)).as("n_passjoin_candidates"))
       })
     )
+  }
+
+  private def fuzzyDocs(s: SparkSession, d: String): DataFrame = {
+    import Tables._
+    documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 50").as("len_band"),
+      substring(col("text"), 1, 60).as("prefix"))
+  }
+
+  /** The fuzzy lane's capped block self-join (candidates only, no
+    * verification) — shared by the r17 fuzzy experiments. */
+  private def fuzzyBlocked(s: SparkSession, d: String): DataFrame = {
+    val docs = fuzzyDocs(s, d)
+    val blocks = docs.groupBy(col("lang").as("bl_lang"),
+        col("source").as("bl_source"), col("len_band").as("bl_band"))
+      .agg(count(lit(1)).as("n_block"))
+      .filter(col("n_block") <= operators.ExtendedQueries.FUZZY_BLOCK_CAP)
+    val bounded = docs.join(broadcast(blocks),
+      col("lang") === col("bl_lang") && col("source") === col("bl_source") &&
+        col("len_band") === col("bl_band"), "left_semi")
+    val a = bounded.select(col("lang"), col("source"), col("len_band"),
+      col("doc_id").as("doc_a"), col("prefix").as("pref_a"))
+    val b = bounded.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("len_band").as("len_band_b"),
+      col("doc_id").as("doc_b"), col("prefix").as("pref_b"))
+    a.join(b,
+      col("lang") === col("lang_b") && col("source") === col("source_b") &&
+      col("len_band") === col("len_band_b") &&
+      col("doc_a") < col("doc_b"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -973,6 +1061,9 @@ object Lab {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"LAB $n%-24s ${ts.min}%8.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      // SPARK_GRAFT_LAB_SHOW=1: print the first rows (census probes)
+      if (sys.env.contains("SPARK_GRAFT_LAB_SHOW"))
+        fn().collect().take(10).foreach(r => println(s"  ROW $n: $r"))
       // SPARK_GRAFT_LAB_METRICS=1: execute once more via collect() and
       // dump the final-AQE plan's node metrics (rows, timings, spills)
       if (sys.env.contains("SPARK_GRAFT_LAB_METRICS")) {

@@ -168,10 +168,11 @@ object ExtendedQueries {
     * lossless equality sub-key, unlike the LSH-sub-bucketed embedding
     * path). Test-corpus blocks (max 23 docs at sf0.1) sit far below
     * it, so results are unchanged at test scale. */
-  private[operators] val FUZZY_BLOCK_CAP = 1000
+  private[graft] val FUZZY_BLOCK_CAP = 1000
 
   private[operators] def textFuzzyPairsCapped(s: SparkSession, d: String, cap: Int): DataFrame = {
     graft.plans.BagLowerBound.register(s)
+    graft.plans.Lev64.register(s)
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         expr("n_chars div 50").as("len_band"),
@@ -202,11 +203,14 @@ object ExtendedQueries {
       // DP. Never drops a qualifying pair (property-spec'd), so the
       // oracle is untouched.
       .filter(call_function("graft_bag_lb", col("pref_a"), col("pref_b")) <= 20)
-      // threshold form: banded O(len·k) DP with early exit instead of
-      // the full len² table per pair — distances ≤20 come back exact
-      // (oracle-identical), anything above collapses to -1 and is
-      // filtered with the same predicate
-      .withColumn("lev", levenshtein(col("pref_a"), col("pref_b"), 21))
+      // exact verification via the bit-parallel Myers expression
+      // (plans/Lev64.scala): the whole DP column lives in one machine
+      // word for these ≤60-char prefixes, ~15 word-ops per text symbol
+      // vs the banded DP's ~2,600 cells — distances ≤20 come back
+      // exact (oracle-identical), anything above collapses to -1 and
+      // is filtered with the same predicate
+      .withColumn("lev", call_function("graft_lev64",
+        col("pref_a"), col("pref_b"), lit(20)))
       .filter(col("lev").between(0, 20))
       .select("doc_a", "doc_b", "lev")
   }

@@ -453,9 +453,77 @@ object StreamOps {
       .drop("p_us")
   }
 
+  /** FULL-outer stream-stream join — [[streamJoinOuter]]'s emission-
+    * horizon contract applied SYMMETRICALLY ("which views led to no
+    * purchase?", the standard next ask after "which purchases had no
+    * view?"). Inner pairs always; purchase-side null rows (unmatched
+    * purchase) and view-side null rows (unmatched view) each gated by
+    * the horizon that makes their emission provable for any
+    * micro-batch layout:
+    *  - an unmatched PURCHASE evicts once the watermark passes p_time
+    *    (its candidate views lie in [p_time − 1h, p_time], all ≤
+    *    p_time) → provable at p_time ≤ min(maxV, maxP) − 1h − 1h;
+    *  - an unmatched VIEW evicts once the watermark passes
+    *    v_time + 1h (its candidate purchases lie in
+    *    [v_time, v_time + 1h]) → provable at the SAME horizon
+    *    v_time ≤ min(maxV, maxP) − 2h.
+    * user_id is coalesced across sides (exactly one side is null on an
+    * outer row); ids/gap coalesce to −1 (null-free driver hash). The
+    * oracle is the batch FULL range-join with both horizon predicates. */
+  def streamJoinFull(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, d).schema
+    def src = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(streamDir(d, "events")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val joined = purchases.join(views,
+        col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("p_time"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("v_user")).as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("p_time")) - unix_micros(col("v_time")),
+          lit(-1L)).as("gap_us"),
+        coalesce(unix_micros(col("p_time")), lit(Long.MaxValue)).as("p_us"),
+        coalesce(unix_micros(col("v_time")), lit(Long.MaxValue)).as("v_us"))
+    val name = replaceOwnedView(s, "sjfull_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val maxUs = Tables.events(s, d)
+      .agg(least(
+        max(when(col("event_type") === "view", expr("ts div 1000"))),
+        max(when(col("event_type") === "purchase", expr("ts div 1000")))))
+      .head().getLong(0)
+    val horizon = maxUs - 7200000000L
+    s.table(name)
+      .filter(
+        (col("view_id") =!= -1L && col("purchase_id") =!= -1L) ||
+        (col("view_id") === -1L && col("p_us") <= horizon) ||
+        (col("purchase_id") === -1L && col("v_us") <= horizon))
+      .drop("p_us", "v_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_join_full" -> (streamJoinFull _),
     "stream_enrich" -> (streamEnrich _),
     "stream_windowed_agg" -> (streamWindowedAgg _),
     "stream_sessions" -> (streamSessions _),
@@ -493,6 +561,26 @@ object StreamOps {
         |  AND v.vus BETWEEN p.us - 3600000000 AND p.us
         |WHERE v.vid IS NOT NULL
         |   OR p.us <= (SELECT mx FROM m) - 7200000000""".stripMargin,
+    // batch FULL range-join with BOTH emission-horizon predicates
+    // (see streamJoinFull's scaladoc); user_id coalesces across sides
+    "stream_join_full" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |m AS (SELECT least(
+        |    max(CASE WHEN event_type = 'view' THEN us END),
+        |    max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx FROM e),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, event_id AS vid, us AS vus FROM e
+        |  WHERE event_type = 'view')
+        |SELECT COALESCE(p.user_id, v.vu) AS user_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id,
+        |  COALESCE(v.vid, -1) AS view_id,
+        |  COALESCE(p.us - v.vus, -1) AS gap_us
+        |FROM p FULL JOIN v ON p.user_id = v.vu
+        |  AND v.vus BETWEEN p.us - 3600000000 AND p.us
+        |WHERE (p.event_id IS NOT NULL AND v.vid IS NOT NULL)
+        |   OR (v.vid IS NULL AND p.us <= (SELECT mx FROM m) - 7200000000)
+        |   OR (p.event_id IS NULL AND v.vus <= (SELECT mx FROM m) - 7200000000)""".stripMargin,
     "stream_enrich" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS window_start_s,
         |  n_name AS nation, count(*) AS n_events,

@@ -197,6 +197,57 @@ class StreamOpsSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("full-outer stream-stream join: BOTH null lanes emit exactly once past their horizons") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def tts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = vIn.toDF().toDF("v_user", "view_id", "v_time")
+      .withWatermark("v_time", "10 seconds")
+    val purchases = pIn.toDF().toDF("user_id", "purchase_id", "p_time")
+      .withWatermark("p_time", "10 seconds")
+    val joined = purchases.join(views,
+        col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("p_time"), "full_outer")
+      .select(coalesce(col("user_id"), col("v_user")).as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    val name = "sjf_evict_test"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: one matched pair (u1), one unmatched purchase (u2), one
+    // unmatched view (u3, AFTER any possible purchase window for it
+    // fails — its purchases would sit in [t, t+1h])
+    vIn.addData((1L, 10L, tts(1000)), (3L, 12L, tts(1000)))
+    pIn.addData((1L, 20L, tts(1000)), (2L, 21L, tts(1000)))
+    q.processAllAvailable()
+    val afterB1 = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterB1 == Set((1L, 20L, 10L)),
+      s"only the inner pair emits before the watermark proves non-match: $afterB1")
+
+    // push both watermarks far past t=1000 + join window + delay; one
+    // more batch so the eviction pass runs on the advanced watermark
+    vIn.addData((9L, 11L, tts(20000))); pIn.addData((9L, 22L, tts(20000)))
+    q.processAllAvailable()
+    vIn.addData((9L, 13L, tts(20010))); pIn.addData((9L, 23L, tts(20010)))
+    q.processAllAvailable()
+    val afterB2 = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(afterB2.count(_ == ((2L, 21L, -1L))) == 1,
+      s"unmatched purchase null-emits exactly once: $afterB2")
+    assert(afterB2.count(_ == ((3L, -1L, 12L))) == 1,
+      s"unmatched view null-emits exactly once: $afterB2")
+    assert(!afterB2.contains((1L, 20L, -1L)) && !afterB2.contains((1L, -1L, 10L)),
+      s"matched rows never re-emit on either null lane: $afterB2")
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gaps and keeps state across batches") {
     val s = spark
     import s.implicits._
