@@ -946,6 +946,16 @@ object Lab {
       // the r17 production form: Myers bit-parallel word DP (Lev64)
       "fuzzy_lev64" -> (() =>
         operators.ExtendedQueries.queries("text_fuzzy_pairs")(s, d)),
+      // is the bag prescreen still worth 150 ops/pair when the verify
+      // behind it costs ~900 instead of ~15k?
+      "fuzzy_lev64_noscreen" -> (() => {
+        graft.plans.Lev64.register(s)
+        fuzzyBlocked(s, d)
+          .withColumn("lev", call_function("graft_lev64",
+            col("pref_a"), col("pref_b"), lit(20)))
+          .filter(col("lev").between(0, 20))
+          .select("doc_a", "doc_b", "lev")
+      }),
       // stage census for the blocking argument: block-join candidates /
       // bag-screen survivors (pairs that reach the DP) / qualifying
       // output pairs. If out/bag_pass is high, the corpus is DENSE in

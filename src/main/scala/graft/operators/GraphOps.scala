@@ -147,14 +147,36 @@ object GraphOps {
 
   private[operators] def prConverged(s: SparkSession, d: String,
       copart: Boolean, nDocs: Long = -1L): DataFrame = {
+    val n = if (nDocs >= 0) nDocs else documents(s, d).count()
+    val st = prCore(s, idsFor(s, d),
+      ids => edgesFor(ids).withColumn("outdeg", lit(K.toLong)),
+      n, copart, PR_MAX)
+    prOutput(st)
+  }
+
+  /** Materialized loop state handed back to the output builders. */
+  private case class PrState(ids: DataFrame, edges: DataFrame,
+                             ranks: DataFrame, iters: Int)
+
+  /** The shared integer-PageRank fixed-point loop, generalized over an
+    * arbitrary edge set with per-source out-degree (src, dst, outdeg) —
+    * the derived K-regular lane passes outdeg = K, the real-edge lane
+    * its variable resolver output. Identical posture to the r16 loop:
+    * per iteration the driver sees ONE scalar (the delta); edges and
+    * each iterate are lineage-truncated; two physical gears (AQE +
+    * broadcast at bench scale, co-partitioned shuffle-hash with AQE off
+    * beyond PR_COPART_DOCS). `edgesOf` receives the MATERIALIZED ids so
+    * derived-edge callers reuse that checkpoint. */
+  private def prCore(s: SparkSession, idsIn: DataFrame,
+      edgesOf: DataFrame => DataFrame, nDocs: Long,
+      copart: Boolean, maxIters: Int): PrState = {
     import DedupOps.TruncOps
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     val loopParts =
       if (!copart) 8
       else math.max(8, math.min(sessionParts.toInt,
-        ((if (nDocs >= 0) nDocs else documents(s, d).count()) /
-          PR_COPART_DOCS).toInt * 8))
+        (nDocs / PR_COPART_DOCS).toInt * 8))
     def keyed(df: DataFrame, key: String): DataFrame =
       if (copart) df.repartition(loopParts, col(key)) else df
     def hinted(df: DataFrame): DataFrame =
@@ -162,15 +184,15 @@ object GraphOps {
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     if (copart) s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val ids = keyed(idsFor(s, d), "doc_id").truncEager
-      val edges = keyed(edgesFor(ids), "src").truncEager
+      val ids = keyed(idsIn, "doc_id").truncEager
+      val edges = keyed(edgesOf(ids), "src").truncEager
       var ranks = ids.select(col("doc_id").as("rid"),
         expr(s"$SCALE DIV n_docs").as("p")).truncEager
       var it = 0
       var converged = false
-      while (!converged && it < PR_MAX) {
+      while (!converged && it < maxIters) {
         val insum = edges.join(hinted(ranks), col("src") === col("rid"))
-          .groupBy(col("dst")).agg(sum(expr(s"p DIV $K")).as("insum"))
+          .groupBy(col("dst")).agg(sum(expr("p DIV outdeg")).as("insum"))
         val next = ids.join(hinted(insum), col("doc_id") === col("dst"), "left")
           .select(col("doc_id").as("rid"),
             (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
@@ -186,21 +208,104 @@ object GraphOps {
         it += 1
         converged = delta <= PR_EPS
       }
-      val indeg = edges.groupBy(col("dst").as("ind_id"))
-        .agg(count(lit(1)).as("in_deg"))
-      ids.select(col("doc_id"))
-        .join(indeg, col("doc_id") === col("ind_id"), "left")
-        .join(ranks, col("doc_id") === col("rid"))
-        .select(col("doc_id"),
-          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-          col("p").as("pr"),
-          lit(it.toLong).as("n_iters"))
-        .orderBy(col("pr").desc, col("doc_id").asc)
-        .limit(TOP)
+      PrState(ids, edges, ranks, it)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", sessionParts)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  /** Standard PageRank output: top-TOP docs by (pr desc, doc_id) with
+    * in-degree and the converged depth. */
+  private def prOutput(st: PrState): DataFrame = {
+    val indeg = st.edges.groupBy(col("dst").as("ind_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    st.ids.select(col("doc_id"))
+      .join(indeg, col("doc_id") === col("ind_id"), "left")
+      .join(st.ranks, col("doc_id") === col("rid"))
+      .select(col("doc_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("p").as("pr"),
+        lit(st.iters.toLong).as("n_iters"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+      .limit(TOP)
+  }
+
+  // real-edge lane: its own hard bound (the power-law graph mixes at
+  // ~0.85/step — damping-limited, unlike the expander's ~0.5 — so the
+  // delta rule may not fire before the bound at large SF; both engines
+  // then pick the PR_MAX_REAL vector BY THE SAME RULE, still exact)
+  private[operators] val PR_MAX_REAL = 20
+
+  /** The crawl-shaped edge pipeline the GraphOps scaladoc promises:
+    * anchors EXTRACTED from each document's HTML (regexp over the
+    * rendered page, the text_html_links machinery), RESOLVED against a
+    * URL→doc index (equi-join on the canonical URL; links to external
+    * hosts — videos.example — find no index row and drop out, the real
+    * crawl behavior), then canonicalized to DISTINCT non-self (src,
+    * dst) with per-source out-degree. The synthetic corpus carries no
+    * real hrefs, so the page decoration plants them deterministically:
+    * a nav link to doc (id mod 7) — the footer-link family every site
+    * has — and three content links with ZIPF-TAILED targets
+    * (n DIV (1 + md5-uniform) gives P(dst = t) ~ 1/t², in-degree
+    * power law: doc 1 absorbs ~half the content links). Both engines
+    * rebuild the identical page, extraction and all.
+    *
+    * SKEW is therefore real here, in two places, by design:
+    *  - the resolve join: ~half the probe rows carry the same hot URL.
+    *    AQE skew-join splits the hot partition (sort-merge/shuffled-
+    *    hash); measured numbers in SURVEY §8.
+    *  - the per-iteration groupBy(dst): hot dst=1 receives ~1.5n rows,
+    *    flattened by map-side partial aggregation to one partial per
+    *    partition — the reason the loop aggregates BEFORE joining ids.
+    * The triangle lane (qTriangleReal) orients edges by (degree, id),
+    * the power-law posture GraphOps:210 promises. */
+  private[operators] def realEdges(s: SparkSession, d: String): DataFrame = {
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    def zipf(k: Int): String =
+      s"""(n_docs DIV (1 + CAST(conv(substring(md5(concat('edge:',
+         |  CAST(doc_id AS STRING), ':$k')), 1, 8), 16, 10) AS BIGINT)
+         |  % n_docs)) % n_docs""".stripMargin
+    val pages = documents(s, d).select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("html", concat(
+        lit("<p><a href=\"https://videos.example/v"), col("doc_id"),
+        lit("\">w</a> <a href=\"https://docs.example/d"), col("doc_id") % 7,
+        lit("\">nav</a> <a href=\"https://docs.example/d"), expr(zipf(1)),
+        lit("\">c</a> <a href=\"https://docs.example/d"), expr(zipf(2)),
+        lit("\">c</a> <a href=\"https://docs.example/d"), expr(zipf(3)),
+        lit("\">c</a> "), col("text"), lit("</p>")))
+    val links = pages.select(col("doc_id").as("src"),
+      explode(regexp_extract_all(col("html"), lit("href=\"([^\"]+)\""), lit(1)))
+        .as("url"))
+    val idx = documents(s, d).select(
+      concat(lit("https://docs.example/d"), col("doc_id")).as("url"),
+      col("doc_id").as("dst"))
+    val e0 = links.join(idx, "url")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val od = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    e0.join(od, "src").select("src", "dst", "outdeg")
+  }
+
+  /** Converged PageRank over the REAL extracted+resolved edge table —
+    * the production form for an actual crawl (the derived-K-regular
+    * twins keep the smoke/expander lane). Same integer fixed-point,
+    * same delta stopping rule and driver posture via [[prCore]]; the
+    * contribution divides by each source's true out-degree. Docs whose
+    * links all failed to resolve or self-canceled contribute nothing
+    * (dangling mass is NOT redistributed — deterministic, mirrored in
+    * the oracle; the redistribution variant costs one extra scalar agg
+    * per step and is noted, not needed, here). */
+  def qPagerankReal(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val nDocs = documents(s, d).count()
+    // materialize the resolver output ONCE (the memoized-table pattern);
+    // the loop then re-reads a checkpoint, never the resolve join
+    val edges = realEdges(s, d).truncEager
+    val st = prCore(s, idsFor(s, d), _ => edges, nDocs,
+      copart = nDocs > PR_COPART_DOCS, maxIters = PR_MAX_REAL)
+    prOutput(st)
   }
 
   /** Triangle + wedge census of the derived link graph (global
@@ -238,6 +343,54 @@ object GraphOps {
           .as("closure"))
   }
 
+  /** Triangle + wedge census over the REAL extracted edge set — the
+    * power-law twin of [[qTriangleCount]], with the (degree, id)
+    * orientation that lane's scaladoc promises: every undirected edge
+    * points from its lower-(deg, id) endpoint to the higher, so wedges
+    * form only at each triangle's LOWEST-ordered corner and the join
+    * width per node is bounded by O(√m) even under power-law degrees
+    * (the node-iterator++ bound: a node of degree > √m has all its
+    * wedge partners of HIGHER order, and there are < √m such nodes) —
+    * id-ordering alone would put the mega-hub (doc 1, in-degree ~n/2)
+    * at the center of ~deg²/2 wedges. Each triangle {u,v,w} with
+    * ord(u) < ord(v) < ord(w) is counted exactly once: as the wedge
+    * (u; v, w) closed by the oriented edge v→w. */
+  def qTriangleReal(s: SparkSession, d: String): DataFrame = {
+    val und = realEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // orient: lower (deg, id) endpoint -> higher; carry hi's order key
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ord = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"),
+        when(aLower, col("db")).otherwise(col("da")).as("dhi"))
+    // wedge (lo; v, w) with ord(v) < ord(w); the closing edge {v, w},
+    // if present, is then oriented v->w BY THE SAME TOTAL ORDER — the
+    // semi-join stays a pure equi-join (hash, never nested-loop)
+    val tri = ord.as("x")
+      .join(ord.as("y"), col("x.lo") === col("y.lo") &&
+        (col("x.dhi") < col("y.dhi") ||
+          (col("x.dhi") === col("y.dhi") && col("x.hi") < col("y.hi"))))
+      .select(col("x.hi").as("wv"), col("y.hi").as("ww"))
+      .join(ord.as("z"),
+        col("wv") === col("z.lo") && col("ww") === col("z.hi"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        (floor(lit(3.0) * col("n_triangles") / col("n_wedges") * 1e6 + 0.5) / 1e6)
+          .as("closure"))
+  }
+
   /** DuckDB parse of the first 8 md5 hex digits as a BIGINT — the
     * oracle-side mirror of conv(substring(md5(x), 1, 8), 16, 10). */
   private def hex8(m: String): String =
@@ -268,10 +421,22 @@ object GraphOps {
        |    FROM e JOIN $prev ON e.src = $prev.rid GROUP BY e.dst) s
        |  ON ids.doc_id = s.dst)""".stripMargin
 
+  /** rankStepM with the real lane's per-source out-degree division. */
+  private def rankStepOdM(prev: String, next: String): String =
+    s"""$next AS MATERIALIZED (SELECT ids.doc_id AS rid,
+       |    (15 * ($SCALE // (SELECT n FROM nn))) // 100
+       |    + (85 * COALESCE(s.insum, 0)) // 100 AS p
+       |  FROM ids LEFT JOIN (
+       |    SELECT e.dst, SUM($prev.p // e.outdeg) AS insum
+       |    FROM e JOIN $prev ON e.src = $prev.rid GROUP BY e.dst) s
+       |  ON ids.doc_id = s.dst)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_converged" -> (qPagerankConverged _),
-    "q_triangle_count" -> (qTriangleCount _)
+    "q_pagerank_real" -> (qPagerankReal _),
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_triangle_real" -> (qTriangleReal _)
   )
 
   /** the derived-edge CTE chain shared by every graph oracle — the SQL
@@ -283,6 +448,35 @@ object GraphOps {
        |  FROM ids, (SELECT unnest([${(1 to K).mkString(", ")}]) AS k) ks),
        |e AS (SELECT src,
        |    (${hex8("m")}) % (SELECT n FROM nn) AS dst FROM em)""".stripMargin
+
+  /** the REAL-edge CTE chain — the SQL mirror of [[realEdges]]: same
+    * page decoration, same regexp extraction, same URL→doc resolve,
+    * same distinct-non-self canonicalization, out-degree attached. */
+  private def realEdgeCtes: String =
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |ids AS (SELECT doc_id FROM documents),
+       |tt AS (SELECT doc_id, k,
+       |    ((SELECT n FROM nn) // (1 + ((${hex8("m")}) % (SELECT n FROM nn))))
+       |      % (SELECT n FROM nn) AS t
+       |  FROM (SELECT doc_id, k, md5('edge:' || doc_id || ':' || k) AS m
+       |        FROM documents, (SELECT unnest([1, 2, 3]) AS k) ks) z),
+       |ca AS (SELECT doc_id, string_agg(
+       |    '<a href="https://docs.example/d' || t || '">c</a>', ' ' ORDER BY k)
+       |    AS anchors FROM tt GROUP BY doc_id),
+       |h AS (SELECT d.doc_id,
+       |    '<p><a href="https://videos.example/v' || d.doc_id ||
+       |    '">w</a> <a href="https://docs.example/d' || (d.doc_id % 7) ||
+       |    '">nav</a> ' || ca.anchors || ' ' || d.text || '</p>' AS html
+       |  FROM documents d JOIN ca USING (doc_id)),
+       |l AS (SELECT doc_id AS src,
+       |    unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url FROM h),
+       |idx AS (SELECT 'https://docs.example/d' || doc_id AS url,
+       |    doc_id AS dst FROM documents),
+       |e0 AS (SELECT DISTINCT l.src, idx.dst FROM l JOIN idx USING (url)
+       |  WHERE l.src <> idx.dst),
+       |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, od.outdeg
+       |  FROM e0 JOIN od USING (src))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_triangle_count" ->
@@ -338,6 +532,52 @@ object GraphOps {
          |JOIN (SELECT rid, p FROM allr WHERE i = (SELECT ic FROM pick)) fr
          |  ON ids.doc_id = fr.rid
          |ORDER BY pr DESC, ids.doc_id LIMIT $TOP""".stripMargin
-    }
+    },
+    // real-edge converged PageRank: identical stopping-rule mirror as
+    // q_pagerank_converged, over the extract→resolve edge CTEs and the
+    // per-source out-degree division
+    "q_pagerank_real" -> {
+      val steps = (1 to PR_MAX_REAL).map(i => rankStepOdM(s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      val deltas = (1 to PR_MAX_REAL).map(i =>
+        s"SELECT $i AS i, SUM(ABS(a.p - b.p)) AS dv FROM r$i a JOIN r${i - 1} b ON a.rid = b.rid")
+        .mkString("\n  UNION ALL ")
+      val allr = (1 to PR_MAX_REAL).map(i => s"SELECT $i AS i, rid, p FROM r$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $realEdgeCtes,
+         |r0 AS MATERIALIZED (SELECT doc_id AS rid, $SCALE // (SELECT n FROM nn) AS p FROM ids),
+         |$steps,
+         |dl AS MATERIALIZED ($deltas),
+         |pick AS (SELECT COALESCE(MIN(i), $PR_MAX_REAL) AS ic FROM dl WHERE dv <= $PR_EPS),
+         |allr AS ($allr),
+         |indeg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst)
+         |SELECT ids.doc_id, COALESCE(indeg.in_deg, 0) AS in_deg,
+         |  CAST(fr.p AS BIGINT) AS pr,
+         |  CAST((SELECT ic FROM pick) AS BIGINT) AS n_iters
+         |FROM ids LEFT JOIN indeg ON ids.doc_id = indeg.dst
+         |JOIN (SELECT rid, p FROM allr WHERE i = (SELECT ic FROM pick)) fr
+         |  ON ids.doc_id = fr.rid
+         |ORDER BY pr DESC, ids.doc_id LIMIT $TOP""".stripMargin
+    },
+    "q_triangle_real" ->
+      s"""WITH $realEdgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |deg AS (SELECT node, count(*) AS dg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+         |  GROUP BY 1),
+         |ord_e AS (SELECT
+         |    CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.a ELSE und.b END AS lo,
+         |    CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN und.b ELSE und.a END AS hi,
+         |    CASE WHEN (da.dg, und.a) < (db.dg, und.b) THEN db.dg ELSE da.dg END AS dhi
+         |  FROM und JOIN deg da ON und.a = da.node
+         |  JOIN deg db ON und.b = db.node),
+         |tri AS (SELECT count(*) AS n_triangles FROM ord_e x
+         |  JOIN ord_e y ON x.lo = y.lo AND (x.dhi, x.hi) < (y.dhi, y.hi)
+         |  JOIN ord_e z ON z.lo = x.hi AND z.hi = y.hi),
+         |wed AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6 AS closure
+         |FROM tri, wed""".stripMargin
   )
 }

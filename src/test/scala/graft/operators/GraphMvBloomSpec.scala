@@ -101,6 +101,56 @@ class GraphMvBloomSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("real-edge pipeline: resolve drops externals, canonical non-self distinct, power-law in-degree") {
+    import org.apache.spark.sql.functions._
+    val edges = GraphOps.realEdges(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(edges.filter(col("src") === col("dst")).count() == 0, "self edges filtered")
+    assert(edges.filter(col("dst") < 0 || col("dst") >= n).count() == 0,
+      "every dst resolved through the index (externals dropped)")
+    assert(edges.count() == edges.select("src", "dst").distinct().count(), "canonical distinct")
+    // outdeg is the true per-source count
+    val badOd = edges.groupBy("src").agg(countDistinct("dst").as("c"), max("outdeg").as("od"))
+      .filter(col("c") =!= col("od")).count()
+    assert(badOd == 0)
+    // the Zipf tail makes doc 1 the mega-hub: ~half the content links
+    val hub = edges.filter(col("dst") === 1).count()
+    assert(hub > n / 4, s"power-law hub: expected > ${n / 4} in-links to doc 1, got $hub")
+    edges.unpersist()
+  }
+
+  test("real-edge pagerank: hub-ranked, deterministic, bound-limited depth is the same rule in both engines") {
+    val out = GraphOps.qPagerankReal(spark, sf).collect()
+    assert(out.length == 100)
+    val prs = out.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "pr non-increasing")
+    assert(out.head.getAs[Long]("doc_id") == 1L,
+      "the Zipf mega-hub must hold the top rank")
+    // on the power-law graph the mixing is damping-limited (~0.85/step),
+    // so the shared hard bound binds — documented, and mirrored by the
+    // oracle's COALESCE(MIN(i), PR_MAX_REAL) pick
+    val iters = out.map(_.getAs[Long]("n_iters")).distinct
+    assert(iters.toSeq == Seq(GraphOps.PR_MAX_REAL.toLong))
+    val out2 = GraphOps.qPagerankReal(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
+  test("real-edge triangle census: matches a brute-force count; degree orientation changes nothing") {
+    val edges = GraphOps.realEdges(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val nTri = und.map { case (a, b) => (adj(a) & adj(b)).count(_ > b) }.sum.toLong
+    val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .values.map(_.length.toLong)
+    val nWed = deg.map(dd => dd * (dd - 1) / 2).sum
+    val row = GraphOps.qTriangleReal(spark, sf).collect().head
+    assert(row.getAs[Long]("n_triangles") == nTri,
+      s"got ${row.getAs[Long]("n_triangles")}, brute force $nTri")
+    assert(row.getAs[Long]("n_wedges") == nWed)
+  }
+
   test("triangle count: matches a brute-force census of the derived graph") {
     import graft.Tables
     // rebuild the same K-regular edge set JVM-side and count by brute force
