@@ -302,6 +302,157 @@ object SimilarityOps {
       .filter(col("rk") <= KNN_K)
   }
 
+  // ---- k-means (Lloyd) to convergence — the trained coarse quantizer
+  private[operators] val KM_K = 8       // clusters
+  // stopping tolerance: total centroid movement ≤ 5 quantization units
+  // (5e-4 of coordinate scale) per centroid coordinate on average —
+  // the production posture; an EXACT zero fixpoint was measured and
+  // rejected (it fires at step 12/17 on the 500/50-vector corpora but
+  // is still oscillating in the hundreds of units at step 30 on 5,000
+  // vectors — Lloyd's with floored integer means has no bounded-depth
+  // zero guarantee). Measured firing depths: sf0.001 → 13, sf0.01 → 9,
+  // sf0.1 → 23; ScaleGen replication duplicates points, which leaves
+  // the trajectory identical, so sf1/sf3/sf10 fire at 23 too.
+  private[operators] val KM_EPS = 8L * 64L * 5L
+  private[operators] val KM_MAX = 25    // hard bound over the 23
+  private[operators] val KM_QS = 10000L // coordinate quantization scale
+  private val KM_OFF = 10000L           // shift: all coords positive, so
+                                        // Spark DIV == DuckDB // (floor
+                                        // vs trunc diverge on negatives)
+
+  /** Embeddings quantized to an integer grid: qe_i = floor(x_i·1e4 +
+    * 0.5) + 1e4. Distances are translation-invariant, so the offset
+    * changes nothing geometric — it keeps every coordinate (and every
+    * cluster-mean numerator) non-negative, where Spark's DIV and
+    * DuckDB's // agree. Coordinates outside [−1, 1] would break the
+    * offset's sign guarantee, so they RAISE (the qArgExtremes guard
+    * idiom) instead of silently mis-rounding. */
+  private def kmPoints(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x =>
+        when(x >= -1.0f && x <= 1.0f,
+          floor(x.cast("double") * KM_QS + 0.5).cast("long") + KM_OFF)
+          .otherwise(raise_error(lit("kmeans: coordinate outside [-1, 1]"))
+            .cast("long"))).as("qe"))
+
+  /** Nearest-centroid assignment against literal centroids: per point
+    * one fused array expression — squared-L2 to each centroid, argmin
+    * via array_min over (dist, cid) structs (deterministic low-cid
+    * tiebreak, the same order the oracle's row_number uses). */
+  private def kmAssign(pts: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
+    pts.withColumn("cid", array_min(array(cents.map { case (j, c) =>
+      struct(
+        aggregate(zip_with(col("qe"), typedlit(c.toSeq),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("d"),
+        lit(j).as("cid")) }: _*)).getField("cid"))
+
+  /** k-means (Lloyd) run to CONVERGENCE on the quantized grid — the
+    * trained coarse quantizer the ANN family wants (the r16 verdict's
+    * "first 32 vectors" softness). Integer-exact end to end, so the
+    * oracle can mirror the RULE, not a pinned depth (the PageRank
+    * discipline):
+    *  - init: the first KM_K vectors by vec_id (deterministic seeding;
+    *    k-means++ wants randomness the oracle could not replay);
+    *  - assign: integer squared-L2 argmin (sums of longs — no float
+    *    accumulation order to diverge);
+    *  - update: per-cluster floored integer mean, empty clusters keep
+    *    their previous centroid;
+    *  - stop: total centroid movement Σ|Δ| ≤ KM_EPS (see its comment
+    *    for the measured exact-fixpoint rejection) — or KM_MAX.
+    * Per iteration the driver sees K×dim (=512) aggregate rows — the
+    * Lloyd's-step contract (MLlib's KMeans does the same); the point
+    * set itself never leaves the executors. Output: one row per
+    * cluster (members, centroid L1 mass, converged depth). */
+  def simKmeansConverged(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val pts = kmPoints(s, d).truncEager // scanned once, reread per step
+    val (cents, it) = kmTrain(s, pts, KM_K, KM_MAX)
+    val s2 = s
+    import s2.implicits._
+    val cdf = cents.map { case (j, c) => (j, c.map(math.abs).sum) }
+      .toDF("cid", "c_l1")
+    kmAssign(pts, cents).groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(cdf, Seq("cid"), "right")
+      .select(col("cid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("c_l1"), lit(it.toLong).as("n_iters"))
+      .orderBy("cid")
+  }
+
+  /** The Lloyd loop itself (see [[simKmeansConverged]] for the
+    * contract): first-k seeding, integer argmin assignment, floored
+    * integer means, stop at the exact fixpoint (Σ|Δ| = 0) or maxIter.
+    * Returns the trained centroids and the executed depth. */
+  private[operators] def kmTrain(s: SparkSession, pts: DataFrame, k: Int,
+      maxIter: Int): (Seq[(Long, Array[Long])], Int) = {
+    var cents: Seq[(Long, Array[Long])] = pts.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val stats = kmAssign(pts, cents)
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .collect() // bounded: k × dim rows
+        .groupBy(_.getLong(0))
+      var delta = 0L
+      cents = cents.map { case (j, old) =>
+        stats.get(j) match {
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+            }
+            var i = 0
+            while (i < next.length) { delta += math.abs(next(i) - old(i)); i += 1 }
+            (j, next)
+          case None => (j, old) // empty cluster keeps its centroid
+        }
+      }
+      it += 1
+      converged = delta <= KM_EPS
+    }
+    (cents, it)
+  }
+
+  /** Multiprobe k-NN through the TRAINED quantizer — the same lists/
+    * probes/rerank shape as [[simKnnMultiprobeCfg]], but cells are
+    * k-means centroids instead of the first-c corpus vectors, and
+    * assignment is the L2 argmin the training itself used. Spec-only
+    * lane (TextSimMmSpec measures its recall against the naive
+    * quantizer at equal candidate budget); the oracle-checked
+    * production keys stay on the deterministic first-c quantizer,
+    * whose SQL mirror does not need a 15-step training chain per ANN
+    * query. */
+  private[operators] def simKnnMultiprobeTrained(s: SparkSession, d: String,
+      k: Int, nprobe: Int): DataFrame = {
+    import DedupOps.TruncOps
+    val pts = kmPoints(s, d).truncEager
+    val (centsQ, _) = kmTrain(s, pts, k, KM_MAX)
+    val cents = centsQ.map { case (j, c) =>
+      (j, c.map(v => (v - KM_OFF).toDouble / KM_QS)) }
+    val emb = embeddings(s, d)
+    val cellsSorted = array_sort(array(cents.map { case (j, c) =>
+      struct(
+        aggregate(zip_with(col("embedding"), typedlit(c.toSeq),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(j).as("cid")) }: _*))
+    val base = emb.withColumn("cells", cellsSorted)
+    val lists = base.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+      element_at(col("cells"), 1).getField("cid").as("cid"))
+    val probes = base.filter(col("vec_id") % KNN_STRIDE === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(col("cells"), 1, nprobe)).as("cell"))
+      .select(col("qid"), col("qe"), col("cell").getField("cid").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(s, col("qe"), col("ve")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+  }
+
   private val MP_C = 32      // multiprobe coarse cells
   private val MP_NPROBE = 2  // cells probed per query
 
@@ -349,6 +500,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_converged" -> (simKmeansConverged _),
     "sim_knn_multiprobe" -> (simKnnMultiprobe _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_cosine_topk" -> (simCosineTopK _),
@@ -374,7 +526,64 @@ object SimilarityOps {
       .select(col("doc_id").as("vec_id"), col("rep").as("cluster_rep"))
       .withColumn("is_keeper", (col("vec_id") === col("cluster_rep")).cast("int"))
 
+  /** Lloyd's unrolled to KM_MAX CTE steps, the stopping rule mirrored
+    * exactly like the PageRank oracles: per-step centroid-movement
+    * scalars, final state = the one at min{t : Δ_t = 0} (KM_MAX if
+    * none). Every quantity is integer (quantized offset grid, floored
+    * means), so no accumulation order can diverge; the pick threshold
+    * is KM_EPS, the operator's exact stopping rule. */
+  private def kmeansOracle: String = {
+    val steps = (1 to KM_MAX).map { t =>
+      val prev = s"c${t - 1}"
+      s"""d$t AS (SELECT p.vec_id, c.cid,
+         |    sum((p.qe[i.i] - c.ce[i.i]) * (p.qe[i.i] - c.ce[i.i])) AS dist
+         |  FROM pts p, $prev c, idx i GROUP BY p.vec_id, c.cid),
+         |a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |n$t AS (SELECT a.cid, i.i AS i,
+         |    CAST(sum(p.qe[i.i]) // count(*) AS BIGINT) AS v
+         |  FROM a$t a JOIN pts p USING (vec_id), idx i GROUP BY a.cid, i.i),
+         |c$t AS MATERIALIZED (SELECT prev.cid, COALESCE(nl.ce, prev.ce) AS ce
+         |  FROM $prev prev LEFT JOIN (
+         |    SELECT cid, list(v ORDER BY i) AS ce FROM n$t GROUP BY cid) nl
+         |  ON prev.cid = nl.cid)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to KM_MAX).map(t =>
+      s"""SELECT $t AS t, sum(abs(x.ce[i.i] - y.ce[i.i])) AS dv
+         |  FROM c$t x JOIN c${t - 1} y USING (cid), idx i""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    val allc = (1 to KM_MAX).map(t => s"SELECT $t AS t, cid, ce FROM c$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+       |pts AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $KM_QS + 0.5) AS BIGINT) + $KM_OFF) AS qe
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, qe AS ce FROM pts WHERE vec_id < $KM_K),
+       |$steps,
+       |dl AS MATERIALIZED ($deltas),
+       |pick AS (SELECT COALESCE(MIN(t), $KM_MAX) AS ic FROM dl WHERE dv <= $KM_EPS),
+       |allc AS ($allc),
+       |cf AS MATERIALIZED (SELECT cid, ce FROM allc WHERE t = (SELECT ic FROM pick)),
+       |df AS (SELECT p.vec_id, c.cid,
+       |    sum((p.qe[i.i] - c.ce[i.i]) * (p.qe[i.i] - c.ce[i.i])) AS dist
+       |  FROM pts p, cf c, idx i GROUP BY p.vec_id, c.cid),
+       |af AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM df) WHERE rn = 1)
+       |SELECT cf.cid,
+       |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
+       |  CAST(list_sum(list_transform(cf.ce, x -> abs(x))) AS BIGINT) AS c_l1,
+       |  CAST((SELECT ic FROM pick) AS BIGINT) AS n_iters
+       |FROM cf LEFT JOIN (SELECT cid, count(*) AS n FROM af GROUP BY cid) m
+       |  USING (cid)
+       |ORDER BY cf.cid""".stripMargin
+  }
+
   private val baseOracle: Map[String, String] = Map(
+    "sim_kmeans_converged" -> kmeansOracle,
     // sim_ann_ivf's assignment grid with MP_C cells, stride probes and
     // MP_NPROBE probed cells per query — candidates still crn = 1
     "sim_knn_multiprobe" ->

@@ -346,6 +346,50 @@ class SimilarityOpsSpec extends SparkTestBase {
       s"cross-cell recall $prod !> label-blocked $labelBlocked at lighter budget")
   }
 
+  test("kmeans converges by the exact fixpoint rule; clusters partition the corpus; deterministic") {
+    val out = SimilarityOps.simKmeansConverged(spark, sf).collect()
+    assert(out.length == SimilarityOps.KM_K)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == n,
+      "every vector assigned to exactly one cluster")
+    val iters = out.map(_.getAs[Long]("n_iters")).distinct
+    assert(iters.length == 1 && iters.head < SimilarityOps.KM_MAX,
+      s"the exact fixpoint must fire before the bound: ${iters.toSeq}")
+    val out2 = SimilarityOps.simKmeansConverged(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
+  test("trained quantizer beats the first-c quantizer's recall at the production config") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.CosineSimilarity.register(spark)
+    val d = "/root/testdata/sf0.01" // same grid as the multiprobe spec
+    val emb = graft.Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))
+    val exact = cands.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(call_function("graft_cosine", col("qe"), col("ve")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+      pairs.count(exact).toDouble / exact.size
+    }
+    // equal budget: 32 cells, 2 probes each way (naive cells 9..26
+    // members, trained cells balanced ~n/32 — same expected candidate
+    // count). Measured here: trained 0.33 vs naive 0.20 — Lloyd cells
+    // follow the data's density where first-c Voronoi sites are
+    // arbitrary corpus points.
+    val trained = recall(SimilarityOps.simKnnMultiprobeTrained(spark, d, 32, 2))
+    val naive = recall(SimilarityOps.simKnnMultiprobeCfg(spark, d, 32, 2))
+    info(f"recall@3 at (32 cells, 2 probes): trained=$trained%.2f naive=$naive%.2f")
+    assert(trained > naive,
+      s"trained quantizer must add recall at equal budget: $trained !> $naive")
+  }
+
   test("queries are broadcast in brute-force search (big side never shuffles)") {
     val plan = SimilarityOps.simCosineTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
