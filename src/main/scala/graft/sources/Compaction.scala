@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * `files.maxPartitionBytes` + `files.openCostInBytes` — the latter
   * exists precisely because small files are this expensive).
   *
-  * Two modes, chosen by whether a sort key is given:
+  * Three modes, chosen by which keys are given:
   *  - UNSORTED (size-only): `coalesce(n)` — NO shuffle; each output
   *    task concatenates input splits. The cheapest possible rewrite,
   *    right when the table has no dominant access predicate.
@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   *    the same economics as the bucketed-twin rule (§SparkEntry
   *    .layoutPrimary): pay one shuffle at write time, delete scan work
   *    on every read after.
+  *  - Z-ORDERED (multi-key layout, r17): the sorted mode prunes on ONE
+  *    key — a second access predicate gets nothing. Z-ordering ranks
+  *    each key into 2^ZBITS quantile buckets (approxQuantile
+  *    boundaries, so skewed values still spread evenly — the Delta
+  *    OPTIMIZE ZORDER posture of curving over rank, not raw value) and
+  *    interleaves the bucket bits into one curve key; range-partition +
+  *    sort on that key gives every file a small hyper-rectangle of the
+  *    key space, so min/max stats bound EVERY participating column per
+  *    file and a point/range filter on ANY of the keys touches a
+  *    bounded file subset (spec-proven against both the fragmented
+  *    baseline and the one-key-sorted layout's blind second key). Same
+  *    single-shuffle cost as SORTED; the quantile pass is one
+  *    stat-sketch scan.
   *
   * Output file count = ceil(input bytes / targetBytes), computed from
   * the REAL file listing, never a row-count guess — compression ratio
@@ -52,20 +65,60 @@ object Compaction {
       .map(st => (st.getPath.toString, st.getLen))
   }
 
-  /** Compact `srcDir` into `dstDir`. `sortKeys` empty → shuffle-free
-    * coalesce; non-empty → range-partition + sort within partitions on
-    * those keys. Returns the before/after report. */
+  /** Quantile buckets per interleave key: 2^6 = 64 cells per axis —
+    * 4096 z-cells for two keys, plenty of resolution above any sane
+    * file count, and the bucket assignment is 63 codegen'd compares. */
+  private val ZBITS = 6
+
+  /** The interleaved-bits curve key over the given columns' quantile
+    * buckets: bit i of key j lands at position i·m + (m−1−j) — the
+    * classic Morton/Z-value, generalized to m keys. */
+  private def zValue(spark: SparkSession,
+                     df: org.apache.spark.sql.DataFrame,
+                     keys: Seq[String]): org.apache.spark.sql.Column = {
+    val m = keys.length
+    val nb = (1 << ZBITS) - 1 // boundaries per key
+    val buckets = keys.map { k =>
+      val bounds = df.stat.approxQuantile(k,
+        (1 to nb).map(_.toDouble / (nb + 1)).toArray, 0.001)
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(k).cast("double") >= b, 1).otherwise(0)
+      }
+    }
+    buckets.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, j)) =>
+      (0 until ZBITS).foldLeft(acc) { (a, i) =>
+        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * m + (m - 1 - j))
+          .cast("long")
+      }
+    }
+  }
+
+  /** Compact `srcDir` into `dstDir`. No keys → shuffle-free coalesce;
+    * `sortKeys` → range-partition + sort within partitions on them;
+    * `zorderKeys` (≥ 2) → range-partition + sort on the interleaved
+    * quantile-bucket curve key. Returns the before/after report. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              sortKeys: Seq[String] = Nil): CompactReport = {
+              sortKeys: Seq[String] = Nil,
+              zorderKeys: Seq[String] = Nil): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(sortKeys.isEmpty || zorderKeys.isEmpty,
+      "sortKeys and zorderKeys are mutually exclusive modes")
+    require(zorderKeys.isEmpty || zorderKeys.length >= 2,
+      "z-ordering one key is just sorting — use sortKeys")
     val before = listParquet(spark, srcDir)
     require(before.nonEmpty, s"no parquet files under $srcDir")
     val bytesBefore = before.map(_._2).sum
     val n = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(srcDir)
     val out =
-      if (sortKeys.isEmpty) df.coalesce(n)
+      if (zorderKeys.nonEmpty) {
+        val withZ = df.withColumn("__zkey", zValue(spark, df, zorderKeys))
+        withZ.repartitionByRange(n, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      }
+      else if (sortKeys.isEmpty) df.coalesce(n)
       else df.repartitionByRange(n, sortKeys.map(col): _*)
         .sortWithinPartitions(sortKeys.map(col): _*)
     out.write.mode("overwrite").parquet(dstDir)

@@ -63,4 +63,46 @@ class CompactionSpec extends SparkTestBase {
     val overlaps = ranges.zip(ranges.tail).count { case ((_, hi), (lo, _)) => lo < hi }
     assert(overlaps == 0, s"range-partitioned files must not overlap: ${ranges.toSeq}")
   }
+
+  test("z-order compaction: a point filter on EITHER key touches a bounded file subset") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_z").toString
+    fragment(s"$base/frag", 32)
+    val zrep = Compaction.compact(spark, s"$base/frag", s"$base/zord",
+      targetBytes = 12L * 1024, zorderKeys = Seq("l_orderkey", "l_partkey"))
+    Compaction.compact(spark, s"$base/frag", s"$base/sorted1",
+      targetBytes = 12L * 1024, sortKeys = Seq("l_orderkey"))
+    assert(zrep.filesAfter > 4, "need several output files to demonstrate pruning")
+    def filesTouched(dir: String, key: String, v: Long) =
+      spark.read.parquet(dir).filter(col(key) === v)
+        .select(input_file_name()).distinct().count()
+    val keys = Seq("l_orderkey", "l_partkey")
+    // probe values that actually occur, away from the extremes
+    val probe = keys.map { k =>
+      k -> spark.read.parquet(s"$base/frag")
+        .stat.approxQuantile(k, Array(0.5), 0.01).head.toLong
+    }.toMap
+    val probeVals = keys.map { k =>
+      k -> spark.read.parquet(s"$base/frag").filter(col(k) >= probe(k))
+        .agg(min(col(k))).head().getLong(0)
+    }.toMap
+    for (k <- keys) {
+      val z = filesTouched(s"$base/zord", k, probeVals(k))
+      val frag = filesTouched(s"$base/frag", k, probeVals(k))
+      assert(z <= (zrep.filesAfter + 1) / 2,
+        s"$k: z-layout must bound the touched subset: $z of ${zrep.filesAfter}")
+      assert(z < frag, s"$k: z-layout $z files !< fragmented $frag")
+    }
+    // the motivating gap: the one-key-sorted layout is BLIND to the
+    // second key — the same l_partkey probe touches (almost) every
+    // file there, and strictly more than the z-layout
+    val zSecond = filesTouched(s"$base/zord", "l_partkey", probeVals("l_partkey"))
+    val sortedSecond = filesTouched(s"$base/sorted1", "l_partkey", probeVals("l_partkey"))
+    assert(zSecond < sortedSecond,
+      s"z-layout must beat the sorted layout on its blind key: $zSecond !< $sortedSecond")
+    // content preserved
+    def sig(dir: String) = spark.read.parquet(dir)
+      .groupBy().agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"))
+      .collect().head.toString
+    assert(sig(s"$base/frag") == sig(s"$base/zord"))
+  }
 }
