@@ -933,6 +933,33 @@ object Lab {
             ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
           .groupBy().agg(count(lit(1)).as("n"))
       }),
+      // ---- r17: attribution floor decomposition -------------------------
+      // stage 1 floor: the filtered scan + projection the window cannot
+      // avoid (partial agg forces every column to be read, no exchange)
+      "attr_scan_floor" -> (() =>
+        events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"),
+            col("event_type"), col("value"))
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .groupBy().agg(sum(col("user_id").cast("double")),
+            sum(col("event_id").cast("double")), sum(col("tsu").cast("double")),
+            count("event_type"), sum("value"))),
+      // stage 2: scan + the user_id exchange + sort, NO window function
+      // (sortWithinPartitions after repartition = the window's physical
+      // prefix) — isolates what the window computation itself adds
+      "attr_exchange_sort" -> (() =>
+        events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"),
+            col("event_type"), col("value"))
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "tsu", "event_id")
+          .groupBy().agg(sum(col("user_id").cast("double")),
+            sum(col("event_id").cast("double")), sum(col("tsu").cast("double")),
+            count("event_type"), sum("value"))),
+      // the full production lane
+      "attr_full" -> (() =>
+        operators.BehaviorOps.queries("q_attribution")(s, d)),
       // ---- r17: the fuzzy-pairs 510 s tail ------------------------------
       // the r16 production form: builtin banded DP after the bag screen
       "fuzzy_builtin_dp" -> (() => {
