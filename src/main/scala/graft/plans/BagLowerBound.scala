@@ -25,12 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * row-identical to the unscreened one, and the oracle never changes).
   *
   * Measured (sf3, same JVM): pass rate 63% on the shared-vocabulary
-  * corpus → text_fuzzy_pairs 153 → 128 s. A q=2 Ukkonen gram bound
-  * (⌈L1(bigram bags)/4⌉) was measured and REJECTED: the /2q divisor
-  * outweighs the grams' extra discrimination on this corpus (72% pass
-  * — strictly worse). The residual cost is the ~16% of candidates
-  * that genuinely sit near the threshold; their banded DP is the
-  * honest price of the degenerate corpus (BENCH_SF10_SWEEP_R15 note).
+  * corpus → text_fuzzy_pairs 153 → 128 s against the banded DP (r16).
+  * A q=2 Ukkonen gram bound (⌈L1(bigram bags)/4⌉) was measured and
+  * REJECTED: the /2q divisor outweighs the grams' extra discrimination
+  * on this corpus (72% pass — strictly worse). r17 swapped the DP
+  * behind this screen for the bit-parallel [[Lev64]] (~900 word-ops),
+  * which shrinks the screen's margin but it still pays: fuzzy at sf3
+  * measured 5.8 s screened vs 8.4 s unscreened (Lab
+  * fuzzy_lev64/_noscreen).
   */
 case class BagLowerBound(left: Expression, right: Expression)
   extends BinaryExpression {

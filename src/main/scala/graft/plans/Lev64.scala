@@ -14,16 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * are ≤ 60-char prefixes. The whole DP column fits in one machine
   * word: each text symbol costs ~15 bitwise ops, so a 60×60 pair costs
   * ~900 word ops versus the ~2,600 cells (~15k ops) of the banded DP
-  * behind `levenshtein(a, b, k)` — measured 510 s → well under the
-  * 100 s bar for the sf10 fuzzy lane (BENCH_SF10_R17). The DP
-  * verification was the dominant cost there BECAUSE the corpus is
-  * dense in near-qualifying pairs (63% survive the bag prescreen) —
-  * no blocking scheme can prune below the qualifying-pair count, so
-  * the per-pair constant is the honest lever (PassJoin segment
-  * blocking measured and rejected for this threshold: k=20 on 60-char
-  * prefixes gives 21 segments of ~3 chars whose collision rate on the
-  * shared-vocabulary corpus ADMITS more candidates than the block
-  * cross product — numbers in Lab.scala).
+  * behind `levenshtein(a, b, k)` — the sf10 fuzzy lane measured
+  * 510 s (r16, banded DP) → 28.7 s (r17, this expression); sf3
+  * 119.5 → 5.5 s same-JVM, rows identical. The DP verification was
+  * the dominant cost there BECAUSE the corpus is dense in qualifying
+  * pairs (sf3 census: 9.6M block candidates → 6.0M past the bag
+  * screen → 1.29M output pairs) — no blocking scheme can prune below
+  * the qualifying-pair count, so the per-pair constant is the honest
+  * lever. PassJoin segment blocking (the textbook lossless equi-join
+  * key for bounded edit distance) was measured and REJECTED for this
+  * threshold: at k=20 over 60-char prefixes even the ALIGNED-segment
+  * lower bound admits every block candidate (15,752 of 15,752 at
+  * sf0.1 — Lab fuzzy_passjoin_probe), so true PassJoin (strictly more
+  * candidates, 21× explode) prunes nothing on this shared-vocabulary
+  * corpus.
   *
   * Contract — identical to `levenshtein(a, b, threshold)`: the exact
   * distance when it is ≤ threshold, −1 otherwise, counted over CODE
