@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * word: each text symbol costs ~15 bitwise ops, so a 60×60 pair costs
   * ~900 word ops versus the ~2,600 cells (~15k ops) of the banded DP
   * behind `levenshtein(a, b, k)` — the sf10 fuzzy lane measured
-  * 510 s (r16, banded DP) → 28.7 s (r17, this expression); sf3
-  * 119.5 → 5.5 s same-JVM, rows identical. The DP verification was
+  * 510 s (r16, banded DP) → 22.1 s (r17, this expression; min across
+  * three windows, BENCH_SF10_R17 — DuckDB takes 274.5 s on the same
+  * pairs, so the lane flipped from n/a-DuckDB-crash to a 12× Spark
+  * win); sf3 119.5 → 5.5 s same-JVM, rows identical. The DP verification was
   * the dominant cost there BECAUSE the corpus is dense in qualifying
   * pairs (sf3 census: 9.6M block candidates → 6.0M past the bag
   * screen → 1.29M output pairs) — no blocking scheme can prune below
