@@ -356,13 +356,21 @@ object GraphOps {
     * ord(u) < ord(v) < ord(w) is counted exactly once: as the wedge
     * (u; v, w) closed by the oriented edge v→w. */
   def qTriangleReal(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    // MATERIALIZE the shared intermediates (r17, from the plan audit):
+    // und is referenced by deg + ord, ord three times (x/y/z), deg
+    // three times — without truncation each reference re-expands the
+    // whole extract→resolve pipeline into the plan (35 scalar-attach
+    // BNLJ nodes observed), re-running the regexp extraction ~10×.
+    // One localCheckpoint each turns the reuse into reads.
     val und = realEdges(s, d)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct().truncEager
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
+      .truncEager
     // orient: lower (deg, id) endpoint -> higher; carry hi's order key
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
@@ -373,6 +381,7 @@ object GraphOps {
         when(aLower, col("a")).otherwise(col("b")).as("lo"),
         when(aLower, col("b")).otherwise(col("a")).as("hi"),
         when(aLower, col("db")).otherwise(col("da")).as("dhi"))
+      .truncEager
     // wedge (lo; v, w) with ord(v) < ord(w); the closing edge {v, w},
     // if present, is then oriented v->w BY THE SAME TOTAL ORDER — the
     // semi-join stays a pure equi-join (hash, never nested-loop)
