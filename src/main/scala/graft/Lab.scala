@@ -933,6 +933,13 @@ object Lab {
             ntile(10).over(Window.orderBy(col("cust_rev").desc, col("o_custkey"))))
           .groupBy().agg(count(lit(1)).as("n"))
       }),
+      // ---- r17: the real-edge resolve join's skew (hot URL = doc 1
+      // carries ~1.5n probe rows; run with SPARK_GRAFT_LAB_CONF=
+      // "spark.sql.adaptive.skewJoin.enabled=false" for the off side)
+      "realedges_build" -> (() =>
+        operators.GraphOps.realEdges(s, d)
+          .groupBy().agg(count(lit(1)).as("n_edges"), sum("outdeg"),
+            max("dst"), max("src"))),
       // ---- r17: attribution floor decomposition -------------------------
       // stage 1 floor: the filtered scan + projection the window cannot
       // avoid (partial agg forces every column to be read, no exchange)

@@ -260,7 +260,7 @@ object GraphOps {
     *    partition — the reason the loop aggregates BEFORE joining ids.
     * The triangle lane (qTriangleReal) orients edges by (degree, id),
     * the power-law posture GraphOps:210 promises. */
-  private[operators] def realEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def realEdges(s: SparkSession, d: String): DataFrame = {
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     def zipf(k: Int): String =
       s"""(n_docs DIV (1 + CAST(conv(substring(md5(concat('edge:',
