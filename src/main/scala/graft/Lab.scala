@@ -1105,9 +1105,12 @@ object Lab {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"LAB $n%-24s ${ts.min}%8.2f s  (${ts.map(t => f"$t%.2f").mkString(" ")})")
-      // SPARK_GRAFT_LAB_SHOW=1: print the first rows (census probes)
+      // SPARK_GRAFT_LAB_SHOW=1: print the first rows (census probes).
+      // take(10), never collect().take — a row-returning lane (e.g. the
+      // fuzzy builtin census, millions of pairs) would materialize its
+      // entire result on the driver first (r18, per advice)
       if (sys.env.contains("SPARK_GRAFT_LAB_SHOW"))
-        fn().collect().take(10).foreach(r => println(s"  ROW $n: $r"))
+        fn().take(10).foreach(r => println(s"  ROW $n: $r"))
       // SPARK_GRAFT_LAB_METRICS=1: execute once more via collect() and
       // dump the final-AQE plan's node metrics (rows, timings, spills)
       if (sys.env.contains("SPARK_GRAFT_LAB_METRICS")) {

@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: verify just one query (dev loop)
+    // optional third arg: verify a comma-separated query subset (dev loop)
     val only: Option[String] = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -59,7 +59,7 @@ object Verify {
       f.delete(): Unit
     }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_ == name) }
+      .filter { case (name, _) => only.forall(_.split(",").contains(name)) }
       .foreach { case (name, fn) =>
       // clear the per-query dir first: a stale _ERROR.txt (or any prior
       // content) must not survive into this run's dump

@@ -522,12 +522,22 @@ object DedupOps {
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Hard round bound of the CC loop below. An oracle that unrolls
+    * EXACTLY this many min-propagation steps after the seed mirrors the
+    * loop bit-for-bit at ANY scale: each round is the identical
+    * min-over-neighbors+self update, early convergence is idempotent
+    * (extra unrolled steps are no-ops at the fixpoint), and past the
+    * bound both sides stop at the same round-CC_MAX vector
+    * (GraphOps' q_components_real oracle is built on this). */
+  private[operators] val CC_MAX = 20
+
   /** Iterative min-label-propagation connected components over a pair
     * list (any two id columns; symmetric closure taken here). Returns
     * (doc_id, rep) for every node that appears in a pair. Shared by the
-    * text near-dup clustering (dedupClusters) and the embedding-space
-    * semantic dedup (SimilarityOps.dedupSemantic) — one CC
-    * implementation, two candidate graphs. */
+    * text near-dup clustering (dedupClusters), the embedding-space
+    * semantic dedup (SimilarityOps.dedupSemantic), and the real-edge
+    * graph components (GraphOps.qComponentsReal) — one CC
+    * implementation, three candidate graphs. */
   private[operators] def connectedComponents(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.toDF("doc_a", "doc_b")
     // localCheckpoint truncates the candidate-generation lineage:
@@ -559,7 +569,7 @@ object DedupOps {
     var prevSum = repSum(reps)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < CC_MAX) {
       val viaNeighbor = edges
         .join(reps, edges("doc_b") === reps("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("rep"))

@@ -308,6 +308,49 @@ object GraphOps {
     prOutput(st)
   }
 
+  /** Connected components over the REAL extracted+resolved edge graph —
+    * the reachability profile next to PageRank's centrality (crawl-side
+    * uses: island detection, dead-cluster pruning, seed-set coverage).
+    * Runs the SAME iterative min-label-propagation loop the near-dup
+    * families run ([[DedupOps.connectedComponents]] — one CC
+    * implementation, three candidate graphs), here over the power-law
+    * [[realEdges]] table where the mega-hub (doc 1, in-degree ~0.9n)
+    * makes the per-round label join genuinely skewed: every round
+    * probes the hub's label from ~n edge rows, flattened by map-side
+    * partial aggregation on the min() — and at amplified skew the AQE
+    * skew-join split carries the rest (measured in Lab `cc_real_*`).
+    *
+    * Output: every document with its component representative (min
+    * doc_id in the component; isolated docs are their own singleton
+    * component) and the component's size.
+    *
+    * ORACLE: the loop's exact unroll — [[DedupOps.CC_MAX]]
+    * min-propagation steps after the min(self, neighbors) seed, each
+    * step the identical update, so early convergence (idempotent at
+    * the fixpoint) and the hard bound both mirror bit-for-bit at any
+    * SF; no convergence scalar needs to cross into SQL. */
+  def qComponentsReal(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val edges = realEdges(s, d).select("src", "dst").truncEager
+    val reps = DedupOps.connectedComponents(edges)
+    val all = documents(s, d).select(col("doc_id"))
+      .join(reps.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("comp"))
+    val sizes = all.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    all.join(sizes, "comp").select("doc_id", "comp", "comp_size")
+  }
+
+  /** One unrolled min-propagation step of the CC oracle — the SQL
+    * mirror of a [[DedupOps.connectedComponents]] round: each node's
+    * next label is the min over its own and all neighbors' labels. */
+  private def ccStep(prev: String, next: String): String =
+    s"""$next AS MATERIALIZED (SELECT doc_id, MIN(rep) AS rep FROM (
+       |  SELECT doc_id, rep FROM $prev
+       |  UNION ALL
+       |  SELECT und.doc_a AS doc_id, p.rep FROM und JOIN $prev p
+       |    ON und.doc_b = p.doc_id) u
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Triangle + wedge census of the derived link graph (global
     * clustering coefficient — the graph-cohesion profile next to
     * PageRank's centrality): undirected-distinct edges canonicalized
@@ -445,7 +488,8 @@ object GraphOps {
     "q_pagerank_converged" -> (qPagerankConverged _),
     "q_pagerank_real" -> (qPagerankReal _),
     "q_triangle_count" -> (qTriangleCount _),
-    "q_triangle_real" -> (qTriangleReal _)
+    "q_triangle_real" -> (qTriangleReal _),
+    "q_components_real" -> (qComponentsReal _)
   )
 
   /** the derived-edge CTE chain shared by every graph oracle — the SQL
@@ -587,6 +631,25 @@ object GraphOps {
          |wed AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
          |SELECT n_triangles, n_wedges,
          |  floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6 AS closure
-         |FROM tri, wed""".stripMargin
+         |FROM tri, wed""".stripMargin,
+    // the CC loop's exact unroll over the real-edge CTEs: symmetric
+    // closure, min(self, neighbors) seed, CC_MAX identical update
+    // steps — mirrors connectedComponents bit-for-bit at any SF (see
+    // DedupOps.CC_MAX); isolated docs re-attach as singleton comps
+    "q_components_real" -> {
+      val steps = (1 to DedupOps.CC_MAX).map(i => ccStep(s"l${i - 1}", s"l$i"))
+        .mkString(",\n")
+      s"""WITH $realEdgeCtes,
+         |und AS MATERIALIZED (SELECT src AS doc_a, dst AS doc_b FROM e
+         |  UNION SELECT dst AS doc_a, src AS doc_b FROM e),
+         |l0 AS MATERIALIZED (SELECT doc_a AS doc_id,
+         |    LEAST(doc_a, MIN(doc_b)) AS rep FROM und GROUP BY doc_a),
+         |$steps,
+         |alld AS (SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN l${DedupOps.CC_MAX} l USING (doc_id)),
+         |sizes AS (SELECT comp, count(*) AS comp_size FROM alld GROUP BY comp)
+         |SELECT alld.doc_id, alld.comp, CAST(sizes.comp_size AS BIGINT) AS comp_size
+         |FROM alld JOIN sizes USING (comp)""".stripMargin
+    }
   )
 }

@@ -148,7 +148,16 @@ object JsonLongField {
           // float — and END-OF-INPUT is a truncated document (the
           // object never closed; Jackson NULLs it; r17)
           if (e >= n) return null
-          if (b(e) != ',' && b(e) != '}' && !isWs(b(e))) return null
+          if (isWs(b(e))) {
+            // ws is only a SEPARATOR, not a terminator: the object must
+            // continue with ',' or '}' after it — a pure-ws tail is the
+            // same truncated document as digits-at-EOF ({"k": 7 ␠ →
+            // Jackson NULLs), and any other byte after a completed
+            // value is malformed ({"k": 7 x}) (r18, per advice)
+            var w = e
+            while (w < n && isWs(b(w))) w += 1
+            if (w >= n || (b(w) != ',' && b(w) != '}')) return null
+          } else if (b(e) != ',' && b(e) != '}') return null
           return parseDigits(b, t, e, neg)
         }
         if (isKey) i = t + 1 // continue after the colon

@@ -73,22 +73,26 @@ object Compaction {
   /** The interleaved-bits curve key over the given columns' quantile
     * buckets: bit i of key j lands at position i·m + (m−1−j) — the
     * classic Morton/Z-value, generalized to m keys. */
-  private def zValue(spark: SparkSession,
-                     df: org.apache.spark.sql.DataFrame,
-                     keys: Seq[String]): org.apache.spark.sql.Column = {
+  private[sources] def zValue(spark: SparkSession,
+                              df: org.apache.spark.sql.DataFrame,
+                              keys: Seq[String]): org.apache.spark.sql.Column = {
     val m = keys.length
+    require(m * ZBITS <= 63, s"z-order curve key overflows a long: $m keys × $ZBITS bits")
     val nb = (1 << ZBITS) - 1 // boundaries per key
     val buckets = keys.map { k =>
       val bounds = df.stat.approxQuantile(k,
         (1 to nb).map(_.toDouble / (nb + 1)).toArray, 0.001)
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(k).cast("double") >= b, 1).otherwise(0)
+      // LONG from the start (r18, per advice): the shift positions below
+      // reach i·m + (m−1−j) ≥ 32 once m ≥ 6, and Java int shifts wrap
+      // the distance mod 32 — high-key bits would silently collide with
+      // low ones (layout corrupt, pruning degraded, no error anywhere)
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(k).cast("double") >= b, 1L).otherwise(0L)
       }
     }
     buckets.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, j)) =>
       (0 until ZBITS).foldLeft(acc) { (a, i) =>
-        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * m + (m - 1 - j))
-          .cast("long")
+        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * m + (m - 1 - j))
       }
     }
   }

@@ -85,6 +85,55 @@ object StreamOps {
     dir.toString
   }
 
+  /** Drive an append-mode streaming DataFrame to completion through a
+    * PARQUET sink (foreachBatch, one overwritten subdir per micro-batch
+    * = replay-idempotent, the StreamIngest discipline) and hand back the
+    * lazy read of the result — the scale-safe measured path for lanes
+    * whose output is O(table). The memory sink materializes the ENTIRE
+    * result in driver heap before any consumer asks for a row; at sf10
+    * the outer-join lanes pushed 2M/3.9M rows through it, and at 100×
+    * that is a driver OOM (r18, per verdict — the sink was the last
+    * scale-killer flag on the surface). Bounded-output lanes (windowed
+    * aggregates, top-k) keep the memory sink: their result is small by
+    * construction and the view registry keeps re-runs clean. */
+  private def runToParquet(s: SparkSession, df: DataFrame,
+                           prefix: String): DataFrame = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory(s"graft_${prefix}_sink")
+    dir.toFile.deleteOnExit()
+    val out = s"$dir/data"
+    val q = df.writeStream
+      .option("checkpointLocation", s"$dir/chk")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // recursiveFileLookup: the batch_N subdirs are NOT partition dirs
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+  }
+
+  /** The outer-join lanes' emission horizon: min over the two JOINED
+    * sides' max event times − watermark delay − join window. A side
+    * with NO events means the engine's global watermark (the MIN across
+    * inputs) never advances past that input, so no outer row's emission
+    * is ever provable — the horizon is None, not the other side's max
+    * (`least()` skips SQL NULLs and would silently fall back; with
+    * both sides absent `.getLong` would NPE; r18, per advice). The
+    * oracle mirrors with an explicit CASE that NULLs the horizon when
+    * either per-type max is NULL — a NULL comparison then admits no
+    * null-lane rows, matching None here. */
+  private def joinHorizonUs(s: SparkSession, d: String): Option[Long] = {
+    val r = Tables.events(s, d)
+      .agg(max(when(col("event_type") === "view", expr("ts div 1000"))).as("mv"),
+           max(when(col("event_type") === "purchase", expr("ts div 1000"))).as("mp"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some(math.min(r.getLong(0), r.getLong(1)) - 7200000000L)
+  }
+
   /** Tumbling 1-hour event-time window aggregation over the events
     * stream, driven to completion with Trigger.AvailableNow so the
     * result is a finite DataFrame (the driver's batch contract).
@@ -194,17 +243,8 @@ object StreamOps {
         "timestamp_seconds(ts div 1000000000) AS event_time")
       .withWatermark("event_time", "30 minutes")
       .as[Ev]
-    // drop memory sinks left by earlier invocations in this session
-    // (warm-up + repeated bench passes accumulate full result copies);
-    // only views THIS module created — never other owners' sess_* views
-    val name = replaceOwnedView(s, "sess_")
-    val q = sessionize(ds).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    // parquet sink: the session list is O(table) — see runToParquet
+    runToParquet(s, sessionize(ds).toDF(), "ssess")
   }
 
   /** Exactly-once ingest dedup under at-least-once delivery: the event
@@ -243,14 +283,8 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("ts_s"), col("event_type"))
-    val name = replaceOwnedView(s, "dedup_")
-    val q = deduped.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    // parquet sink: the deduped stream is O(table) — see runToParquet
+    runToParquet(s, deduped, "sdedup")
   }
 
   /** Streaming top-k: the hourly per-type counts come from the REAL
@@ -428,29 +462,22 @@ object StreamOps {
         coalesce(unix_micros(col("p_time")) - unix_micros(col("v_time")),
           lit(-1L)).as("gap_us"),
         unix_micros(col("p_time")).as("p_us"))
-    val name = replaceOwnedView(s, "sjoutr_")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
+    val result =
+      try runToParquet(s, joined, "sjoutr")
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
     // horizon from the batch table (the run is bounded; a live
     // deployment has no horizon — rows emit as the watermark advances).
     // min over the two joined sides: the engine's global watermark
-    // tracks the SLOWER input, never the corpus-wide max
-    val maxUs = Tables.events(s, d)
-      .agg(least(
-        max(when(col("event_type") === "view", expr("ts div 1000"))),
-        max(when(col("event_type") === "purchase", expr("ts div 1000")))))
-      .head().getLong(0)
-    s.table(name)
-      .filter(col("view_id") =!= -1L || col("p_us") <= maxUs - 7200000000L)
-      .drop("p_us")
+    // tracks the SLOWER input, never the corpus-wide max; a MISSING
+    // side admits no null-lane rows at all (see joinHorizonUs)
+    joinHorizonUs(s, d) match {
+      case Some(h) =>
+        result.filter(col("view_id") =!= -1L || col("p_us") <= h).drop("p_us")
+      case None =>
+        result.filter(col("view_id") =!= -1L).drop("p_us")
+    }
   }
 
   /** FULL-outer stream-stream join — [[streamJoinOuter]]'s emission-
@@ -495,29 +522,19 @@ object StreamOps {
           lit(-1L)).as("gap_us"),
         coalesce(unix_micros(col("p_time")), lit(Long.MaxValue)).as("p_us"),
         coalesce(unix_micros(col("v_time")), lit(Long.MaxValue)).as("v_us"))
-    val name = replaceOwnedView(s, "sjfull_")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
+    val result =
+      try runToParquet(s, joined, "sjfull")
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val maxUs = Tables.events(s, d)
-      .agg(least(
-        max(when(col("event_type") === "view", expr("ts div 1000"))),
-        max(when(col("event_type") === "purchase", expr("ts div 1000")))))
-      .head().getLong(0)
-    val horizon = maxUs - 7200000000L
-    s.table(name)
-      .filter(
-        (col("view_id") =!= -1L && col("purchase_id") =!= -1L) ||
-        (col("view_id") === -1L && col("p_us") <= horizon) ||
-        (col("purchase_id") === -1L && col("v_us") <= horizon))
-      .drop("p_us", "v_us")
+    val inner = col("view_id") =!= -1L && col("purchase_id") =!= -1L
+    (joinHorizonUs(s, d) match {
+      case Some(h) =>
+        result.filter(inner ||
+          (col("view_id") === -1L && col("p_us") <= h) ||
+          (col("purchase_id") === -1L && col("v_us") <= h))
+      case None => result.filter(inner)
+    }).drop("p_us", "v_us")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -544,13 +561,18 @@ object StreamOps {
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
     // batch left range-join with the SAME emission-horizon predicate
-    // the operator applies (see streamJoinOuter's scaladoc)
+    // the operator applies (see streamJoinOuter's scaladoc); the CASE
+    // NULLs mx when either side is empty — least() skips NULLs and
+    // would fall back to the other side's max, admitting null-lane
+    // rows whose emission the frozen watermark never proves (r18)
     "stream_join_outer" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),
-        |m AS (SELECT least(
+        |m AS (SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN us END) IS NULL
+        |      OR max(CASE WHEN event_type = 'purchase' THEN us END) IS NULL
+        |    THEN NULL ELSE least(
         |    max(CASE WHEN event_type = 'view' THEN us END),
-        |    max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx FROM e),
+        |    max(CASE WHEN event_type = 'purchase' THEN us END)) END AS mx FROM e),
         |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS vu, event_id AS vid, us AS vus FROM e
         |  WHERE event_type = 'view')
@@ -566,9 +588,11 @@ object StreamOps {
     "stream_join_full" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),
-        |m AS (SELECT least(
+        |m AS (SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN us END) IS NULL
+        |      OR max(CASE WHEN event_type = 'purchase' THEN us END) IS NULL
+        |    THEN NULL ELSE least(
         |    max(CASE WHEN event_type = 'view' THEN us END),
-        |    max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx FROM e),
+        |    max(CASE WHEN event_type = 'purchase' THEN us END)) END AS mx FROM e),
         |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS vu, event_id AS vid, us AS vus FROM e
         |  WHERE event_type = 'view')

@@ -204,4 +204,38 @@ class GraphMvBloomSpec extends SparkTestBase {
     assert(days.getLong(0) > 0 && days.getLong(1) > 0,
       "cutoff must split the boundary week into non-empty halves")
   }
+
+  test("real-edge connected components match a driver-side union-find") {
+    val got = GraphOps.qComponentsReal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(got.length == n, "every document gets a component row")
+    // brute force: union-find over the collected edge list (bounded:
+    // ~4 edges/doc at spec SF)
+    val edges = GraphOps.realEdges(spark, sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    // canonical rep = min doc_id per component (the loop's min-label
+    // semantics); isolated docs are their own singleton
+    val members = (0L until n).groupBy(x => find(x))
+    val repOf = members.flatMap { case (_, ms) =>
+      val mn = ms.min; ms.map(_ -> mn)
+    }
+    val sizeOf = members.map { case (r2, ms) => ms.min -> ms.size.toLong }
+    got.foreach { case (doc, comp, size) =>
+      assert(comp == repOf(doc), s"doc $doc: comp $comp != ${repOf(doc)}")
+      assert(size == sizeOf(comp), s"comp $comp size")
+    }
+    // the power-law graph must actually be dominated by one giant
+    // component (the hub absorbs most docs) — the lane's premise
+    assert(got.map(_._3).max > n / 2, "expected a giant component")
+  }
 }

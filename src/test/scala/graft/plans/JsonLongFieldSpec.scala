@@ -52,6 +52,10 @@ class JsonLongFieldSpec extends SparkTestBase {
       """{"k": "007"}""",                     // QUOTED leading zero coerces (string cast)
       """{"k": 7} trailing""",                // Jackson ignores post-object bytes -> 7
       """{"k": 7""",                          // truncated AFTER the value -> null
+      """{"k": 7 """,                         // digits + ws at EOF: still truncated (r18)
+      "{\"k\": 7 \n\t ",                      // ...multi-ws tail, same
+      """{"k": 7 }""",                        // ws then close -> 7
+      """{"k": 7 x}""",                       // ws then junk: malformed -> null (r18)
       """{"k": "12""""                        // truncated after a quoted value -> null
     )
     val s = spark

@@ -113,4 +113,35 @@ class CompactionSpec extends SparkTestBase {
       .collect().head.toString
     assert(sig(s"$base/frag") == sig(s"$base/zord"))
   }
+
+  test("z-order curve key is exact past 5 keys (64-bit interleave, no int wrap)") {
+    // r18, per advice: with m >= 6 keys the bit position i·m + (m−1−j)
+    // exceeds 31; int shift semantics would wrap it mod 32 and collide
+    // high-key bits onto low positions (silent layout corruption). The
+    // curve is now computed in long end to end — assert it against a
+    // driver-side reference Morton interleave over the SAME quantile
+    // buckets, plus an explicit above-2^32 witness.
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 6).map(j => s"k$j")
+    // 64 rows; each key column carries the full 0..63 range, permuted
+    // coprime-to-64 per key so every key contributes independent bits
+    val df = (0 until 64).map { i =>
+      (i.toLong, ((i * 7) % 64).toLong, ((i * 11) % 64).toLong,
+        ((i * 13) % 64).toLong, ((i * 19) % 64).toLong, ((i * 23) % 64).toLong)
+    }.toDF(keys: _*)
+    val rows = df.withColumn("__z", Compaction.zValue(spark, df, keys)).collect()
+    val boundsPerKey = keys.map(k =>
+      df.stat.approxQuantile(k, (1 to 63).map(_.toDouble / 64).toArray, 0.001))
+    def bucket(v: Double, bounds: Array[Double]): Long = bounds.count(v >= _).toLong
+    rows.foreach { r =>
+      val bs = keys.indices.map(j => bucket(r.getLong(j).toDouble, boundsPerKey(j)))
+      var ref = 0L
+      for (i <- 0 until 6; j <- 0 until 6)
+        ref |= ((bs(j) >> i) & 1L) << (i * 6 + (6 - 1 - j))
+      assert(r.getAs[Long]("__z") == ref, s"row $r")
+    }
+    assert(rows.map(_.getAs[Long]("__z")).max >= (1L << 35),
+      "a max-bucket row must set bits above 2^32 — int arithmetic wrapped them")
+  }
 }

@@ -309,4 +309,29 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!evicted.exists(_._1 == 8L), s"premature eviction: $evicted")
     q.stop()
   }
+
+  test("outer-join lanes: a MISSING side admits no null-lane rows (frozen watermark)") {
+    import org.apache.spark.sql.functions._
+    // r18, per advice: least() skips SQL NULLs, so with zero view
+    // events the horizon silently fell back to the purchase-side max —
+    // but the engine's global watermark (the MIN across inputs) never
+    // advances past an empty input, so NO outer emission is provable.
+    // The operator must emit nothing; the oracle's CASE-NULL horizon
+    // mirrors it (a NULL comparison admits no null-lane rows).
+    val base = java.nio.file.Files.createTempDirectory("graft_oneside").toString
+    graft.Tables.eventsRaw(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    assert(StreamOps.streamJoinOuter(spark, base).count() == 0,
+      "purchases-only corpus: no null row's emission is provable")
+    // symmetric: views only — the full-outer view null lane is equally
+    // unprovable (and the two-NULL NPE path is exercised nowhere:
+    // at least one side exists in any non-empty corpus)
+    val base2 = java.nio.file.Files.createTempDirectory("graft_oneside_v").toString
+    graft.Tables.eventsRaw(spark, sf)
+      .filter(col("event_type") === "view")
+      .write.mode("overwrite").parquet(s"$base2/events.parquet")
+    assert(StreamOps.streamJoinFull(spark, base2).count() == 0,
+      "views-only corpus: no null row's emission is provable")
+  }
 }
