@@ -81,7 +81,8 @@ object SkewBench {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: SkewBench <srcSfDir> <dstDir> <replicas>")
+    require(args.length == 3,
+      "usage: SkewBench <srcSfDir> <dstDir> <replicas>  (replicas=0: real-edge lanes only)")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SKEW_OUT", "skewbench.json")
@@ -95,7 +96,7 @@ object SkewBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, src, dst, n)
+    if (n > 0) gen(spark, src, dst, n)
 
     def fact = spark.read.parquet(s"$dst/events_skew.parquet")
     def users = spark.read.parquet(s"$dst/users.parquet")
@@ -142,28 +143,101 @@ object SkewBench {
       }
     }
 
-    val rows = fact.count()
-    val hot = fact.filter(col("user_id") === 0).count()
-    val results = Seq(
-      lane("agg_naive", aqeOff, aggNaive _),
-      lane("agg_salted", aqeOff, aggSalted _),
-      lane("join_naive", aqeOff, joinPlain _),
-      // 4m = the 256 MB default scaled to this fact: MISSES, because
-      // the hot key's identical values compress below any byte bar
-      lane("join_aqe_4m", aqeOn("4m", "2m"), joinPlain _),
-      // tuned against COMPRESSED block sizes: the split fires
-      lane("join_aqe_tuned", aqeOn("512k", "256k"), joinPlain _),
-      lane("join_salted", aqeOff, joinSalted _))
-    // the two mitigations must agree with the naive plan's answer
-    val expect = {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      joinPlain().orderBy("segment").collect().map(_.toSeq).toSeq
+    // ---- r18: the real-edge RESOLVE join at AMPLIFIED skew -----------
+    // The production realEdges build carries ~1.5n hot-URL probe rows
+    // and the skew split is not yet binding at sf10 (Lab
+    // realedges_build: 3.14 s AQE-skew-ON vs 3.15 s OFF). SURVEY's
+    // standing claim — "at 100× the skew-join split becomes the
+    // relevant lever" — is tested HERE: AMP Zipf links per doc (~half
+    // to doc 1's URL) make the hot partition dominate the shuffle-hash
+    // resolve join outright, and the AQE split is measured OFF / at
+    // the 256 MB default / tuned / against the salted form, on the
+    // SAME url-equi-join shape realEdges runs. The index side keeps
+    // its shuffle_hash hint (at crawl scale a URL→doc index never
+    // broadcasts), exactly as prCore pins its gear.
+    val AMP = 16
+    def docs = spark.read.parquet(s"$src/documents.parquet")
+    // links MATERIALIZED once (deterministic md5 Zipf decoration, the
+    // realEdges page shape): the measured lanes then isolate the
+    // resolve JOIN from the probe-side hash generation — otherwise the
+    // 8M md5s dominate the lane and dilute the skew signal
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/amp_links.parquet"))) {
+        val nD = docs.agg(count(lit(1)).as("n_docs"))
+        def zipf(k: Int): String =
+          s"""(n_docs DIV (1 + CAST(conv(substring(md5(concat('amp:',
+             |  CAST(doc_id AS STRING), ':$k')), 1, 8), 16, 10) AS BIGINT)
+             |  % n_docs)) % n_docs""".stripMargin
+        docs.select(col("doc_id")).crossJoin(broadcast(nD))
+          .select(col("doc_id").as("lsrc"),
+            explode(array((1 to AMP).map(k =>
+              concat(lit("https://docs.example/d"), expr(zipf(k)))): _*)).as("url"))
+          .repartition(16)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/amp_links.parquet")
+      }
     }
-    require(joinSalted().orderBy("segment").collect().map(_.toSeq).toSeq == expect,
-      "salted join diverged from the plain join")
+    def ampLinks = spark.read.parquet(s"$dst/amp_links.parquet")
+    def ampIdx = docs.select(
+      concat(lit("https://docs.example/d"), col("doc_id")).as("url"),
+      col("doc_id").as("dst"))
+    def redgePlain() = ampLinks.join(ampIdx.hint("shuffle_hash"), "url")
+      .groupBy().agg(count(lit(1)).as("nn"), sum("dst").as("sd"), sum("lsrc").as("ss"))
+    def redgeSalted() = {
+      val f = ampLinks.withColumn("salt", pmod(col("lsrc"), lit(32)).cast("int"))
+      val u = ampIdx.withColumn("salt", explode(sequence(lit(0), lit(31))))
+      f.join(u.hint("shuffle_hash"), Seq("url", "salt"))
+        .groupBy().agg(count(lit(1)).as("nn"), sum("dst").as("sd"), sum("lsrc").as("ss"))
+    }
+
+    val redgeResults = Seq(
+      lane("redge_amp_off", aqeOff, redgePlain _),
+      // the stock default (256 MB threshold): does byte-based skew
+      // detection even SEE a hot partition of highly compressible
+      // identical URLs? (the events lanes' measured blind spot)
+      lane("redge_amp_aqe_default", aqeOn("256m", "64m"), redgePlain _),
+      lane("redge_amp_aqe_tuned", aqeOn("1m", "512k"), redgePlain _),
+      lane("redge_amp_salted", aqeOff, redgeSalted _))
+    require(redgeSalted().collect().map(_.toSeq).toSeq ==
+      redgePlain().collect().map(_.toSeq).toSeq,
+      "salted resolve join diverged from the plain resolve join")
+    val ampRows = ampLinks.count()
+    val ampHot = {
+      val hotUrl = ampLinks.groupBy("url").count()
+        .orderBy(col("count").desc).limit(1)
+      hotUrl.collect().head.getLong(1)
+    }
+
+    val (results, rows, hot) =
+      if (n == 0) (Seq.empty[(String, Double)], 0L, 0L)
+      else {
+        val rws = fact.count()
+        val ht = fact.filter(col("user_id") === 0).count()
+        val res = Seq(
+          lane("agg_naive", aqeOff, aggNaive _),
+          lane("agg_salted", aqeOff, aggSalted _),
+          lane("join_naive", aqeOff, joinPlain _),
+          // 4m = the 256 MB default scaled to this fact: MISSES, because
+          // the hot key's identical values compress below any byte bar
+          lane("join_aqe_4m", aqeOn("4m", "2m"), joinPlain _),
+          // tuned against COMPRESSED block sizes: the split fires
+          lane("join_aqe_tuned", aqeOn("512k", "256k"), joinPlain _),
+          lane("join_salted", aqeOff, joinSalted _))
+        // the two mitigations must agree with the naive plan's answer
+        val expect = {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          joinPlain().orderBy("segment").collect().map(_.toSeq).toSeq
+        }
+        require(joinSalted().orderBy("segment").collect().map(_.toSeq).toSeq == expect,
+          "salted join diverged from the plain join")
+        (res, rws, ht)
+      }
     val json =
       s"""{"rows":$rows,"hot_key_rows":$hot,"cpus":$cpus,""" +
-      results.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}")
+      s""""amp_rows":$ampRows,"amp_hot_url_rows":$ampHot,""" +
+      (results ++ redgeResults)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     println(json)
