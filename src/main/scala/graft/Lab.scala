@@ -967,6 +967,13 @@ object Lab {
       // the full production lane
       "attr_full" -> (() =>
         operators.BehaviorOps.queries("q_attribution")(s, d)),
+      // r18: the row-grain twin's own register line — identical scan/
+      // exchange/sort/window prefix as attr_full (same plan through the
+      // window), plus the event_id % 251 sample filter and no final
+      // rollup; its floor decomposition is attr_scan_floor /
+      // attr_exchange_sort / THIS
+      "attr_rows_full" -> (() =>
+        operators.BehaviorOps.queries("q_attribution_rows")(s, d)),
       // ---- r17: the fuzzy-pairs 510 s tail ------------------------------
       // the r16 production form: builtin banded DP after the bag screen
       "fuzzy_builtin_dp" -> (() => {
