@@ -974,6 +974,16 @@ object Lab {
       // attr_exchange_sort / THIS
       "attr_rows_full" -> (() =>
         operators.BehaviorOps.queries("q_attribution_rows")(s, d)),
+      // r18: streaming outer-join decomposition (the attr_* discipline
+      // on the real streaming engine): source floor (scan + parquet
+      // sink, no join) / inner (join state + sink, no outer state) /
+      // the production outer and full lanes
+      "sjout_src_floor" -> (() => streaming.StreamOps.probeSourceFloor(s, d)),
+      "sjout_inner" -> (() => streaming.StreamOps.probeInner(s, d)),
+      "sjout_full" -> (() =>
+        streaming.StreamOps.queries("stream_join_outer")(s, d)),
+      "sjfull_full" -> (() =>
+        streaming.StreamOps.queries("stream_join_full")(s, d)),
       // ---- r17: the fuzzy-pairs 510 s tail ------------------------------
       // the r16 production form: builtin banded DP after the bag screen
       "fuzzy_builtin_dp" -> (() => {
