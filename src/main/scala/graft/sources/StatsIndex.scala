@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data-skipping manifest — the Delta/Iceberg stats-file
+  * shape next to [[Compaction]]'s layout modes: one manifest row per
+  * (data file, indexed key) carrying row count, min/max and a Bloom
+  * filter of the key's values, written as a PARQUET table under the
+  * underscore-hidden `_graft_stats` subdir (readers ignore `_`-prefixed
+  * paths, the `_SUCCESS`/`_delta_log` convention).
+  *
+  * Why a manifest when parquet already has row-group min/max: the
+  * footer stats are only consulted AFTER a file is opened — at 100 TB
+  * the scan cost of a selective point lookup is dominated by file
+  * opens and footer reads across millions of files. The manifest is
+  * ~10⁶× smaller than the data (bounded by files × keys × filter
+  * bits, not rows), loads in one driver read, and prunes the FILE LIST
+  * handed to the scan. Min/max alone cannot prune a file whose key
+  * range COVERS an absent probe (sparse keys, overlapping z-order
+  * ranges); the Bloom filter prunes exactly those — no false
+  * negatives, so a bloom-rejected file provably lacks the key (the
+  * dedup_bloom_screen argument, lifted from row grain to file grain).
+  *
+  * Build is one distributed pass: a per-file min/max/count aggregate,
+  * plus per-file DISTINCT set-bit positions (explode k hash positions
+  * per row → distinct) whose cardinality is capped by the filter size
+  * — the shuffle carries at most files × bits rows regardless of data
+  * volume. Bits/hash-count ride in the manifest so probe and build
+  * can never disagree.
+  *
+  * Hash contract: position_i(v) = pmod(xxhash64(v, i), bits) using
+  * Spark's chained xxhash64 (seed 42, then each arg seeded by the
+  * previous hash) — replicated exactly on the driver probe side via
+  * XXH64.hashLong(i, XXH64.hashLong(v, 42)). Integral keys only: the
+  * point-lookup shape this index serves (ids, order keys).
+  */
+object StatsIndex {
+
+  /** The probe's verdict, exposed for calibration and specs: which
+    * files min/max alone would admit, and which survive the bloom. */
+  case class Admission(minmaxAdmitted: Seq[String], admitted: Seq[String],
+                       totalFiles: Long)
+
+  private def manifestPath(dir: String) = s"$dir/_graft_stats"
+
+  /** Build (or rebuild) the manifest for `keys` over the parquet files
+    * under `dir`. Returns the number of data files indexed. */
+  def build(spark: SparkSession, dir: String, keys: Seq[String],
+            bits: Int = 1 << 17, hashes: Int = 4): Long = {
+    require(keys.nonEmpty, "index at least one key")
+    val df = spark.read.parquet(dir)
+    val mmAggs = keys.flatMap(k =>
+      Seq(min(col(k).cast("long")).as(s"mn_$k"), max(col(k).cast("long")).as(s"mx_$k"))) :+
+      count(lit(1)).as("rows")
+    val mm = df.groupBy(input_file_name().as("f"))
+      .agg(mmAggs.head, mmAggs.tail: _*).collect()
+      .map(r => r.getAs[String]("f") -> r).toMap
+    // distinct set-bit positions per (file, key): bounded by the filter
+    // size, not by rows — collect_set is safe by construction
+    val posRows = keys.map { k =>
+      df.select(input_file_name().as("f"), lit(k).as("key"),
+          // lit(i.toLong): an INT literal would route through Spark's
+          // hashInt and diverge from the driver probe's hashLong chain
+          explode(array((0 until hashes).map(i =>
+            pmod(xxhash64(col(k).cast("long"), lit(i.toLong)), lit(bits.toLong))): _*))
+            .as("pos"))
+        .distinct()
+        .groupBy("f", "key").agg(sort_array(collect_set(col("pos"))).as("pos"))
+    }.reduce(_ unionByName _).collect()
+    val s2 = spark
+    import s2.implicits._
+    val rows = posRows.map { r =>
+      val f = r.getAs[String]("f")
+      val k = r.getAs[String]("key")
+      val m = mm(f)
+      (f, k, m.getAs[Long]("rows"), m.getAs[Long](s"mn_$k"), m.getAs[Long](s"mx_$k"),
+        r.getSeq[Long](r.fieldIndex("pos")), bits, hashes)
+    }.toSeq
+    rows.toDF("file", "key", "rows", "mn", "mx", "pos", "bits", "hashes")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(dir))
+    mm.size.toLong
+  }
+
+  /** Driver-side mirror of pmod(xxhash64(CAST(v AS BIGINT), i), bits):
+    * Spark's multi-arg xxhash64 seeds with 42 and chains each argument
+    * with the previous hash as seed. */
+  private def bitPos(v: Long, i: Int, bits: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashLong(i.toLong, XXH64.hashLong(v, 42L))
+    ((h % bits) + bits) % bits
+  }
+
+  /** Which files can contain `key = v`, per the manifest. */
+  def admit(spark: SparkSession, dir: String, key: String, v: Long): Admission = {
+    val man = spark.read.parquet(manifestPath(dir))
+      .filter(col("key") === key).collect()
+    require(man.nonEmpty, s"no manifest entries for key $key under $dir")
+    val byRange = man.filter(r => r.getAs[Long]("mn") <= v && v <= r.getAs[Long]("mx"))
+    val admitted = byRange.filter { r =>
+      val bits = r.getAs[Int]("bits")
+      val hashes = r.getAs[Int]("hashes")
+      val pos = r.getSeq[Long](r.fieldIndex("pos")).toSet
+      (0 until hashes).forall(i => pos.contains(bitPos(v, i, bits)))
+    }
+    Admission(byRange.map(_.getAs[String]("file")).toSeq,
+      admitted.map(_.getAs[String]("file")).toSeq, man.length.toLong)
+  }
+
+  /** Point lookup through the manifest: the scan receives ONLY the
+    * admitted file list (empty → a no-data plan with the table's
+    * schema, zero files opened). No false negatives: the bloom admits
+    * every file that contains the key. */
+  def pointLookup(spark: SparkSession, dir: String, key: String, v: Long): DataFrame = {
+    val adm = admit(spark, dir, key, v)
+    if (adm.admitted.isEmpty)
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(adm.admitted: _*).filter(col(key) === v)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The file-level data-skipping manifest: a point filter reads ONLY
+  * manifest-admitted files on both the sorted and the z-ordered
+  * layout; the bloom prunes in-range-but-absent probes min/max can't;
+  * and admission has no false negatives (present keys always equal
+  * the full-scan result). */
+class StatsIndexSpec extends SparkTestBase {
+
+  private lazy val base = {
+    val b = java.nio.file.Files.createTempDirectory("graft_statsidx").toString
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(32).write.mode("overwrite").parquet(s"$b/frag")
+    Compaction.compact(spark, s"$b/frag", s"$b/sorted",
+      targetBytes = 48L * 1024, sortKeys = Seq("l_orderkey"))
+    Compaction.compact(spark, s"$b/frag", s"$b/zord",
+      targetBytes = 48L * 1024, zorderKeys = Seq("l_orderkey", "l_partkey"))
+    StatsIndex.build(spark, s"$b/sorted", Seq("l_orderkey", "l_partkey"))
+    StatsIndex.build(spark, s"$b/zord", Seq("l_orderkey", "l_partkey"))
+    b
+  }
+
+  private def presentKey(dir: String, key: String): Long =
+    spark.read.parquet(dir).stat.approxQuantile(key, Array(0.5), 0.01).head.toLong match {
+      case v => spark.read.parquet(dir).filter(col(key) >= v)
+        .agg(min(col(key))).head().getLong(0)
+    }
+
+  test("point lookup reads only admitted files; admitted < total on both layouts") {
+    for (layout <- Seq("sorted", "zord"); key <- Seq("l_orderkey", "l_partkey")) {
+      val dir = s"$base/$layout"
+      val v = presentKey(dir, key)
+      val adm = StatsIndex.admit(spark, dir, key, v)
+      assert(adm.admitted.nonEmpty, s"$layout/$key: present key must be admitted")
+      assert(adm.admitted.size <= adm.minmaxAdmitted.size)
+      // the manifest must genuinely skip files — except the sorted
+      // layout's blind second key, where min/max covers everything and
+      // only the bloom can help (asserted separately below)
+      if (!(layout == "sorted" && key == "l_partkey"))
+        assert(adm.admitted.size < adm.totalFiles,
+          s"$layout/$key: ${adm.admitted.size} of ${adm.totalFiles} files")
+      // the lookup's result equals the full-scan filter
+      val got = StatsIndex.pointLookup(spark, dir, key, v)
+      val want = spark.read.parquet(dir).filter(col(key) === v)
+      assert(got.count() == want.count() && got.count() > 0)
+      // and it really scanned only admitted files
+      val touched = got.select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(touched.subsetOf(adm.admitted.toSet))
+    }
+    // the sorted layout prunes its OWN key to one file (range-disjoint)
+    val v = presentKey(s"$base/sorted", "l_orderkey")
+    assert(StatsIndex.admit(spark, s"$base/sorted", "l_orderkey", v).admitted.size == 1)
+  }
+
+  test("bloom prunes in-range-but-absent probes that min/max admits") {
+    // an l_orderkey INSIDE the global range but absent from the table
+    // (TPC-H orderkeys are sparse): min/max must admit >= 1 file, the
+    // bloom must reject them all, and the lookup returns empty without
+    // opening a single data file
+    val present = spark.read.parquet(s"$base/sorted")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val absent = (present.min to present.max).find(v => !present.contains(v))
+    assert(absent.isDefined, "need a gap in the key space")
+    for (layout <- Seq("sorted", "zord")) {
+      val adm = StatsIndex.admit(spark, s"$base/$layout", "l_orderkey", absent.get)
+      assert(adm.minmaxAdmitted.nonEmpty,
+        s"$layout: probe must fall inside some file's range for the claim to bite")
+      assert(adm.admitted.isEmpty,
+        s"$layout: bloom must prune the absent key, admitted ${adm.admitted}")
+      assert(StatsIndex.pointLookup(spark, s"$base/$layout", "l_orderkey", absent.get)
+        .count() == 0)
+    }
+  }
+
+  test("no false negatives: sampled present keys match the full scan") {
+    val sample = spark.read.parquet(s"$base/zord")
+      .select("l_partkey").distinct().orderBy(rand(7)).limit(20)
+      .collect().map(_.getLong(0))
+    for (v <- sample) {
+      val got = StatsIndex.pointLookup(spark, s"$base/zord", "l_partkey", v)
+        .agg(count(lit(1)), sum("l_orderkey")).head()
+      val want = spark.read.parquet(s"$base/zord").filter(col("l_partkey") === v)
+        .agg(count(lit(1)), sum("l_orderkey")).head()
+      assert(got == want, s"key $v")
+    }
+  }
+}
