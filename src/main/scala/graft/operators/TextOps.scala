@@ -530,6 +530,9 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // spec-tested only (JVM-reference cross-check): an iterative
+    // argmax-merge loop has no honest SQL mirror — see BpeTrain
+    "text_bpe_train" -> (BpeTrain.textBpeTrain _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_entropy" -> (textEntropy _),
     "text_sentences" -> (textSentences _),
