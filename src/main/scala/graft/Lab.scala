@@ -974,6 +974,13 @@ object Lab {
       // attr_exchange_sort / THIS
       "attr_rows_full" -> (() =>
         operators.BehaviorOps.queries("q_attribution_rows")(s, d)),
+      // r18: the real-edge CC lane's skew note — the per-round label
+      // join probes the mega-hub's label from ~n symmetric edge rows;
+      // run with SPARK_GRAFT_LAB_CONF=
+      // "spark.sql.adaptive.skewJoin.enabled=false" for the off side
+      "ccreal_full" -> (() =>
+        operators.GraphOps.queries("q_components_real")(s, d)
+          .groupBy().agg(count(lit(1)).as("n"), sum("comp"), max("comp_size"))),
       // r18: streaming outer-join decomposition (the attr_* discipline
       // on the real streaming engine): source floor (scan + parquet
       // sink, no join) / inner (join state + sink, no outer state) /
