@@ -243,8 +243,15 @@ object StreamOps {
         "timestamp_seconds(ts div 1000000000) AS event_time")
       .withWatermark("event_time", "30 minutes")
       .as[Ev]
-    // parquet sink: the session list is O(table) — see runToParquet
-    runToParquet(s, sessionize(ds).toDF(), "ssess")
+    // parquet sink: the session list is O(table) — see runToParquet.
+    // State partitions scoped to 8 (the stream_join lesson): the
+    // sessionizer keeps a state store per shuffle partition, and at
+    // bench scale 32 store load/commit cycles per micro-batch are pure
+    // fixed overhead; a cluster sizes this to executor count.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try runToParquet(s, sessionize(ds).toDF(), "ssess")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Exactly-once ingest dedup under at-least-once delivery: the event
