@@ -43,6 +43,29 @@ def main():
                     sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
             con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
         return con
+    # --isolate: run every query in its OWN python subprocess. The
+    # fresh-connection protocol does not fully contain DuckDB's
+    # allocator state: r18 observed a recursive-CTE query (dedup_
+    # canonical at sf10 under the 80GB limit) leaving the PROCESS
+    # allocator unable to serve the next query's 2KB blocks even on a
+    # new connection — every subsequent query "OOM"ed with >100GB
+    # actually free, while the same queries all passed in isolated
+    # processes. Process isolation is the only reliable boundary.
+    if "--isolate" in sys.argv and len(qlist) > 1:
+        import subprocess
+        merged = {}
+        for q in qlist:
+            argv = [sys.executable, sys.argv[0], sf_dir, oracle_path, q,
+                    "--threads", str(threads)]
+            r = subprocess.run(argv, capture_output=True, text=True)
+            sys.stderr.write(r.stderr)
+            try:
+                merged.update(json.loads(r.stdout)["queries"])
+            except Exception:
+                merged[q] = {"sec": -1.0, "rows": -1,
+                             "err": f"subprocess failed: {r.stdout[:100]}"}
+        print(json.dumps({"sf": sf_dir, "threads": threads, "queries": merged}))
+        return
     oracle = json.load(open(oracle_path))
     out = {}
     for q in qlist:
