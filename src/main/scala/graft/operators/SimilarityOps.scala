@@ -503,7 +503,114 @@ object SimilarityOps {
       .filter(col("rk") <= KNN_K)
   }
 
+  // ---- product quantization: compressed-domain search (r18) ----------
+  private[operators] val PQ_M = 8    // subspaces
+  private[operators] val PQ_SUB = 8  // dims per subspace (DIM = M · SUB)
+  private[operators] val PQ_K = 16   // codewords per subspace
+  private[operators] val PQ_TOP = 5
+
+  /** Product-quantized approximate top-k (Jégou et al., TPAMI 2011 —
+    * the compressed-domain search a 100 TB embedding store actually
+    * runs): each vector is encoded as PQ_M sub-codeword ids (8 bytes
+    * here vs 256 bytes of float32 — 32×), and a query scores the
+    * ENTIRE corpus from those codes alone via a per-query lookup
+    * table, never touching the original vectors. The asymmetric
+    * distance Σ_m lut[m][code_m] decomposes the integer squared-L2
+    * exactly over subspaces, so the only approximation is the
+    * quantization itself (spec-measured recall vs exact integer-L2).
+    *
+    * Codebooks are the first-PQ_K vectors' sub-vectors on the
+    * [[kmPoints]] integer grid — the same first-k quantizer convention
+    * as the multiprobe/IVF lanes, deterministic and SQL-mirrorable (a
+    * trained variant would plug per-subspace [[simKmeansConverged]]
+    * centroids, the documented trade: 25-step training CTEs per
+    * subspace in the oracle for better recall at the same budget).
+    *
+    * Scale posture: ENCODE is PQ_M fused [[graft.plans.KmArgmin]]
+    * calls per row — map-side, inside whole-stage codegen, no
+    * dim-explode (the oracle's relational form pays |vecs|·K·dim
+    * rows; the engine pays K·dim long ops per row). The search joins
+    * the code stream with a BROADCAST lut (NQ·M·K rows, built on the
+    * driver from NQ collected probes — the centroid-collect
+    * contract) and partially aggregates to (query, vec) sums: the
+    * shuffle carries one row per (query, vec), never raw vectors.
+    * Top-k ranks via the partial WindowGroupLimit path. */
+  def simPqTopk(s: SparkSession, d: String): DataFrame = {
+    val pts = kmPoints(s, d)
+    val cb = pts.filter(col("vec_id") < PQ_K).orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    require(cb.length == PQ_K, s"need the first $PQ_K vectors as the codebook")
+    require(cb.head.length == PQ_M * PQ_SUB,
+      s"PQ expects ${PQ_M * PQ_SUB}-dim embeddings, got ${cb.head.length}")
+    val sub: Array[Array[Array[Long]]] =
+      Array.tabulate(PQ_M)(m => cb.map(_.slice(m * PQ_SUB, (m + 1) * PQ_SUB)))
+    pqSearch(s, pts, sub)
+  }
+
+  /** The TRAINED-codebook variant (spec-only, the multiprobe-trained
+    * precedent): per-subspace Lloyd through the shared [[kmTrain]]
+    * loop (first-PQ_K sub-vector seeding, so training strictly refines
+    * the production codebook), then the identical compressed-domain
+    * search. Spec-measured recall lift over the first-k codebook at
+    * the same (M, K) budget; the production lane keeps first-k, whose
+    * SQL mirror needs no 8 × 25-step training chain per query. */
+  private[operators] def simPqTopkTrained(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    val pts = kmPoints(s, d).truncEager
+    val sub: Array[Array[Array[Long]]] = Array.tabulate(PQ_M) { m =>
+      val ptsM = pts.select(col("vec_id"),
+        slice(col("qe"), m * PQ_SUB + 1, PQ_SUB).as("qe"))
+      kmTrain(s, ptsM, PQ_K, KM_MAX)._1.sortBy(_._1).map(_._2).toArray
+    }
+    pqSearch(s, pts, sub)
+  }
+
+  /** Encode + asymmetric-distance search shared by the first-k and
+    * trained codebooks (see [[simPqTopk]] for the plan shape). */
+  private def pqSearch(s: SparkSession, pts: DataFrame,
+      sub: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.KmArgmin.register(s)
+    val ids = (0 until PQ_K).map(_.toLong)
+    val codes = pts.select(col("vec_id") +: (0 until PQ_M).map(m =>
+      call_function("graft_km_argmin",
+        slice(col("qe"), m * PQ_SUB + 1, PQ_SUB),
+        typedlit(sub(m).map(_.toSeq).toSeq), typedlit(ids)).as(s"c$m")): _*)
+    val codesL = codes.select(col("vec_id"),
+      explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // per-query lookup table, driver-built from the NQ collected
+    // probes: NQ·M·K integer squared-L2 sub-distances — identical
+    // arithmetic to the oracle's ed CTE restricted to probes
+    val probes = pts.filter(col("vec_id") < NQ).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val lutRows = for {
+      (q, qe) <- probes.toSeq; m <- 0 until PQ_M; k <- 0 until PQ_K
+    } yield {
+      var dsum = 0L
+      var t = 0
+      while (t < PQ_SUB) {
+        val diff = qe(m * PQ_SUB + t) - sub(m)(k)(t)
+        dsum += diff * diff
+        t += 1
+      }
+      (q, m, k.toLong, dsum)
+    }
+    val s2 = s
+    import s2.implicits._
+    val lut = lutRows.toDF("query_id", "m", "code", "pd2")
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
+    codesL.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("pd2").as("adist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PQ_TOP)
+      .select("query_id", "vec_id", "rk", "adist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> (simPqTopk _),
     "sim_kmeans_converged" -> (simKmeansConverged _),
     "sim_knn_multiprobe" -> (simKnnMultiprobe _),
     "sim_knn_graph" -> (simKnnGraph _),
@@ -588,6 +695,31 @@ object SimilarityOps {
 
   private val baseOracle: Map[String, String] = Map(
     "sim_kmeans_converged" -> kmeansOracle,
+    // PQ compressed-domain top-k: the relational mirror pays the full
+    // |vecs|·K·dim expansion the engine's fused argmin avoids; lut is
+    // ed restricted to probes (the same distances the driver computes)
+    "sim_pq_topk" ->
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $KM_QS + 0.5) AS BIGINT) + $KM_OFF) AS qe
+         |  FROM embeddings),
+         |cb AS MATERIALIZED (SELECT vec_id AS k, qe AS ce FROM pts WHERE vec_id < $PQ_K),
+         |ix AS (SELECT unnest(generate_series(1, ${PQ_M * PQ_SUB})) AS i),
+         |ed AS MATERIALIZED (SELECT p.vec_id, (i.i - 1) // $PQ_SUB AS m, c.k,
+         |    SUM((p.qe[i.i] - c.ce[i.i]) * (p.qe[i.i] - c.ce[i.i])) AS dist
+         |  FROM pts p, cb c, ix i GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+         |    FROM ed) z
+         |  WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, m, k, dist FROM ed WHERE vec_id < $NQ),
+         |ad AS (SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist
+         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+         |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+         |  FROM ad)
+         |SELECT query_id, vec_id, rk, adist FROM r WHERE rk <= $PQ_TOP""".stripMargin,
     // sim_ann_ivf's assignment grid with MP_C cells, stride probes and
     // MP_NPROBE probed cells per query — candidates still crn = 1
     "sim_knn_multiprobe" ->
