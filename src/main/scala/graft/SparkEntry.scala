@@ -57,7 +57,14 @@ object SparkEntry {
     * promote the layout when it deletes the plan's DOMINANT exchange
     * without capping the parallelism of the stage that replaces it. */
   private def layoutPrimary: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q18_large_orders" -> (operators.BucketedQueries.q18Bucketed _))
+    Map(
+      "q18_large_orders" -> (operators.BucketedQueries.q18Bucketed _),
+      // q5 promoted r18: sf0.1 parity (1.01 vs 1.06 s, mirror r18) and
+      // a consistent sf10 win (2.03/2.21 vs 4.16/3.23 s across two
+      // quiet windows) — the orderkey-bucketed scan deletes the fact
+      // stream's dominant exchange and, unlike q7's revert, the
+      // bucketed join keeps its stage parallel (measured, not argued)
+      "q5_multi_join" -> (operators.BucketedQueries.q5Bucketed _))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
