@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * volume. Bits/hash-count ride in the manifest so probe and build
   * can never disagree.
   *
+  * Staleness contract (the Delta/Iceberg one): the manifest describes
+  * the file listing AS OF its build — any rewrite of the data dir
+  * (another compact, an ingest append) must re-run [[build]], exactly
+  * as a table format rewrites its stats files in the same commit.
+  * [[admit]] fails loudly when the manifest is absent; it cannot
+  * detect a stale one (file paths change on rewrite here, so a stale
+  * manifest admits paths the scan then fails on, rather than silently
+  * missing rows).
+  *
   * Hash contract: position_i(v) = pmod(xxhash64(v, i), bits) using
   * Spark's chained xxhash64 (seed 42, then each arg seeded by the
   * previous hash) — replicated exactly on the driver probe side via
