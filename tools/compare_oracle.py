@@ -43,7 +43,7 @@ def canon(rows, cols):
     out.sort()
     return sorted(c for c in cols), out
 
-def main(sf_dir, out_dir):
+def make_con(sf_dir):
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +60,12 @@ def main(sf_dir, out_dir):
             if ts_type == "BIGINT":
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{src}')")
+    return con
+
+
+def main(sf_dir, out_dir):
+    import os
+    con = make_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # optional query subset: --only q1,q2 (resume a long scale compare
     # after an interrupt without redoing finished queries)
@@ -104,8 +110,26 @@ def main(sf_dir, out_dir):
             orel = con.sql(oracle[qname])
             ocols, orows = orel.columns, orel.fetchall()
         except Exception as e:
-            results[qname] = f"ORACLE_SQL_ERROR: {e}"
-            continue
+            if "Out of Memory" in str(e):
+                # allocator poisoning from an EARLIER heavy oracle in the
+                # same connection (r18: text_clean_boilerplate at sf3
+                # failed a 2MB allocation with >100GB free after the
+                # recursive dedup oracles ran; it passed in isolation) —
+                # rebuild the connection and retry this query once
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = make_con(sf_dir)
+                try:
+                    orel = con.sql(oracle[qname])
+                    ocols, orows = orel.columns, orel.fetchall()
+                except Exception as e2:
+                    results[qname] = f"ORACLE_SQL_ERROR: {e2}"
+                    continue
+            else:
+                results[qname] = f"ORACLE_SQL_ERROR: {e}"
+                continue
         sc, sr = canon(srows, scols)
         oc, orr = canon(orows, ocols)
         if sc != oc:
