@@ -572,6 +572,82 @@ object PretrainOps {
     * hard prediction, the training label, and the converged depth.
     * Ranking agreement vs the heuristic ensemble is spec-measured. */
   def pretrainQualityModel(s: SparkSession, d: String): DataFrame = {
+    val (feats, n, cw) = qmFeatures(s, d)
+    val w = Array.fill(QM_F + 1)(0L)
+    var it = 0
+    var converged = false
+    while (!converged && it < QM_MAX) {
+      val delta = qmStep(feats, w, n, cw)
+      it += 1
+      converged = delta <= QM_EPS
+    }
+    feats.select(col("doc_id"), col("y").as("label"),
+      expr(qmPSql(w)).as("score_fp"), lit(it.toLong).as("n_iters"))
+      .select(col("doc_id"), col("label"), col("score_fp"),
+        (col("score_fp") >= QM_W / 2).cast("int").as("pred"), col("n_iters"))
+  }
+
+  /** Per-step weight trace of the SAME training loop — the diagnostic
+    * twin the r18 gate failure demanded (the q_attribution_rows move):
+    * one row per GD step carrying every weight and Σ|Δw|, so a future
+    * hash mismatch on [[pretrainQualityModel]] names the exact step
+    * where engine and oracle arithmetic diverge instead of hiding
+    * behind 500 flipped scores. Runs the full QM_MAX unroll (no early
+    * stop) to match the oracle's w1..w_QM_MAX CTE chain row for row;
+    * the converged prefix is a prefix of this trace by construction. */
+  def pretrainQualityModelTrace(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val (feats, n, cw) = qmFeatures(s, d)
+    val w = Array.fill(QM_F + 1)(0L)
+    val rows = (1 to QM_MAX).map { step =>
+      val delta = qmStep(feats, w, n, cw)
+      org.apache.spark.sql.Row.fromSeq(step.toLong +: w.toSeq :+ delta)
+    }
+    val schema = StructType(
+      StructField("step", LongType, nullable = false) +:
+        (0 to QM_F).map(i => StructField(s"w$i", LongType, nullable = false)) :+
+        StructField("delta", LongType, nullable = false))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def qmZSql(w: Array[Long]): String =
+    (0 until QM_F).map(i => s"x$i * ${w(i)}L").mkString(" + ") +
+      s" + $QM_FP * ${w(QM_F)}L"
+  private def qmPSql(w: Array[Long]): String =
+    s"GREATEST(0L, LEAST(${QM_W}L, ${QM_W / 2}L + ((${qmZSql(w)}) DIV $QM_FP) DIV 4))"
+
+  /** One batch-GD step: ONE aggregate over `feats`, F+1 scalars to the
+    * driver, `w` updated in place; returns Σ|Δw|. All division here is
+    * Scala `/` / Spark `DIV` (truncation toward zero); the oracle
+    * mirrors every negative-capable division with sign-adjusted
+    * non-negative `//` so DuckDB builds that floor agree too. */
+  private def qmStep(feats: DataFrame, w: Array[Long], n: Long, cw: Long): Long = {
+    val errSql =
+      s"(y * $QM_W - ${qmPSql(w)}) * (CASE WHEN y = 1 THEN ${cw}L ELSE 1L END)"
+    // err computed ONCE per row in a projection (the oracle's own
+    // subquery shape): inlining the clamped-sigmoid into all 17
+    // gradient sums made each step's generated code ~17× larger —
+    // the loop was codegen-compile-bound (19 s → ~6 s at sf0.01)
+    val scored = feats.select(
+      (0 until QM_F).map(i => col(s"x$i")) :+ expr(errSql).as("err"): _*)
+    val aggs = (0 until QM_F).map(i => sum(expr(s"x$i * err")).as(s"g$i")) :+
+      sum(col("err")).as(s"g$QM_F") // bias x = QM_FP: (Σ QM_FP·err) DIV QM_FP = Σ err exactly
+    val r = scored.agg(aggs.head, aggs.tail: _*).head()
+    var delta = 0L
+    for (i <- 0 to QM_F) {
+      val g = if (i < QM_F) r.getLong(i) / QM_FP else r.getLong(i)
+      val dw = (QM_LR * g) / (n * cw)
+      w(i) += dw
+      delta += math.abs(dw)
+    }
+    delta
+  }
+
+  /** The standardized integer feature table + class stats behind
+    * [[pretrainQualityModel]] and its weight-trace twin: the once-
+    * checkpointed (doc_id, y, x0..x15) long table, corpus size n, and
+    * the positive-class weight cw. */
+  private def qmFeatures(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import DedupOps.TruncOps
     // label + the 8 statistic features, straight off the gate's own
     // scan: fracs are the 4-decimal-rounded doubles the g/r/q oracles
@@ -626,38 +702,7 @@ object PretrainOps {
         expr(s"(x$i - ${mn}L) * ${2 * QM_FP} DIV ${math.max(1L, mx - mn)}L - $QM_FP")
           .as(s"x$i")
       }: _*)
-    val w = Array.fill(QM_F + 1)(0L)
-    def zSql = (0 until QM_F).map(i => s"x$i * ${w(i)}L").mkString(" + ") +
-      s" + $QM_FP * ${w(QM_F)}L"
-    def pSql = s"GREATEST(0L, LEAST(${QM_W}L, ${QM_W / 2}L + (($zSql) DIV $QM_FP) DIV 4))"
-    def errSql =
-      s"(y * $QM_W - $pSql) * (CASE WHEN y = 1 THEN ${cw}L ELSE 1L END)"
-    var it = 0
-    var converged = false
-    while (!converged && it < QM_MAX) {
-      // err computed ONCE per row in a projection (the oracle's own
-      // subquery shape): inlining the clamped-sigmoid into all 17
-      // gradient sums made each step's generated code ~17× larger —
-      // the loop was codegen-compile-bound (19 s → ~6 s at sf0.01)
-      val scored = feats.select(
-        (0 until QM_F).map(i => col(s"x$i")) :+ expr(errSql).as("err"): _*)
-      val aggs = (0 until QM_F).map(i => sum(expr(s"x$i * err")).as(s"g$i")) :+
-        sum(col("err")).as(s"g$QM_F") // bias x = QM_FP: (Σ QM_FP·err) DIV QM_FP = Σ err exactly
-      val r = scored.agg(aggs.head, aggs.tail: _*).head()
-      var delta = 0L
-      for (i <- 0 to QM_F) {
-        val g = if (i < QM_F) r.getLong(i) / QM_FP else r.getLong(i)
-        val dw = (QM_LR * g) / (n * cw)
-        w(i) += dw
-        delta += math.abs(dw)
-      }
-      it += 1
-      converged = delta <= QM_EPS
-    }
-    feats.select(col("doc_id"), col("y").as("label"),
-      expr(pSql).as("score_fp"), lit(it.toLong).as("n_iters"))
-      .select(col("doc_id"), col("label"), col("score_fp"),
-        (col("score_fp") >= QM_W / 2).cast("int").as("pred"), col("n_iters"))
+    (feats, n, cw)
   }
 
   /** Per-language quality cap: the N highest-quality documents of each
@@ -796,6 +841,7 @@ object PretrainOps {
     "pretrain_quality_score" -> (pretrainQualityScore _),
     "pretrain_quality_fused" -> (pretrainQualityFused _),
     "pretrain_quality_model" -> (pretrainQualityModel _),
+    "pretrain_quality_model_trace" -> (pretrainQualityModelTrace _),
     "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -1067,6 +1113,17 @@ object PretrainOps {
       s"CAST(strpos('0123456789abcdef', substr($m, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
       .mkString(" + ")
 
+  /** Truncate-toward-zero integer division written so it evaluates
+    * identically on DuckDB builds whose integer `//` truncates (1.0.x,
+    * matching Spark `DIV` / Scala `/`) AND on builds whose `//`
+    * floors: the numerator is made non-negative — where floor ≡ trunc
+    * — and the sign re-applied. r18's driver gate failed on exactly
+    * this (hash_match=false with every local sweep green): on a
+    * flooring build the first negative gradient shifted one weight
+    * unit and all 500 scores diverged. `b` must be positive. */
+  private def qmDiv(a: String, b: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -((0 - ($a)) // ($b)) ELSE ($a) // ($b) END)"
+
   /** The learned-classifier oracle: the training loop's exact unroll.
     * Weight CTEs w0..w_QM_MAX (one row, QM_B+1 BIGINT columns — every
     * arithmetic result cast back to BIGINT because DuckDB SUM widens
@@ -1074,24 +1131,32 @@ object PretrainOps {
     * output), per-step delta scalars, pick = min{t : δ ≤ EPS}
     * (QM_MAX if none), final scoring with the picked weights. The
     * label CTE embeds the heuristic ensemble's own SQL verbatim —
-    * the model and its training signal cannot drift. */
-  private val qualityModelOracle: String = {
+    * the model and its training signal cannot drift. Every division
+    * whose numerator can go negative (z DIV 4·FP inside the hard
+    * sigmoid, the gradient and weight-update DIVs) goes through
+    * [[qmDiv]]; the remaining `//` sites are provably non-negative
+    * (bucket fractions, saturating length, min-max standardization,
+    * class weight), where floor and trunc agree unconditionally.
+    * The paired trace oracle exposes the w1..w_QM_MAX chain itself. */
+  private val (qualityModelOracle: String, qualityModelTraceOracle: String) = {
     val B = QM_B
     val F = QM_F
     def zOf(w: String) =
       s"(${(0 until F).map(i => s"x$i * $w.w$i").mkString(" + ")} + $QM_FP * $w.w$F)"
-    def pOf(w: String) =
-      s"GREATEST(0, LEAST($QM_W, ${QM_W / 2} + ((${zOf(w)}) // $QM_FP) // 4))"
+    // engine: ((z DIV FP) DIV 4); trunc division by positive divisors
+    // composes, so one sign-adjusted division by 4·FP is exact
+    def pOfZ = s"GREATEST(0, LEAST($QM_W, ${QM_W / 2} + ${qmDiv("z", (4 * QM_FP).toString)}))"
     def step(prev: String, grad: String, next: String): String = {
-      val gcols = (0 until F).map(i => s"SUM(x$i * err) // $QM_FP AS g$i")
+      val gcols = (0 until F).map(i =>
+        s"${qmDiv(s"SUM(x$i * err)", QM_FP.toString)} AS g$i")
         .mkString(", ") + s", SUM(err) AS g$F"
       val wcols = (0 to F).map(i =>
-        s"CAST(w.w$i + ($QM_LR * g.g$i) // ((SELECT nn FROM st) * (SELECT c FROM cw)) AS BIGINT) AS w$i")
+        s"CAST(w.w$i + ${qmDiv(s"$QM_LR * g.g$i", "(SELECT nn FROM st) * (SELECT c FROM cw)")} AS BIGINT) AS w$i")
         .mkString(", ")
       s"""$grad AS (SELECT $gcols FROM (
-         |  SELECT f2.*, (y * $QM_W - ${pOf("w")})
+         |  SELECT fz.*, (y * $QM_W - $pOfZ)
          |    * (CASE WHEN y = 1 THEN (SELECT c FROM cw) ELSE 1 END) AS err
-         |  FROM f2, $prev w) e),
+         |  FROM (SELECT f2.*, ${zOf("w")} AS z FROM f2, $prev w) fz) e),
          |$next AS MATERIALIZED (SELECT $wcols FROM $prev w, $grad g)""".stripMargin
     }
     val steps = (1 to QM_MAX).map(i => step(s"w${i - 1}", s"gr$i", s"w$i"))
@@ -1121,7 +1186,8 @@ object PretrainOps {
       s"((x$i - (SELECT mn$i FROM st)) * ${2 * QM_FP}) // " +
         s"GREATEST(1, (SELECT mx$i FROM st) - (SELECT mn$i FROM st)) - $QM_FP AS x$i")
       .mkString(",\n  ")
-    s"""WITH g AS MATERIALIZED (${baseOracle("text_gopher_rules")}),
+    val prefix =
+      s"""WITH g AS MATERIALIZED (${baseOracle("text_gopher_rules")}),
        |r AS MATERIALIZED (${baseOracle("text_repetition")}),
        |q AS MATERIALIZED (${TextOps.oracle("text_quality")}),
        |tk AS (SELECT doc_id, (${qmHex8("m")}) % $B AS b FROM (
@@ -1141,18 +1207,29 @@ object PretrainOps {
        |  FROM f),
        |w0 AS (SELECT ${(0 to F).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")}),
        |$steps,
-       |dl AS MATERIALIZED ($deltas),
+       |dl AS MATERIALIZED ($deltas)""".stripMargin
+    val score =
+      s"""$prefix,
        |pick AS (SELECT COALESCE(MIN(i), $QM_MAX) AS ic FROM dl WHERE dv <= $QM_EPS),
        |fw AS (SELECT * FROM ($allw) aw WHERE i = (SELECT ic FROM pick)),
-       |sc AS (SELECT f2.doc_id, f2.y AS label, ${pOf("fw")} AS score_fp FROM f2, fw)
+       |sc AS (SELECT fz.doc_id, fz.y AS label, $pOfZ AS score_fp
+       |  FROM (SELECT f2.doc_id, f2.y, ${zOf("fw")} AS z FROM f2, fw) fz)
        |SELECT doc_id, label, score_fp,
        |  CAST(score_fp >= ${QM_W / 2} AS INT) AS pred,
        |  CAST((SELECT ic FROM pick) AS BIGINT) AS n_iters
        |FROM sc""".stripMargin
+    val trace =
+      s"""$prefix
+       |SELECT CAST(a.i AS BIGINT) AS step,
+       |  ${(0 to F).map(j => s"a.w$j").mkString(", ")},
+       |  CAST(d.dv AS BIGINT) AS delta
+       |FROM ($allw) a JOIN dl d ON a.i = d.i""".stripMargin
+    (score, trace)
   }
 
   val oracle: Map[String, String] = baseOracle +
     ("pretrain_quality_score" -> qualityScoreOracle) +
     ("pretrain_quality_fused" -> qualityScoreOracle) +
-    ("pretrain_quality_model" -> qualityModelOracle)
+    ("pretrain_quality_model" -> qualityModelOracle) +
+    ("pretrain_quality_model_trace" -> qualityModelTraceOracle)
 }

@@ -397,7 +397,6 @@ object StreamOps {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("event_time").as("p_time"))
       .withWatermark("p_time", "1 hour")
-    val name = replaceOwnedView(s, "sjoin_")
     // a stream-stream join keeps FOUR state stores per partition (two
     // sides × keyToNumValues/keyWithIndexToValue); at the session's 32
     // shuffle partitions that is 128 store instances loading and
@@ -408,15 +407,11 @@ object StreamOps {
     // to the executor count instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joinViewsPurchases(views, purchases).writeStream
-        .format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(name)
+    // parquet sink: the matched-pair stream is O(table) — the last
+    // unbounded-output lane still on the memory sink after the r18
+    // rework (r19, per verdict). See runToParquet.
+    try runToParquet(s, joinViewsPurchases(views, purchases), "sjoin")
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** LEFT-OUTER stream-stream join with an EMISSION HORIZON — the

@@ -810,4 +810,28 @@ class QualityModelSpec extends graft.SparkTestBase {
       assert(m0 < m1, s"mean learned score must increase with votes: $byVote")
     }
   }
+
+  test("weight trace twin: full unroll, internally consistent, re-derives n_iters") {
+    val tr = PretrainOps.pretrainQualityModelTrace(spark, d).collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(tr.length == PretrainOps.QM_MAX, "one row per GD step")
+    assert(tr.map(_.getAs[Long]("step")).toSeq ==
+      (1 to PretrainOps.QM_MAX).map(_.toLong))
+    // delta is Σ|Δw| of consecutive weight rows — the trace is
+    // self-consistent, so a driver-side mismatch names the first
+    // diverging step rather than a downstream artifact of it
+    tr.sliding(2).foreach { case Array(a, b) =>
+      val dv = (0 to PretrainOps.QM_F).map(i =>
+        math.abs(b.getAs[Long](s"w$i") - a.getAs[Long](s"w$i"))).sum
+      assert(dv == b.getAs[Long]("delta"),
+        s"delta mismatch at step ${b.getAs[Long]("step")}")
+    }
+    // the model's converged depth is the first step with Σ|Δw| ≤ EPS
+    // (QM_MAX if none): the trace re-derives it exactly
+    val nIters = PretrainOps.pretrainQualityModel(spark, d)
+      .select("n_iters").head().getLong(0)
+    val firstConv = tr.find(_.getAs[Long]("delta") <= PretrainOps.QM_EPS)
+      .map(_.getAs[Long]("step")).getOrElse(PretrainOps.QM_MAX.toLong)
+    assert(nIters == firstConv, s"model n_iters $nIters vs trace $firstConv")
+  }
 }
