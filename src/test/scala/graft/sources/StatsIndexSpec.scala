@@ -77,6 +77,47 @@ class StatsIndexSpec extends SparkTestBase {
     }
   }
 
+  test("admitFiles (planner-side form) equals driver-side admit, present and absent") {
+    val present = spark.read.parquet(s"$base/sorted")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val absent = (present.min to present.max).find(v => !present.contains(v)).get
+    for (layout <- Seq("sorted", "zord");
+         v <- Seq(presentKey(s"$base/$layout", "l_orderkey"), absent)) {
+      val dir = s"$base/$layout"
+      val viaDf = StatsIndex.admitFiles(spark, dir, "l_orderkey", v)
+        .collect().map(_.getString(0)).toSet
+      val viaDriver = StatsIndex.admit(spark, dir, "l_orderkey", v).admitted.toSet
+      assert(viaDf == viaDriver, s"$layout/$v: engine-side admission must " +
+        s"equal the driver probe (shared hash contract)")
+    }
+  }
+
+  test("manifest rows are exact: per-file stats recomputed independently match") {
+    // the distributed build (r19) must produce the same manifest the
+    // driver-assembled build did: re-derive every (file, key) row's
+    // rows/mn/mx straight off the data files and compare
+    val dir = s"$base/sorted"
+    val man = spark.read.parquet(s"$dir/_graft_stats")
+      .select("file", "key", "rows", "mn", "mx").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[String]("key")) ->
+        (r.getAs[Long]("rows"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    val truth = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min("l_orderkey").as("mn_o"), max("l_orderkey").as("mx_o"),
+        min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"))
+      .collect()
+    assert(truth.nonEmpty && man.size == truth.length * 2,
+      "one manifest row per (file, key)")
+    truth.foreach { r =>
+      val f = r.getAs[String]("f")
+      assert(man((f, "l_orderkey")) ==
+        ((r.getAs[Long]("rows"), r.getAs[Long]("mn_o"), r.getAs[Long]("mx_o"))), f)
+      assert(man((f, "l_partkey")) ==
+        ((r.getAs[Long]("rows"), r.getAs[Long]("mn_p"), r.getAs[Long]("mx_p"))), f)
+    }
+  }
+
   test("no false negatives: sampled present keys match the full scan") {
     val sample = spark.read.parquet(s"$base/zord")
       .select("l_partkey").distinct().orderBy(rand(7)).limit(20)
