@@ -29,32 +29,56 @@ object BpeTrain {
 
   private[operators] val MERGES = 30
 
+  /** The initial vocab: distinct corpus words with frequencies, each
+    * split into character symbols (substring is char-based, so
+    * multibyte-safe). Shared by the trainer and the gated rank-1 lane. */
+  private def wordSyms(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+
+  /** Adjacent-pair counts (with overlap — the BPE count) over a
+    * (freq, syms) vocab table: the trainer's per-step aggregate. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** The trainer's FIRST argmax as a driver-gated lane (r19, per
+    * verdict): rank-1's winning pair is one adjacent-pair aggregate
+    * over the un-merged vocab — plain SQL, unlike ranks 2+ whose
+    * inputs depend on applied merges. Runs the trainer's own
+    * wordSyms/pairCounts code, so the gate checks real trainer
+    * arithmetic (pair counting, frequency weighting, the (cnt desc,
+    * a, b) tiebreak, the cnt ≥ 2 floor) — only the iterative merge
+    * application stays spec-only. */
+  def textBpeRank1(s: SparkSession, d: String): DataFrame =
+    pairCounts(wordSyms(s, d))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+      .select(lit(1L).as("rank"), col("a"), col("b"),
+        col("cnt").as("pair_count"))
+
   def textBpeTrain(s: SparkSession, d: String): DataFrame = {
     import DedupOps.TruncOps
     val s2 = s
     import s2.implicits._
-    val words = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      // character symbols, multibyte-safe (substring is char-based)
-      .select(col("freq"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-      .truncEager
+    val words = wordSyms(s, d).truncEager
     var vocab = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var it = 0
     var done = false
     while (!done && it < MERGES) {
-      // adjacent pairs with overlap (the BPE count), weighted by word
-      // frequency; the winner is one row to the driver — this action
-      // also materializes the previous step's lazily-truncated merge
-      val top = vocab
-        .select(col("freq"), explode(expr(
-          "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"))
-          .as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
+      // the winner is one row to the driver — this action also
+      // materializes the previous step's lazily-truncated merge
+      val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true

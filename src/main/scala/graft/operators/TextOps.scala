@@ -530,9 +530,13 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // spec-tested only (JVM-reference cross-check): an iterative
-    // argmax-merge loop has no honest SQL mirror — see BpeTrain
-    "text_bpe_train" -> (BpeTrain.textBpeTrain _),
+    // the full trainer (BpeTrain.textBpeTrain) is spec-tested only
+    // (JVM-reference cross-check): an iterative argmax-merge loop has
+    // no honest SQL mirror, and registering it oracle-less put a
+    // permanent err row in the driver's hard gate (r18). The rank-1
+    // projection IS one adjacent-pair SQL argmax — driver-gated here,
+    // running the trainer's own pair-count code.
+    "text_bpe_rank1" -> (BpeTrain.textBpeRank1 _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_entropy" -> (textEntropy _),
     "text_sentences" -> (textSentences _),
@@ -551,6 +555,23 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // BPE rank 1: distinct-word frequencies → char symbols → adjacent
+    // pairs (range(1, len) = pair start positions; substr is char-
+    // based, matching the engine's substring) → frequency-weighted
+    // argmax with the trainer's (cnt desc, a, b) tiebreak and cnt ≥ 2
+    // floor. Ranks 2+ depend on applied merges — spec-only, BpeTrain.
+    "text_bpe_rank1" ->
+      """WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY w),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+        |    substr(w, CAST(i AS INT) + 1, 1) AS b, freq
+        |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM words) p),
+        |cnt AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY a, b)
+        |SELECT CAST(1 AS BIGINT) AS rank, a, b, pair_count FROM cnt
+        |WHERE pair_count >= 2
+        |ORDER BY pair_count DESC, a, b LIMIT 1""".stripMargin,
     // DuckDB's entropy() aggregate is base-2 Shannon entropy over the
     // value multiset — the same H = log2(N) − Σ c·log2(c)/N the native
     // expression computes from exact counts

@@ -64,4 +64,15 @@ class BpeTrainSpec extends SparkTestBase {
     // the left side within the budget (merges compose)
     assert(got.exists(_._2.length > 1), "expected composed merges")
   }
+
+  test("driver-gated rank-1 lane equals the trainer's first merge") {
+    val r1 = BpeTrain.textBpeRank1(spark, sf).collect()
+    assert(r1.length == 1)
+    val first = BpeTrain.textBpeTrain(spark, sf)
+      .filter(col("rank") === 1L).head()
+    assert((r1.head.getAs[Long]("rank"), r1.head.getAs[String]("a"),
+      r1.head.getAs[String]("b"), r1.head.getAs[Long]("pair_count")) ==
+      ((first.getAs[Long]("rank"), first.getAs[String]("a"),
+        first.getAs[String]("b"), first.getAs[Long]("pair_count"))))
+  }
 }
