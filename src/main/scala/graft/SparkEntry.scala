@@ -64,7 +64,16 @@ object SparkEntry {
       // quiet windows) — the orderkey-bucketed scan deletes the fact
       // stream's dominant exchange and, unlike q7's revert, the
       // bucketed join keeps its stage parallel (measured, not argued)
-      "q5_multi_join" -> (operators.BucketedQueries.q5Bucketed _))
+      "q5_multi_join" -> (operators.BucketedQueries.q5Bucketed _),
+      // q7 promoted r19 on the PRE-JOINED (o_orderkey, c_nationkey)
+      // layout — not the r14-reverted plain-bucketed twin: moving the
+      // orders⋈customer join into the layout build removes the
+      // customer attach stage whose shuffle kept the r14 twin
+      // serialized behind the single-wave merge join. Same-window
+      // QTime: sf0.1 1.31 s vs 2.16 s plain; sf10 min-min 2.60 vs
+      // 4.86 s (noisy host, mins across three windows) — the last
+      // non-floor query above the 2× DuckDB bar, now under it.
+      "q7_volume" -> (operators.BucketedQueries.q7PreJoined _))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,18 +120,9 @@ object OlapQueries {
   private[operators] def q7From(s: SparkSession, d: String,
                                 li: DataFrame, o: DataFrame,
                                 ordersBucketed: Boolean): DataFrame = {
-    val l = li.filter(
-      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-      col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        year(col("l_shipdate")).as("l_year"),
-        Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+    val l = q7Line(li)
     val cust = customer(s, d).select("c_custkey", "c_nationkey")
     val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
-    val supN = nation(s, d).select(
-      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    val custN = nation(s, d).select(
-      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val withOrders =
       if (ordersBucketed) {
         // co-located merge join first, customer after
@@ -147,6 +138,40 @@ object OlapQueries {
         l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(oc, col("l_orderkey") === col("o_orderkey"))
       }
+    q7Tail(s, d, withOrders)
+  }
+
+  /** q7 over a PRE-JOINED (o_orderkey, c_nationkey) table — the
+    * denormalized layout twin (r19, per verdict): the orders⋈customer
+    * join moves into the layout build, so query time is one co-located
+    * merge join of two orderkey-bucketed scans plus broadcast dims —
+    * no fact-scale exchange, no customer attach. */
+  private[operators] def q7FromOc(s: SparkSession, d: String,
+                                  li: DataFrame, oc: DataFrame): DataFrame = {
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val joined = q7Line(li)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(oc.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    q7Tail(s, d, joined)
+  }
+
+  /** q7's slim line stream: filter + year + exact e4 revenue computed
+    * BEFORE any exchange, so only longs ride the wire. */
+  private def q7Line(li: DataFrame): DataFrame =
+    li.filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        Money.revE4(col("l_extendedprice"), col("l_discount")).as("r"))
+
+  /** q7's shared tail: broadcast nation decode on both sides, the
+    * nation-pair filter, and the split-long exact money aggregate. */
+  private def q7Tail(s: SparkSession, d: String, withOrders: DataFrame): DataFrame = {
+    val supN = nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custN = nation(s, d).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     withOrders
       .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
       .join(broadcast(custN), col("c_nationkey") === col("cn_key"))

@@ -29,6 +29,7 @@ class BucketedQueriesSpec extends SparkTestBase {
       ("q3", BucketedQueries.q3Bucketed, CoreQueries.q3JoinAgg),
       ("q5", BucketedQueries.q5Bucketed, CoreQueries.q5MultiJoin),
       ("q7", BucketedQueries.q7Bucketed, OlapQueries.q7Volume),
+      ("q7pre", BucketedQueries.q7PreJoined, OlapQueries.q7Volume),
       ("q8", BucketedQueries.q8Bucketed, OlapQueries.q8MarketShare),
       ("q18", BucketedQueries.q18Bucketed, OlapQueries.q18LargeOrders),
       ("q21", BucketedQueries.q21Bucketed, CoreQueries.q21MultiExists))
