@@ -161,10 +161,15 @@ object SkewBench {
     // realEdges page shape): the measured lanes then isolate the
     // resolve JOIN from the probe-side hash generation — otherwise the
     // 8M md5s dominate the lane and dilute the skew signal
+    // cache keyed by (AMP, n_docs) — a bare-existence check silently
+    // reused a stale table when the source sf dir or AMP changed, so
+    // every redge_* number described the wrong dataset (r19, per advice)
+    val nDocsExact = docs.count()
+    val ampPath = s"$dst/amp_links_a${AMP}_n$nDocsExact.parquet"
     locally {
       val fs = new org.apache.hadoop.fs.Path(dst)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/amp_links.parquet"))) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(ampPath))) {
         val nD = docs.agg(count(lit(1)).as("n_docs"))
         def zipf(k: Int): String =
           s"""(n_docs DIV (1 + CAST(conv(substring(md5(concat('amp:',
@@ -175,10 +180,10 @@ object SkewBench {
             explode(array((1 to AMP).map(k =>
               concat(lit("https://docs.example/d"), expr(zipf(k)))): _*)).as("url"))
           .repartition(16)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dst/amp_links.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(ampPath)
       }
     }
-    def ampLinks = spark.read.parquet(s"$dst/amp_links.parquet")
+    def ampLinks = spark.read.parquet(ampPath)
     def ampIdx = docs.select(
       concat(lit("https://docs.example/d"), col("doc_id")).as("url"),
       col("doc_id").as("dst"))

@@ -260,6 +260,40 @@ object GraphOps {
     *    partition — the reason the loop aggregates BEFORE joining ids.
     * The triangle lane (qTriangleReal) orients edges by (degree, id),
     * the power-law posture GraphOps:210 promises. */
+  /** Run `body` with AQE's skew-join split tuned to fire on the
+    * real-edge shape — the SKEWBENCH finding wired into the lanes it
+    * measured (r19, per verdict): the resolve join's hot partition is
+    * ~half the probe rows carrying ONE identical URL, which compresses
+    * far below the stock 256 MB byte threshold, so byte-based skew
+    * detection never fires (redge_amp_aqe_default ≈ _off); at a 1 MB
+    * threshold + 512 KB advisory size the split fires and wins 1.7×
+    * at amplified sf10 skew (redge_amp_aqe_tuned 1.03 s vs 1.73 s),
+    * beating untuned salting's 1.3×. Conf-scoped around the
+    * materializing action and restored after — the stream_join
+    * shuffle-partition discipline; on a real cluster these two values
+    * are layout facts (compressed hot-block size), not per-query
+    * tuning. */
+  private def withSkewTuned[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** [[realEdges]] materialized once (localCheckpoint) under the
+    * skew-tuned scope: the resolve join executes HERE, so the AQE
+    * split sees its hot URL partition with a threshold it can fire at. */
+  private def resolvedEdges(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    withSkewTuned(s) { realEdges(s, d).truncEager }
+  }
+
   private[graft] def realEdges(s: SparkSession, d: String): DataFrame = {
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     def zipf(k: Int): String =
@@ -298,11 +332,10 @@ object GraphOps {
     * the oracle; the redistribution variant costs one extra scalar agg
     * per step and is noted, not needed, here). */
   def qPagerankReal(s: SparkSession, d: String): DataFrame = {
-    import DedupOps.TruncOps
     val nDocs = documents(s, d).count()
     // materialize the resolver output ONCE (the memoized-table pattern);
     // the loop then re-reads a checkpoint, never the resolve join
-    val edges = realEdges(s, d).truncEager
+    val edges = resolvedEdges(s, d)
     val st = prCore(s, idsFor(s, d), _ => edges, nDocs,
       copart = nDocs > PR_COPART_DOCS, maxIters = PR_MAX_REAL)
     prOutput(st)
@@ -330,9 +363,11 @@ object GraphOps {
     * the fixpoint) and the hard bound both mirror bit-for-bit at any
     * SF; no convergence scalar needs to cross into SQL. */
   def qComponentsReal(s: SparkSession, d: String): DataFrame = {
-    import DedupOps.TruncOps
-    val edges = realEdges(s, d).select("src", "dst").truncEager
-    val reps = DedupOps.connectedComponents(edges)
+    val edges = resolvedEdges(s, d).select("src", "dst")
+    // the CC hub join is the OTHER genuinely skewed join here (every
+    // round probes the mega-hub's label from ~n edge rows): run the
+    // whole loop under the same tuned skew scope
+    val reps = withSkewTuned(s) { DedupOps.connectedComponents(edges) }
     val all = documents(s, d).select(col("doc_id"))
       .join(reps.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("comp"))
@@ -406,7 +441,7 @@ object GraphOps {
     // whole extract→resolve pipeline into the plan (35 scalar-attach
     // BNLJ nodes observed), re-running the regexp extraction ~10×.
     // One localCheckpoint each turns the reuse into reads.
-    val und = realEdges(s, d)
+    val und = resolvedEdges(s, d)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().truncEager
