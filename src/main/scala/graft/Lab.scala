@@ -42,6 +42,10 @@ object Lab {
         .limit(10)
 
     Map(
+      // r19: the trained-PQ promotion decision (verdict #7) — end-to-
+      // end lane cost of the first-k codebook vs per-subspace Lloyd
+      "pq_firstk" -> (() => operators.SimilarityOps.simPqTopk(s, d)),
+      "pq_trained" -> (() => operators.SimilarityOps.simPqTopkTrained(s, d)),
       "li_scan" -> (() => li.groupBy().agg(count(lit(1)).as("n"))),
       "li_scan_sumdec" -> (() => li.groupBy().agg(
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec184)).as("s"))),

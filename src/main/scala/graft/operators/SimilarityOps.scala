@@ -553,8 +553,18 @@ object SimilarityOps {
     * the production codebook), then the identical compressed-domain
     * search. Spec-measured recall lift over the first-k codebook at
     * the same (M, K) budget; the production lane keeps first-k, whose
-    * SQL mirror needs no 8 × 25-step training chain per query. */
-  private[operators] def simPqTopkTrained(s: SparkSession, d: String): DataFrame = {
+    * SQL mirror needs no 8 × 25-step training chain per query.
+    *
+    * Promotion measured and REJECTED (r19, verdict #7 — Lab
+    * pq_firstk/pq_trained, sf10 same window, min-of-3): 2.19 s
+    * first-k vs 11.50 s trained end-to-end — per-CALL training is
+    * 5.3× the whole search lane for the recall@5 0.20→0.36 lift. A
+    * production PQ store trains offline and reuses the codebook
+    * across the query stream; a gated lane that retrains per call
+    * misrepresents that economics, and the 8× 25-step oracle chain
+    * would multiply divergence surface the sim_kmeans_converged gate
+    * already covers. Full numbers in SURVEY §5. */
+  private[graft] def simPqTopkTrained(s: SparkSession, d: String): DataFrame = {
     import DedupOps.TruncOps
     val pts = kmPoints(s, d).truncEager
     val sub: Array[Array[Array[Long]]] = Array.tabulate(PQ_M) { m =>
