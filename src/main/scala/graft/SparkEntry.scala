@@ -70,9 +70,10 @@ object SparkEntry {
       // orders⋈customer join into the layout build removes the
       // customer attach stage whose shuffle kept the r14 twin
       // serialized behind the single-wave merge join. Same-window
-      // QTime: sf0.1 1.31 s vs 2.16 s plain; sf10 min-min 2.60 vs
-      // 4.86 s (noisy host, mins across three windows) — the last
-      // non-floor query above the 2× DuckDB bar, now under it.
+      // QTime: sf0.1 1.31 s vs 2.16 s plain; sf10 1.14 s (steady
+      // 1.1–1.6 after the build pass) vs 2.84 s plain vs DuckDB's
+      // same-day 2.81 s — the last non-floor query above the 2×
+      // DuckDB bar, now at ~0.4×.
       "q7_volume" -> (operators.BucketedQueries.q7PreJoined _))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -208,6 +208,12 @@ object BucketedQueries {
     "q5_bucketed" -> (q5Bucketed _),
     "q7_bucketed" -> (q7Bucketed _),
     "q7_prejoined" -> (q7PreJoined _),
+    // plain-scan reference twins for the promoted lanes: the primary
+    // name resolves to the layout plan (SparkEntry.layoutPrimary), so
+    // promotion decisions stay same-window re-measurable (r19)
+    "q7_plain" -> (OlapQueries.q7Volume _),
+    "q5_plain" -> (CoreQueries.q5MultiJoin _),
+    "q18_plain" -> (OlapQueries.q18LargeOrders _),
     "q8_bucketed" -> (q8Bucketed _),
     "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _),
