@@ -587,6 +587,100 @@ object DedupOps {
     reps.select("doc_id", "rep")
   }
 
+  /** Hard round bound of the star loop: Kiveris et al. prove
+    * O(log² n) alternating rounds (O(log n) in practice); 25 covers
+    * any graph whose node ids fit a long. NOT the min-label CC_MAX —
+    * that bound is diameter-limited, this one is not. */
+  private[operators] val CC_STAR_MAX = 25
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) — the O(log n)-round twin of [[connectedComponents]] for
+    * graphs where O(diameter) is the wrong bound (long chains, lattice
+    * crawls). The production lanes keep the min-label loop: their
+    * near-dup / power-law graphs converge in a handful of rounds and
+    * its 20-step unroll is what the DuckDB oracles mirror bit-for-bit.
+    * This twin exists because CC_MAX is an HONEST limit — a
+    * 4000-node path needs 4000 min-label rounds and the bounded loop
+    * returns mid-flight labels there — and the star algorithm closes
+    * exactly that gap: each round re-roots every node toward its
+    * neighborhood minimum, halving component depth, so convergence is
+    * logarithmic in component size, never linear in diameter.
+    *
+    * Per round (both phases are one groupBy + one join over the edge
+    * list — the same shuffle budget as a min-label round):
+    *  - large-star: every strictly-larger neighbor of each center
+    *    attaches to the center's neighborhood minimum;
+    *  - small-star: each node and its not-larger neighbors attach to
+    *    their minimum.
+    * Convergence = BOTH phases left the canonical edge set unchanged
+    * (checked exactly — count + except — not via a checksum: at the
+    * fixpoint the set is a min-rooted star forest and both phases are
+    * identities). Output matches [[connectedComponents]]: (doc_id,
+    * rep=component min) for every node appearing in a pair;
+    * spec-proven equal on the near-dup, semantic, and real-edge
+    * graphs, and correct on the pathological chain the min-label
+    * bound cannot finish. */
+  private[operators] def connectedComponentsStar(pairs0: DataFrame): DataFrame =
+    connectedComponentsStarRounds(pairs0)._1
+
+  private[operators] def connectedComponentsStarRounds(
+      pairs0: DataFrame): (DataFrame, Int) = {
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .truncEager
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: center c over ALL neighbors n; m = min(c, min n);
+    // every n > c re-attaches to m (edges (m, n) are canonical: m < n)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = bothDirs(e)
+      val mins = nbrs.groupBy(col("u").as("c"))
+        .agg(min("v").as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      canon(nbrs.join(mins, nbrs("u") === mins("c"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+    }
+    // small-star: center = the LARGER endpoint of each canonical edge,
+    // neighbors all smaller; m = their min; neighbors and the center
+    // itself re-attach to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("v").as("c")).agg(min("u").as("m"))
+      val withM = e.join(mins, e("v") === mins("c"))
+      canon(
+        withM.select(col("m").as("u"), col("u").as("v"))
+          .union(withM.select(col("m").as("u"), col("v"))))
+    }
+    // exact set equality (inputs are distinct): a checksum could
+    // theoretically stall the loop early; the diff runs on the
+    // shrinking edge list, once per phase
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      b.count() == a.count() && b.except(a).isEmpty
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < CC_STAR_MAX) {
+      val afterLarge = largeStar(edges).truncEager
+      val largeStable = same(edges, afterLarge)
+      val afterSmall = smallStar(afterLarge).truncEager
+      converged = largeStable && same(afterLarge, afterSmall)
+      edges = afterSmall
+      rounds += 1
+    }
+    // at the fixpoint the edge set is a star forest rooted at each
+    // component's min: rep = min(self, neighbors) names the root for
+    // members AND for the root itself
+    val reps = bothDirs(edges)
+      .groupBy(col("u").as("doc_id")).agg(min("v").as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
+    (reps, rounds)
+  }
+
   /** Cluster election over the near-dup pair graph: connected
     * components with the min doc_id as each cluster's keeper — the
     * step a production dedup runs after pair generation, so "A≈B,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The large-star/small-star CC twin: identical components to the
+  * production min-label loop on the real candidate graphs, and —
+  * the reason it exists — correct on a long chain whose diameter
+  * exceeds the min-label loop's CC_MAX round bound. */
+class StarCcSpec extends SparkTestBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def repsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep")).toMap
+
+  test("star CC equals min-label CC on the near-dup and real-edge graphs") {
+    val nearDup = DedupOps.dedupMinhashLsh(spark, sf01).select("doc_a", "doc_b")
+    assert(repsOf(DedupOps.connectedComponentsStar(nearDup)) ==
+      repsOf(DedupOps.connectedComponents(nearDup)), "near-dup graph")
+    val realE = GraphOps.realEdges(spark, sf01).select("src", "dst")
+    assert(repsOf(DedupOps.connectedComponentsStar(realE)) ==
+      repsOf(DedupOps.connectedComponents(realE)), "real-edge graph")
+  }
+
+  test("long chain: star CC converges in O(log n) rounds where the min-label bound cannot finish") {
+    val n = 4000L
+    // a path 0-1-2-…-4000: diameter n, one component rooted at 0
+    val chain = spark.range(n)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val (reps, rounds) = DedupOps.connectedComponentsStarRounds(chain)
+    val got = repsOf(reps)
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      s"every chain node must label to component 0")
+    assert(rounds <= 15, s"star CC must be logarithmic, took $rounds rounds")
+    // the honest contrast: the production loop's CC_MAX-bounded
+    // min-label propagation moves labels ONE hop per round, so after
+    // 20 rounds the chain's tail provably has not met component 0 —
+    // this is exactly the diameter gap the star twin closes
+    val bounded = repsOf(DedupOps.connectedComponents(chain))
+    assert(bounded.values.exists(_ != 0L),
+      "min-label CC at CC_MAX rounds cannot finish a 4000-hop chain " +
+        "(if this ever passes, the bound rose and this spec should be revisited)")
+  }
+}
