@@ -92,6 +92,31 @@ class StatsIndexSpec extends SparkTestBase {
     }
   }
 
+  test("large file count: point lookup through admitFiles plans a pruned scan") {
+    // the 10⁶-file-lake shape at spec scale: 256 data files, engine-side
+    // admission end to end — no O(files) driver collect anywhere
+    val dir = s"$base/many"
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartition(256, col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("l_orderkey"))
+    val v = presentKey(dir, "l_orderkey")
+    val admitted = StatsIndex.admitFiles(spark, dir, "l_orderkey", v)
+      .collect().map(_.getString(0)).toSet
+    val total = spark.read.parquet(dir).select(input_file_name())
+      .distinct().count()
+    assert(total == 256L, s"need the full synthetic fan-out, got $total")
+    // hash-clustered files: one orderkey lives in exactly one file, and
+    // the bloom must prune the other 255 even though every file's
+    // min/max RANGE covers the probe (hash layout = full-range files)
+    assert(admitted.size < 10,
+      s"admission must prune a hash-fanned layout: ${admitted.size} of $total")
+    val got = spark.read.parquet(admitted.toSeq: _*).filter(col("l_orderkey") === v)
+    val want = spark.read.parquet(dir).filter(col("l_orderkey") === v)
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("manifest rows are exact: per-file stats recomputed independently match") {
     // the distributed build (r19) must produce the same manifest the
     // driver-assembled build did: re-derive every (file, key) row's
