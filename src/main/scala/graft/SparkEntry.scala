@@ -65,6 +65,13 @@ object SparkEntry {
       // stream's dominant exchange and, unlike q7's revert, the
       // bucketed join keeps its stage parallel (measured, not argued)
       "q5_multi_join" -> (operators.BucketedQueries.q5Bucketed _),
+      // q_skyline promoted r19: the suppkey-bucketed scan deletes the
+      // plan's ONE fact exchange and the replacing stage is a
+      // BUCKETS-way pre-clustered aggregate (q18's shape, not q7-r14's
+      // serialized merge join). Same-window QTime, min-of-N: sf0.1
+      // 0.61 vs 1.04 s, sf3 1.20 vs 1.82 s, sf10 2.43 vs 3.82 s —
+      // a ~1.6× win at every tested SF.
+      "q_skyline" -> (operators.BucketedQueries.qSkylineBucketed _),
       // q7 promoted r19 on the PRE-JOINED (o_orderkey, c_nationkey)
       // layout — not the r14-reverted plain-bucketed twin: moving the
       // orders⋈customer join into the layout build removes the

@@ -214,6 +214,8 @@ object BucketedQueries {
     "q7_plain" -> (OlapQueries.q7Volume _),
     "q5_plain" -> (CoreQueries.q5MultiJoin _),
     "q18_plain" -> (OlapQueries.q18LargeOrders _),
+    "q_skyline_plain" -> ((s: SparkSession, d: String) =>
+      OlapQueries.qSkyline(s, d)),
     "q8_bucketed" -> (q8Bucketed _),
     "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _),
