@@ -588,9 +588,15 @@ object DedupOps {
   }
 
   /** Hard round bound of the star loop: Kiveris et al. prove
-    * O(log² n) alternating rounds (O(log n) in practice); 25 covers
-    * any graph whose node ids fit a long. NOT the min-label CC_MAX —
-    * that bound is diameter-limited, this one is not. */
+    * O(log² n) alternating rounds, with O(log n) observed in practice
+    * — so 25 is a practical budget (the 4000-hop chain spec converges
+    * in ≤15), not a proof-backed universal cover. Unlike the
+    * min-label loop (whose mid-flight labels are a DOCUMENTED
+    * CC_MAX-unrolled contract the oracles mirror), the star loop has
+    * no unrolled oracle, so a non-converged exit would silently
+    * return wrong labels — [[connectedComponentsStarRounds]] throws
+    * instead. NOT the min-label CC_MAX — that bound is
+    * diameter-limited, this one is not. */
   private[operators] val CC_STAR_MAX = 25
 
   /** Alternating large-star/small-star connected components (Kiveris
@@ -616,11 +622,16 @@ object DedupOps {
     * Convergence = BOTH phases left the canonical edge set unchanged
     * (checked exactly — count + except — not via a checksum: at the
     * fixpoint the set is a min-rooted star forest and both phases are
-    * identities). Output matches [[connectedComponents]]: (doc_id,
-    * rep=component min) for every node appearing in a pair;
-    * spec-proven equal on the near-dup, semantic, and real-edge
-    * graphs, and correct on the pathological chain the min-label
-    * bound cannot finish. */
+    * identities); hitting CC_STAR_MAX without converging THROWS
+    * rather than returning mid-flight labels (the min-label loop's
+    * bounded exit is a mirrored oracle contract; this one would just
+    * be wrong). Output matches [[connectedComponents]]: (doc_id,
+    * rep=component min) for every node appearing in a pair —
+    * including nodes whose only pair is a self-pair (x,x), which
+    * canon() drops from the edge set and the rep union restores as
+    * singletons. Spec-proven equal on the near-dup, semantic, and
+    * real-edge graphs, and correct on the pathological chain the
+    * min-label bound cannot finish. */
   private[operators] def connectedComponentsStar(pairs0: DataFrame): DataFrame =
     connectedComponentsStarRounds(pairs0)._1
 
@@ -672,13 +683,27 @@ object DedupOps {
       edges = afterSmall
       rounds += 1
     }
+    // wrong labels must not come out of this loop quietly: the
+    // min-label loop's bounded exit is a documented, oracle-mirrored
+    // contract; a star loop cut mid-flight has no such contract
+    require(converged,
+      s"star CC did not converge within CC_STAR_MAX=$CC_STAR_MAX rounds — " +
+        "raise the budget; O(log² n) is the proven bound, not ≤25")
     // at the fixpoint the edge set is a star forest rooted at each
     // component's min: rep = min(self, neighbors) names the root for
     // members AND for the root itself
     val reps = bothDirs(edges)
       .groupBy(col("u").as("doc_id")).agg(min("v").as("mn"))
       .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
-    (reps, rounds)
+    // canon() drops self-pairs, so a node whose ONLY appearance is
+    // (x,x) has no edge and no rep row yet — restore it as its own
+    // singleton, matching the min-label contract ("every node
+    // appearing in a pair"); anti-join keeps nodes already labeled
+    val selfOnly = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .join(reps, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep"))
+    (reps.union(selfOnly), rounds)
   }
 
   /** Cluster election over the near-dup pair graph: connected

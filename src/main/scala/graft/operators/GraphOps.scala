@@ -272,7 +272,17 @@ object GraphOps {
     * materializing action and restored after — the stream_join
     * shuffle-partition discipline; on a real cluster these two values
     * are layout facts (compressed hot-block size), not per-query
-    * tuning. */
+    * tuning.
+    *
+    * CONCURRENCY CONTRACT: session confs are session-GLOBAL, so any
+    * query planned on this SparkSession while `body` runs (including
+    * the full CC loop in qComponentsReal) inherits the 1 MB/512 KB
+    * values — harmless for correctness, but it coalesces to many tiny
+    * partitions. The engine's entry points (Verify/Bench/driver) run
+    * queries sequentially per session; a concurrent deployment should
+    * give skew-tuned lanes their own session (`s.newSession()` shares
+    * the catalog, isolates confs) rather than interleave. Restore is
+    * exception-safe; interleaving is the documented non-goal. */
   private def withSkewTuned[T](s: SparkSession)(body: => T): T = {
     val confs = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",

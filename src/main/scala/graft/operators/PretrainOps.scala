@@ -475,10 +475,11 @@ object PretrainOps {
         (col("gopher_keep") && col("rep_keep") && col("qual_keep")).as("keep_doc"))
 
   /** The fused gate's per-doc statistics (every signal the three
-    * heuristics threshold, one scan, zero joins) — shared between the
-    * keep verdicts above and the learned classifier's feature vector
-    * ([[pretrainQualityModel]]), so model features and training labels
-    * derive from the SAME scan. */
+    * heuristics threshold, one scan, zero joins) behind the fused
+    * keep verdicts. (The learned classifier derives its features from
+    * [[qmCounts]] — the same GramStatsExpr scan one step earlier,
+    * before the display-rounding to 4-decimal fractions — so its
+    * lane stays integer-exact end to end.) */
   private[operators] def qualityFracs(s: SparkSession, d: String): DataFrame = {
     // textRepetition's domain (≥3 tokens) — the composite's inner joins
     // restrict it the same way
@@ -522,6 +523,7 @@ object PretrainOps {
   private[operators] val QM_LR = 8L        // step numerator (per-doc QM_LR/(n·cw))
   private[operators] val QM_EPS = 100L     // stop: Σ|Δw| ≤ EPS weight units
   private[operators] val QM_MAX = 40       // hard iteration bound
+  private[operators] val QM_FEAT_MOD = 17L // feature-trace sample modulus
 
   /** A LEARNED quality classifier trained in-engine — the CCNet/
     * fastText-shaped lane the heuristic ensemble ([[pretrainQualityScore]])
@@ -610,6 +612,24 @@ object PretrainOps {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Per-doc FEATURE trace — the bisect rung below the weight trace
+    * (r19 verdict's prescribed lane): a deterministic doc_id-modulus
+    * sample of the standardized feature table (doc_id, y, x0..x15),
+    * oracled by the model oracle's own f2 CTE. The weight trace
+    * validates every AGGREGATE of f2; this lane validates the per-doc
+    * ROWS those aggregates can hide (flips that cancel inside 17
+    * gradient sums still flip the flipped docs' final scores). A red
+    * row here names the exact doc and feature; green here + green
+    * trace + red model would isolate the scoring tail. Diagnostic
+    * grain: the modulus keeps it a constant fraction at any corpus
+    * size, and the gate runs it at sf0.01 (~30 rows). */
+  def pretrainQualityFeatures(s: SparkSession, d: String): DataFrame = {
+    val (feats, _, _) = qmFeatures(s, d)
+    feats.filter(col("doc_id") % QM_FEAT_MOD === 0)
+      .select(col("doc_id") +: col("y") +:
+        (0 until QM_F).map(i => col(s"x$i")): _*)
+  }
+
   private def qmZSql(w: Array[Long]): String =
     (0 until QM_F).map(i => s"x$i * ${w(i)}L").mkString(" + ") +
       s" + $QM_FP * ${w(QM_F)}L"
@@ -643,31 +663,78 @@ object PretrainOps {
     delta
   }
 
+  /** Raw per-document integer counts behind the learned classifier:
+    * unigram stats (token count, distinct, top, summed char length,
+    * stopword instances) and the 2-/3-gram repetition counts, one
+    * GramStatsExpr scan, domain ≥3 tokens (the repetition rules').
+    * Everything downstream of this table is integer arithmetic. */
+  private[operators] def qmCounts(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GramStatsExpr.register(s)
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_gram_stats(text, 1)").as("s1"),
+        expr("graft_gram_stats(text, 2)").as("s2"),
+        expr("graft_gram_stats(text, 3)").as("s3"),
+        TextOps.stopCount(split(col("text"), " ")).as("ns"))
+      .filter(col("s3.n_grams") >= 1)
+      .select(col("doc_id"),
+        col("s1.n_grams").as("nt"), col("s1.n_distinct").as("nd"),
+        col("s1.top_cnt").as("tc"), col("s1.sum_tok_len").as("stl"),
+        col("ns"),
+        col("s2.n_grams").as("g2"), col("s2.top_cnt").as("top2"),
+        col("s2.dup_inst").as("dup2"),
+        col("s3.n_grams").as("g3"), col("s3.dup_inst").as("dup3"))
+  }
+
+  /** The gate verdict over raw counts as EXACT rational comparisons —
+    * a·10² ≤ t·10²·b instead of r4(a/b) ≤ t. Same thresholds as
+    * [[gopherKeep]]/[[repKeep]]/quality ≥ 0.5, but no doubles anywhere:
+    * the reporting lanes keep their display-rounded fractions (where a
+    * boundary doc whose frac ROUNDS across the threshold may differ),
+    * while the training label stays bit-portable across engines and
+    * engine VERSIONS by construction (r19 driver-gate lesson: the green
+    * trace twin proved every aggregate portable while per-doc doubles
+    * still flipped a handful of scores in the driver's DuckDB build). */
+  private def qmLabel: Column =
+    (col("nt") >= 40 && col("stl") <= col("nt") * 5 &&
+      col("tc") * 100 <= col("nt") * 12 &&
+      (col("nt") - col("nd")) * 100 <= col("nt") * 55 &&
+      col("dup2") * 100 <= col("g2") * 12 &&
+      col("top2") * 10000 <= col("g2") * 625 &&
+      col("dup3") * 100 <= col("g3") * 6 &&
+      (col("nt") - col("ns")) * 2 >= greatest(col("nt"), lit(100L)))
+      .cast("long")
+
   /** The standardized integer feature table + class stats behind
-    * [[pretrainQualityModel]] and its weight-trace twin: the once-
-    * checkpointed (doc_id, y, x0..x15) long table, corpus size n, and
-    * the positive-class weight cw. */
+    * [[pretrainQualityModel]] and its twins: the once-checkpointed
+    * (doc_id, y, x0..x15) long table, corpus size n, and the
+    * positive-class weight cw. Integer-exact END TO END (label,
+    * features, standardization): every value is an integer-rational
+    * fixed-pointing of raw counts — (a·10⁴) DIV b with a,b ≥ 0, where
+    * floor and trunc agree unconditionally — so no floating-point
+    * rounding, `round()` version semantics, or double-representation
+    * boundary can flip a per-doc row between engines. */
   private def qmFeatures(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import DedupOps.TruncOps
-    // label + the 8 statistic features, straight off the gate's own
-    // scan: fracs are the 4-decimal-rounded doubles the g/r/q oracles
-    // expose, re-fixed-pointed exactly (floor(frac·1e4 + 0.5) on a
-    // k/1e4 double recovers k in both engines)
-    val labeled = qualityFracs(s, d).select(col("doc_id"),
-      (gopherKeep && repKeep && (col("quality_score") >= 0.5))
-        .cast("long").as("y"),
-      expr(s"CAST(floor(dup_frac * $QM_FP + 0.5) AS BIGINT)").as(s"f$QM_B"),
-      expr(s"CAST(floor(top_frac * $QM_FP + 0.5) AS BIGINT)").as(s"f${QM_B + 1}"),
-      expr(s"LEAST(CAST(floor(mean_tok_len * 1000 + 0.5) AS BIGINT), $QM_FP)")
-        .as(s"f${QM_B + 2}"),
-      expr(s"CAST(floor(quality_score * $QM_FP + 0.5) AS BIGINT)").as(s"f${QM_B + 3}"),
-      expr(s"CAST(floor(dup2_frac * $QM_FP + 0.5) AS BIGINT)").as(s"f${QM_B + 4}"),
-      expr(s"CAST(floor(top2_frac * $QM_FP + 0.5) AS BIGINT)").as(s"f${QM_B + 5}"),
-      expr(s"CAST(floor(dup3_frac * $QM_FP + 0.5) AS BIGINT)").as(s"f${QM_B + 6}"),
-      expr(s"LEAST(n_tokens, 200) * $QM_FP DIV 200").as(s"f${QM_B + 7}"))
-    // the bag-of-words part: md5 bucket per token instance
+    val labeled = qmCounts(s, d).select(col("doc_id"), qmLabel.as("y"),
+      expr(s"(nt - nd) * $QM_FP DIV nt").as(s"f$QM_B"),
+      expr(s"tc * $QM_FP DIV nt").as(s"f${QM_B + 1}"),
+      expr(s"LEAST(stl * 1000 DIV nt, $QM_FP)").as(s"f${QM_B + 2}"),
+      // min(1, nt/100)·(1 − ns/nt) in one non-negative division:
+      // (nt−ns)·FP DIV max(nt, 100) — exact for both nt branches
+      expr(s"(nt - ns) * $QM_FP DIV GREATEST(nt, 100L)").as(s"f${QM_B + 3}"),
+      expr(s"dup2 * $QM_FP DIV g2").as(s"f${QM_B + 4}"),
+      expr(s"top2 * $QM_FP DIV g2").as(s"f${QM_B + 5}"),
+      expr(s"dup3 * $QM_FP DIV g3").as(s"f${QM_B + 6}"),
+      expr(s"LEAST(nt, 200) * $QM_FP DIV 200").as(s"f${QM_B + 7}"))
+    // the bag-of-words part: md5 bucket per token instance. Empty
+    // tokens filtered EXPLICITLY on both sides — string_split
+    // empty-token semantics drifted across DuckDB versions, and this
+    // lane (unlike the gram stats) has no green-gated named twin to
+    // prove the driver build agrees
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
       .select(col("doc_id"),
         (conv(substring(md5(concat(lit("qm:"), col("tok"))), 1, 8), 16, 10)
           .cast("long") % QM_B).as("b"))
@@ -842,6 +909,7 @@ object PretrainOps {
     "pretrain_quality_fused" -> (pretrainQualityFused _),
     "pretrain_quality_model" -> (pretrainQualityModel _),
     "pretrain_quality_model_trace" -> (pretrainQualityModelTrace _),
+    "pretrain_quality_features" -> (pretrainQualityFeatures _),
     "pretrain_shuffle_shard" -> (pretrainShuffleShard _),
     "pretrain_seq_pack" -> (pretrainSeqPack _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -1130,15 +1198,20 @@ object PretrainOps {
     * to HUGEINT and the type would otherwise propagate into the
     * output), per-step delta scalars, pick = min{t : δ ≤ EPS}
     * (QM_MAX if none), final scoring with the picked weights. The
-    * label CTE embeds the heuristic ensemble's own SQL verbatim —
-    * the model and its training signal cannot drift. Every division
-    * whose numerator can go negative (z DIV 4·FP inside the hard
-    * sigmoid, the gradient and weight-update DIVs) goes through
-    * [[qmDiv]]; the remaining `//` sites are provably non-negative
-    * (bucket fractions, saturating length, min-max standardization,
-    * class weight), where floor and trunc agree unconditionally.
-    * The paired trace oracle exposes the w1..w_QM_MAX chain itself. */
-  private val (qualityModelOracle: String, qualityModelTraceOracle: String) = {
+    * prefix is INTEGER-EXACT end to end (r20): labels are exact
+    * rational threshold comparisons over raw counts and features are
+    * (a·10⁴) // b fixed-pointings of the same counts — no doubles, no
+    * round()/floor-of-double anywhere — because r19's driver gate
+    * proved (green weight trace beside a red model lane) that per-doc
+    * double rounding can flip feature rows in a DuckDB build the
+    * aggregate chain never sees. Every division whose numerator can
+    * go negative (z DIV 4·FP inside the hard sigmoid, the gradient
+    * and weight-update DIVs) goes through [[qmDiv]]; the remaining
+    * `//` sites are provably non-negative, where floor and trunc
+    * agree unconditionally. The paired trace oracle exposes the
+    * w1..w_QM_MAX chain; the features oracle exposes sampled f2 rows. */
+  private val (qualityModelOracle: String, qualityModelTraceOracle: String,
+      qualityFeaturesOracle: String) = {
     val B = QM_B
     val F = QM_F
     def zOf(w: String) =
@@ -1168,48 +1241,74 @@ object PretrainOps {
       .mkString("\n  UNION ALL ")
     val cntCols = (0 until B).map(i =>
       s"SUM(CASE WHEN b = $i THEN 1 ELSE 0 END) AS c$i").mkString(", ")
+    // integer-exact features over the raw counts — (a·FP) // b with
+    // a,b ≥ 0 mirrors Spark DIV unconditionally; CAST because SUM
+    // widened c_i/counts to HUGEINT
     val rawCols = (0 until B).map(i =>
-      s"(c$i * $QM_FP) // nt AS x$i").mkString(", ") +
+      s"CAST((c$i * $QM_FP) // nt2 AS BIGINT) AS x$i").mkString(", ") +
       s""",
-         |  CAST(floor(g.dup_frac * $QM_FP + 0.5) AS BIGINT) AS x$B,
-         |  CAST(floor(g.top_frac * $QM_FP + 0.5) AS BIGINT) AS x${B + 1},
-         |  LEAST(CAST(floor(g.mean_tok_len * 1000 + 0.5) AS BIGINT), $QM_FP) AS x${B + 2},
-         |  CAST(floor(q.quality_score * $QM_FP + 0.5) AS BIGINT) AS x${B + 3},
-         |  CAST(floor(r.dup2_frac * $QM_FP + 0.5) AS BIGINT) AS x${B + 4},
-         |  CAST(floor(r.top2_frac * $QM_FP + 0.5) AS BIGINT) AS x${B + 5},
-         |  CAST(floor(r.dup3_frac * $QM_FP + 0.5) AS BIGINT) AS x${B + 6},
-         |  (LEAST(g.n_tokens, 200) * $QM_FP) // 200 AS x${B + 7}""".stripMargin
+         |  CAST(((nt - nd) * $QM_FP) // nt AS BIGINT) AS x$B,
+         |  CAST((tc * $QM_FP) // nt AS BIGINT) AS x${B + 1},
+         |  CAST(LEAST((stl * 1000) // nt, $QM_FP) AS BIGINT) AS x${B + 2},
+         |  CAST(((nt - ns) * $QM_FP) // GREATEST(nt, 100) AS BIGINT) AS x${B + 3},
+         |  CAST((dup2 * $QM_FP) // g2 AS BIGINT) AS x${B + 4},
+         |  CAST((top2 * $QM_FP) // g2 AS BIGINT) AS x${B + 5},
+         |  CAST((dup3 * $QM_FP) // g3 AS BIGINT) AS x${B + 6},
+         |  CAST((LEAST(nt, 200) * $QM_FP) // 200 AS BIGINT) AS x${B + 7}""".stripMargin
+    val labelSql =
+      s"""CAST((nt >= 40 AND stl <= nt * 5 AND tc * 100 <= nt * 12
+         |    AND (nt - nd) * 100 <= nt * 55 AND dup2 * 100 <= g2 * 12
+         |    AND top2 * 10000 <= g2 * 625 AND dup3 * 100 <= g3 * 6
+         |    AND (nt - ns) * 2 >= GREATEST(nt, 100)) AS BIGINT)""".stripMargin
     val statCols = (0 until F).map(i =>
       s"MIN(x$i) AS mn$i, MAX(x$i) AS mx$i").mkString(", ") +
       ", CAST(SUM(y) AS BIGINT) AS n1, COUNT(*) AS nn"
     val stdCols = (0 until F).map(i =>
-      s"((x$i - (SELECT mn$i FROM st)) * ${2 * QM_FP}) // " +
-        s"GREATEST(1, (SELECT mx$i FROM st) - (SELECT mn$i FROM st)) - $QM_FP AS x$i")
+      s"CAST(((x$i - (SELECT mn$i FROM st)) * ${2 * QM_FP}) // " +
+        s"GREATEST(1, (SELECT mx$i FROM st) - (SELECT mn$i FROM st)) - $QM_FP AS BIGINT) AS x$i")
       .mkString(",\n  ")
     val prefix =
-      s"""WITH g AS MATERIALIZED (${baseOracle("text_gopher_rules")}),
-       |r AS MATERIALIZED (${baseOracle("text_repetition")}),
-       |q AS MATERIALIZED (${TextOps.oracle("text_quality")}),
-       |tk AS (SELECT doc_id, (${qmHex8("m")}) % $B AS b FROM (
-       |  SELECT doc_id, md5('qm:' || unnest(string_split(text, ' '))) AS m
-       |  FROM documents) t0),
-       |cnt AS (SELECT doc_id, count(*) AS nt, $cntCols FROM tk GROUP BY doc_id),
-       |f AS MATERIALIZED (SELECT g.doc_id,
-       |  CAST((g.keep_doc AND r.keep_doc AND q.quality_score >= 0.5) AS BIGINT) AS y,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |pt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+       |a1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
+       |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS tc,
+       |    CAST(sum(len(tok) * c) AS BIGINT) AS stl,
+       |    CAST(sum(CASE WHEN tok IN ('the','a','r','s') THEN c ELSE 0 END) AS BIGINT) AS ns
+       |  FROM pt GROUP BY 1),
+       |n2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |    i -> array_to_string(tk[i:i+1], ' '))) AS ng FROM t WHERE len(tk) >= 2),
+       |c2 AS (SELECT doc_id, ng, count(*) AS c FROM n2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS g2,
+       |    CAST(max(c) AS BIGINT) AS top2,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+       |  FROM c2 GROUP BY 1),
+       |n3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> array_to_string(tk[i:i+2], ' '))) AS ng FROM t WHERE len(tk) >= 3),
+       |c3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS g3,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+       |  FROM (SELECT doc_id, ng, count(*) AS c FROM n3 GROUP BY 1, 2) cg GROUP BY 1),
+       |tkb AS (SELECT doc_id, (${qmHex8("m")}) % $B AS b FROM (
+       |  SELECT doc_id, md5('qm:' || tok) AS m FROM u WHERE tok <> '') t0),
+       |cnt AS (SELECT doc_id, count(*) AS nt2, $cntCols FROM tkb GROUP BY doc_id),
+       |f AS MATERIALIZED (SELECT a1.doc_id,
+       |  $labelSql AS y,
        |  $rawCols
-       |  FROM g JOIN r ON g.doc_id = r.doc_id JOIN q ON g.doc_id = q.doc_id
-       |  JOIN cnt ON g.doc_id = cnt.doc_id),
+       |  FROM a1 JOIN a2 USING (doc_id) JOIN c3 USING (doc_id)
+       |  JOIN cnt USING (doc_id)),
        |st AS MATERIALIZED (SELECT $statCols FROM f),
        |cw AS (SELECT GREATEST(1, ((SELECT nn FROM st) - (SELECT n1 FROM st))
        |  // GREATEST(1, (SELECT n1 FROM st))) AS c),
        |f2 AS MATERIALIZED (SELECT doc_id, y,
        |  $stdCols
-       |  FROM f),
-       |w0 AS (SELECT ${(0 to F).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")}),
+       |  FROM f)""".stripMargin
+    val trainCtes =
+      s"""w0 AS (SELECT ${(0 to F).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")}),
        |$steps,
        |dl AS MATERIALIZED ($deltas)""".stripMargin
     val score =
       s"""$prefix,
+       |$trainCtes,
        |pick AS (SELECT COALESCE(MIN(i), $QM_MAX) AS ic FROM dl WHERE dv <= $QM_EPS),
        |fw AS (SELECT * FROM ($allw) aw WHERE i = (SELECT ic FROM pick)),
        |sc AS (SELECT fz.doc_id, fz.y AS label, $pOfZ AS score_fp
@@ -1219,17 +1318,23 @@ object PretrainOps {
        |  CAST((SELECT ic FROM pick) AS BIGINT) AS n_iters
        |FROM sc""".stripMargin
     val trace =
-      s"""$prefix
+      s"""$prefix,
+       |$trainCtes
        |SELECT CAST(a.i AS BIGINT) AS step,
        |  ${(0 to F).map(j => s"a.w$j").mkString(", ")},
        |  CAST(d.dv AS BIGINT) AS delta
        |FROM ($allw) a JOIN dl d ON a.i = d.i""".stripMargin
-    (score, trace)
+    val featRows =
+      s"""$prefix
+       |SELECT doc_id, y, ${(0 until F).map(i => s"x$i").mkString(", ")}
+       |FROM f2 WHERE doc_id % $QM_FEAT_MOD = 0""".stripMargin
+    (score, trace, featRows)
   }
 
   val oracle: Map[String, String] = baseOracle +
     ("pretrain_quality_score" -> qualityScoreOracle) +
     ("pretrain_quality_fused" -> qualityScoreOracle) +
     ("pretrain_quality_model" -> qualityModelOracle) +
-    ("pretrain_quality_model_trace" -> qualityModelTraceOracle)
+    ("pretrain_quality_model_trace" -> qualityModelTraceOracle) +
+    ("pretrain_quality_features" -> qualityFeaturesOracle)
 }

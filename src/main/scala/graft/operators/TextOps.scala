@@ -390,18 +390,39 @@ object TextOps {
     * 1-row total crosses a broadcast nested-loop join at |docs| grain
     * (150k rows at sf3) instead of token grain (8.1M) — the pre-fix
     * plan pushed every token row through the BNLJ. */
-  def textLogprob(s: SparkSession, d: String): DataFrame = {
-    // Distinct-gram counts per doc from ONE native byte sweep
-    // (plans/GramHashExpr.scala) instead of exploding every token
-    // INSTANCE twice (count side + probe side): the exploded stream
-    // shrinks to distinct-(doc, token) grain, the split/xxhash work
-    // runs once per document, and instance totals are exact Σc.
-    // Hash identities match xxhash64(tok) bit-for-bit.
+  def textLogprob(s: SparkSession, d: String): DataFrame =
+    textLogprobFrom(s, logprobDhc(s, d))
+
+  /** The distinct-(doc, token-hash, count) stream behind the fluency
+    * lanes — one native byte sweep per document (n = 1 tokens, n = 2
+    * bigrams), no instance explosion. This is the stream the
+    * doc_id-bucketed layout twin MATERIALIZES (BucketedQueries
+    * ensureDhcBucketed): at query time the layout form scans
+    * (doc_id, h…, c) parquet instead of re-tokenizing the corpus —
+    * and because both the count side and the probe side read this
+    * stream, the plain form pays the byte sweep twice per query. */
+  private[operators] def logprobDhc(s: SparkSession, d: String): DataFrame = {
     graft.plans.GramHashExpr.register(s)
-    val dhc = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"),
         explode(expr("graft_gram_hash_counts(text, 1)")).as("tc"))
       .select(col("doc_id"), col("tc.h1").as("h"), col("tc.c").as("c"))
+  }
+
+  private[operators] def logprobDhc2(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GramHashExpr.register(s)
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("graft_gram_hash_counts(text, 2)")).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
+        col("b.c").as("c"))
+  }
+
+  /** Plan body over any (doc_id, h, c) distinct-token stream — shared
+    * by the scan form ([[textLogprob]]) and the bucketed layout twin
+    * (BucketedQueries.textLogprobBucketed), the q7_prejoined
+    * discipline: one definition, two physical layouts. */
+  private[operators] def textLogprobFrom(s: SparkSession, dhc: DataFrame): DataFrame = {
     val vocab = dhc.groupBy(col("h").as("h_v")).agg(sum("c").as("tf"))
     // corpus size = Σ tf over the (tiny) vocab — a broadcast scalar,
     // fully declarative: no driver action, no extra corpus scan
@@ -484,15 +505,13 @@ object TextOps {
     * 100 TB they are hash-partitioned equi-joins on uniform keys. The
     * mean is fixed-point floor-rounded (1e4) to absorb summation-order
     * ulps between engines. */
-  def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
-    // distinct-bigram counts per doc in one native sweep (same fusion
-    // as textLogprob; h1/h2 chain-hash identities preserved)
-    graft.plans.GramHashExpr.register(s)
-    val bi = documents(s, d)
-      .select(col("doc_id"),
-        explode(expr("graft_gram_hash_counts(text, 2)")).as("b"))
-      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
-        col("b.c").as("c"))
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame =
+    textBigramLogprobFrom(s, logprobDhc2(s, d))
+
+  /** Plan body over any (doc_id, h1, h2, c) distinct-bigram stream —
+    * shared by the scan form and the bucketed layout twin, like
+    * [[textLogprobFrom]]. */
+  private[operators] def textBigramLogprobFrom(s: SparkSession, bi: DataFrame): DataFrame = {
     val ctx = bi.groupBy(col("h1").as("c_h1")).agg(sum("c").as("n1"))
     val big = bi.groupBy(col("h2").as("c_h2")).agg(sum("c").as("n2"))
     // ln + explicit ln(10) literal on both sides (textLogprob rationale)

@@ -92,4 +92,24 @@ class BucketedQueriesSpec extends SparkTestBase {
     assert(orderKeyExchange.findFirstIn(plan).isDefined,
       s"expected the unbucketed join to exchange on the order key:\n$plan")
   }
+
+  test("fluency lanes over the materialized gram streams: zero doc_id Exchange, identical results") {
+    // the bucketed dhc scan must satisfy the per-doc scoring aggregate
+    // (no Exchange hashpartitioning(doc_id)) and reproduce the plain
+    // scan-form lanes row for row (same oracle SQL gates both)
+    val s = spark
+    val docExchange = """Exchange hashpartitioning\(doc_id#\d+L?, \d+\)""".r
+    for ((bkt, plain) <- Seq[((org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      (BucketedQueries.textLogprobBucketed, TextOps.textLogprob),
+      (BucketedQueries.textBigramLogprobBucketed, TextOps.textBigramLogprob))) {
+      val b = bkt(s, sf)
+      val plan = b.queryExecution.executedPlan.toString
+      assert(docExchange.findFirstIn(plan).isEmpty,
+        s"bucketed gram stream must never re-shuffle on doc_id:\n$plan")
+      val got = b.collect().map(_.toSeq).toSet
+      val want = plain(s, sf).collect().map(_.toSeq).toSet
+      assert(got == want, "materialized-layout fluency lane changed results")
+    }
+  }
 }

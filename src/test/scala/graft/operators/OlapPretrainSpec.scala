@@ -776,6 +776,10 @@ class QualityModelSpec extends graft.SparkTestBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
     assert(out.keySet == keep.keySet, "model domain = the gate's domain")
     out.foreach { case (doc, (label, score, pred, iters)) =>
+      // the r20 label is the gate's EXACT rational thresholds (integer-
+      // portable across engines/versions); at this SF no doc's fraction
+      // sits inside a display-rounding boundary window, so the exact
+      // label coincides with the r4-rounded fused verdict doc for doc
       assert(label == (if (keep(doc)) 1L else 0L), s"doc $doc label")
       assert(score >= 0 && score <= PretrainOps.QM_W, s"doc $doc score range")
       assert((pred == 1) == (score >= PretrainOps.QM_W / 2), s"doc $doc pred")
@@ -833,5 +837,27 @@ class QualityModelSpec extends graft.SparkTestBase {
     val firstConv = tr.find(_.getAs[Long]("delta") <= PretrainOps.QM_EPS)
       .map(_.getAs[Long]("step")).getOrElse(PretrainOps.QM_MAX.toLong)
     assert(nIters == firstConv, s"model n_iters $nIters vs trace $firstConv")
+  }
+
+  test("feature trace twin: sampled per-doc rows, standardized range, sane labels") {
+    val fr = PretrainOps.pretrainQualityFeatures(spark, d).collect()
+    assert(fr.nonEmpty, "modulus sample populated at this SF")
+    // a doc_id-modulus sample of the model's own training table: the
+    // per-doc bisect rung below the weight trace (r19 verdict's lane)
+    fr.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % PretrainOps.QM_FEAT_MOD == 0)
+      val y = r.getAs[Long]("y")
+      assert(y == 0L || y == 1L)
+      (0 until PretrainOps.QM_F).foreach { i =>
+        val x = r.getAs[Long](s"x$i")
+        assert(x >= -PretrainOps.QM_FP && x <= PretrainOps.QM_FP,
+          s"x$i standardized to [-FP, FP]: $x")
+      }
+    }
+    // min-max standardization is over the FULL table, so the sampled
+    // rows need not span the range — but none may escape it, and the
+    // sample must carry both classes at this SF (25/500 positives)
+    assert(fr.map(_.getAs[Long]("y")).distinct.length == 2,
+      "sample carries both classes")
   }
 }

@@ -42,4 +42,16 @@ class StarCcSpec extends SparkTestBase {
       "min-label CC at CC_MAX rounds cannot finish a 4000-hop chain " +
         "(if this ever passes, the bound rose and this spec should be revisited)")
   }
+
+  test("self-pair-only nodes come back as singletons (the min-label contract)") {
+    // node 99 appears ONLY as (99,99): canon() drops the self-loop from
+    // the edge set, so the rep union must restore it as its own rep —
+    // matching connectedComponents, which seeds every doc_a
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (99L, 99L), (1L, 1L))).toDF("doc_a", "doc_b")
+    val star = repsOf(DedupOps.connectedComponentsStar(pairs))
+    val minl = repsOf(DedupOps.connectedComponents(pairs))
+    assert(star == minl, s"star $star vs min-label $minl")
+    assert(star(99L) == 99L, "self-pair-only node is its own singleton rep")
+  }
 }
