@@ -97,6 +97,24 @@ object Lab {
       "q3_bcast" -> (() => q3body(broadcast(oc), li)),
       "q3_merge_hint" -> (() => q3body(oc.hint("merge"), li)),
 
+      // ---- r20: q18 BUCKETED decomposition (verdict #3) — stage
+      // costs of the promoted layout plan: bare bucketed scan floor,
+      // + the exchange-free order-grain aggregate, + the full lane
+      // (its two AQE-broadcast joins on the ~1% qualifying set) ----
+      "q18b_scan" -> (() => {
+        val (_, lt) = operators.BucketedQueries.ensureBucketed(s, d)
+        s.table(lt).select("l_orderkey", "l_quantity")
+          .groupBy().agg(count(lit(1)).as("n"))
+      }),
+      "q18b_agg" -> (() => {
+        val (_, lt) = operators.BucketedQueries.ensureBucketed(s, d)
+        s.table(lt).select("l_orderkey", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty_l"))
+          .filter(col("qty_l") > 250L)
+          .groupBy().agg(count(lit(1)).as("n"))
+      }),
+      "q18b_full" -> (() => operators.BucketedQueries.q18Bucketed(s, d)),
       // ---- q18 variants: the 15M-group quantity aggregate ----
       "q18_current" -> (() => operators.OlapQueries.queries("q18_large_orders")(s, d)),
       "q18_longsum" -> (() => {

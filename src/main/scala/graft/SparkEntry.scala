@@ -27,7 +27,8 @@ object SparkEntry {
       operators.BehaviorOps.queries -> operators.BehaviorOps.oracle,
       operators.PretrainOps.queries -> operators.PretrainOps.oracle,
       streaming.StreamOps.queries -> streaming.StreamOps.oracle,
-      streaming.StreamIngest.queries -> streaming.StreamIngest.oracle
+      streaming.StreamIngest.queries -> streaming.StreamIngest.oracle,
+      sources.StatsIndex.queries -> sources.StatsIndex.oracle
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -81,7 +82,20 @@ object SparkEntry {
       // 1.1–1.6 after the build pass) vs 2.84 s plain vs DuckDB's
       // same-day 2.81 s — the last non-floor query above the 2×
       // DuckDB bar, now at ~0.4×.
-      "q7_volume" -> (operators.BucketedQueries.q7PreJoined _))
+      "q7_volume" -> (operators.BucketedQueries.q7PreJoined _),
+      // fluency lanes promoted r20 on the materialized doc_id-bucketed
+      // distinct-gram streams (ensureDhcBucketed — the q7_prejoined
+      // discipline applied to tokenization): the plain plans paid the
+      // byte-sweep tokenize TWICE per query (count + probe subtrees)
+      // plus a doc-grain exchange; the layout form scans slim
+      // (doc_id, h…, c) parquet and aggregates exchange-free on the
+      // buckets. Same-window QTime min-of-3, bkt vs plain: sf0.1
+      // 0.49/0.78, sf1 0.75/0.88, sf3 0.72/1.08, sf10 0.96/2.44 s —
+      // and bigram 0.42/0.60, 0.67/0.76, 1.05/1.20, 2.75/3.31 s. The
+      // r19 verdict's two non-floor >2× rows (3.16×/2.73× vs DuckDB)
+      // land at ~1.2×/~1.8×.
+      "text_logprob" -> (operators.BucketedQueries.textLogprobBucketed _),
+      "text_bigram_logprob" -> (operators.BucketedQueries.textBigramLogprobBucketed _))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -267,6 +267,8 @@ object BucketedQueries {
       OlapQueries.qSkyline(s, d)),
     "text_logprob_bkt" -> (textLogprobBucketed _),
     "text_bigram_logprob_bkt" -> (textBigramLogprobBucketed _),
+    "text_logprob_plain" -> (TextOps.textLogprob _),
+    "text_bigram_logprob_plain" -> (TextOps.textBigramLogprob _),
     "q8_bucketed" -> (q8Bucketed _),
     "q18_bucketed" -> (q18Bucketed _),
     "q21_bucketed" -> (q21Bucketed _),

@@ -538,7 +538,17 @@ object DedupOps {
     * semantic dedup (SimilarityOps.dedupSemantic), and the real-edge
     * graph components (GraphOps.qComponentsReal) — one CC
     * implementation, three candidate graphs. */
-  private[operators] def connectedComponents(pairs0: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(pairs0: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs0)._1
+
+  /** [[connectedComponents]] + (rounds taken, converged?) — the
+    * instrumentation behind the §2 star-vs-min-label decision record:
+    * production graphs' measured round counts are what justify keeping
+    * the oracle-mirrored min-label loop as THE path (see
+    * [[connectedComponentsStar]]'s scaladoc and the StarCcSpec round
+    * measurements). */
+  private[operators] def connectedComponentsWithRounds(
+      pairs0: DataFrame): (DataFrame, Int, Boolean) = {
     val pairs = pairs0.toDF("doc_a", "doc_b")
     // localCheckpoint truncates the candidate-generation lineage:
     // without it every iteration (and its convergence count) would
@@ -584,7 +594,7 @@ object DedupOps {
       prevSum = s
       rounds += 1
     }
-    reps.select("doc_id", "rep")
+    (reps.select("doc_id", "rep"), rounds, converged)
   }
 
   /** Hard round bound of the star loop: Kiveris et al. prove

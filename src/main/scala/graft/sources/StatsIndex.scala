@@ -159,4 +159,71 @@ object StatsIndex {
     else
       spark.read.parquet(adm.admitted: _*).filter(col(key) === v)
   }
+
+  /** [[pointLookup]] through the PLANNER-side admission ([[admitFiles]])
+    * — the form that scales past the driver's O(files) [[admit]]: the
+    * min/max + bloom probe runs in the engine over the key-partitioned
+    * manifest, and only the ADMITTED file list (provably small for a
+    * point probe) crosses to the driver to parameterize the scan. */
+  def pointLookupPlanner(spark: SparkSession, dir: String, key: String,
+                         v: Long): DataFrame = {
+    val files = admitFiles(spark, dir, key, v).collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).filter(col(key) === v)
+  }
+
+  // ---- driver-gated lane (r20, verdict #7): the manifest path end to
+  // end, oracled against the PLAIN filtered scan — the manifest must be
+  // invisible in the results (the dedup_bloom_screen contract lifted to
+  // file grain: no false negatives, pruning only ever removes files the
+  // probe provably misses).
+
+  /** The probed customer key: deterministic, populated at every SF
+    * (custkeys are dense from 0; ScaleGen shifts by stride so low keys
+    * survive replication). */
+  private val PROBE_CUSTKEY = 7L
+
+  /** orders re-laid-out as a multi-file parquet dir CLUSTERED by the
+    * indexed key (range-partitioned on o_custkey — the lakehouse
+    * layout a stats index earns its keep on: a point probe admits ~1
+    * file) with a built `_graft_stats` manifest; n-keyed name so
+    * in-place data regeneration rebuilds (the ensureOcBucketed
+    * staleness discipline). */
+  private def ensureIndexedOrders(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val src = graft.Tables.orders(s, d)
+    val n = src.count()
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"stats_orders_${tag}_n$n").toString
+    this.synchronized {
+      val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) {
+        src.repartitionByRange(16, col("o_custkey"))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        build(s, dir, Seq("o_custkey"))
+      }
+    }
+    dir
+  }
+
+  /** The gated query: point lookup through [[admitFiles]] over the
+    * manifest-indexed layout. The oracle is the plain filtered scan of
+    * the ORIGINAL table — identical rows prove the admission lost
+    * nothing; the spec proves it also PRUNED (admitted ≪ total). */
+  def statsPointLookup(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIndexedOrders(s, d)
+    pointLookupPlanner(s, dir, "o_custkey", PROBE_CUSTKEY)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_point_lookup" -> (statsPointLookup _))
+
+  val oracle: Map[String, String] = Map(
+    "stats_point_lookup" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_custkey = $PROBE_CUSTKEY""".stripMargin)
 }

@@ -43,6 +43,25 @@ class StarCcSpec extends SparkTestBase {
         "(if this ever passes, the bound rose and this spec should be revisited)")
   }
 
+  test("production graphs converge far inside CC_MAX — the decision record's numbers") {
+    // the §2 decision: the min-label loop (whose CC_MAX unroll the
+    // DuckDB oracles mirror bit-for-bit) stays THE production path, the
+    // star loop stays the long-diameter twin — because the production
+    // candidate graphs are power-law/near-dup shaped and converge in a
+    // handful of rounds. These assertions ARE the measured record: if a
+    // graph shape ever drifts toward the bound, this spec fails and the
+    // selection question reopens. (A runtime star fallback is NOT an
+    // option while the oracle mirrors the min-label unroll: past the
+    // bound both engines must stop at the same round-CC_MAX vector.)
+    val nearDup = DedupOps.dedupMinhashLsh(spark, sf01).select("doc_a", "doc_b")
+    val (_, rNd, cNd) = DedupOps.connectedComponentsWithRounds(nearDup)
+    assert(cNd && rNd <= 8, s"near-dup graph: $rNd rounds (converged=$cNd)")
+    val realE = GraphOps.realEdges(spark, sf01).select("src", "dst")
+    val (_, rRe, cRe) = DedupOps.connectedComponentsWithRounds(realE)
+    assert(cRe && rRe <= 8, s"real-edge graph: $rRe rounds (converged=$cRe)")
+    info(s"near-dup: $rNd rounds; real-edge: $rRe rounds (CC_MAX=${DedupOps.CC_MAX})")
+  }
+
   test("self-pair-only nodes come back as singletons (the min-label contract)") {
     // node 99 appears ONLY as (99,99): canon() drops the self-loop from
     // the edge set, so the rep union must restore it as its own rep —

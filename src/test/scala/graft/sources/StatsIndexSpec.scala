@@ -155,4 +155,29 @@ class StatsIndexSpec extends SparkTestBase {
       assert(got == want, s"key $v")
     }
   }
+
+  test("gated lane (stats_point_lookup): identical to the plain scan AND provably pruned") {
+    // the driver gate proves identity vs DuckDB's plain filtered scan;
+    // this spec proves the half the oracle CANNOT see — that the
+    // manifest actually removed files from the scan (range-clustered
+    // layout: a point probe should admit ~1 of 16)
+    val d = "/root/testdata/sf0.01"
+    val lane = StatsIndex.statsPointLookup(spark, d)
+      .collect().map(_.toSeq).toSet
+    val plain = graft.Tables.orders(spark, d)
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(lane == plain && lane.nonEmpty, "manifest must be invisible in results")
+    // reach the admission the lane ran: same dir naming contract
+    val n = graft.Tables.orders(spark, d).count()
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"stats_orders_${tag}_n$n").toString
+    val adm = StatsIndex.admit(spark, dir, "o_custkey", 7L)
+    assert(adm.admitted.nonEmpty && adm.admitted.size < adm.totalFiles,
+      s"point probe must prune: ${adm.admitted.size} of ${adm.totalFiles}")
+    assert(adm.admitted.size <= 2,
+      s"range-clustered layout should admit ~1 file, got ${adm.admitted.size}")
+  }
 }
