@@ -647,7 +647,12 @@ object DedupOps {
 
   private[operators] def connectedComponentsStarRounds(
       pairs0: DataFrame): (DataFrame, Int) = {
-    val pairs = pairs0.toDF("doc_a", "doc_b")
+    // materialize the pair stream ONCE: both the canonical edge seed
+    // and the self-pair-only singleton restore below read it, and an
+    // un-truncated `pairs` would re-run the whole candidate-generation
+    // pipeline (LSH banding at production grain) a second time for
+    // the singleton anti-join
+    val pairs = pairs0.toDF("doc_a", "doc_b").truncEager
     def canon(e: DataFrame): DataFrame = e
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),

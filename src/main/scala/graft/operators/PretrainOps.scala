@@ -731,7 +731,15 @@ object PretrainOps {
     // tokens filtered EXPLICITLY on both sides — string_split
     // empty-token semantics drifted across DuckDB versions, and this
     // lane (unlike the gram stats) has no green-gated named twin to
-    // prove the driver build agrees
+    // prove the driver build agrees.
+    // Domain edge (deliberate, mirrored in the oracle): the inner
+    // join below means a doc whose text yields ZERO nonempty tokens
+    // (all-whitespace) has no cnts row and drops out of the model /
+    // features domain even if the gram-stats gate admitted it — the
+    // model domain is gate-domain ∩ {≥1 nonempty token}. Both engines
+    // apply the same filter+inner-join, so the gate stays green on
+    // any corpus; it only matters for corpora containing
+    // whitespace-only docs, which no feature could describe anyway.
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")

@@ -200,7 +200,19 @@ object StatsIndex {
     this.synchronized {
       val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(p)) {
+      // completion = the manifest's commit marker, not bare dir
+      // existence: a JVM that dies mid-build leaves a partial
+      // _graft_stats dir, and admitting through a half-committed
+      // manifest could prune files that DO contain the probe key —
+      // the false-negative class this lane exists to rule out. A
+      // partial dir (no _SUCCESS) is torn down and rebuilt.
+      val done = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      if (!fs.exists(done)) {
+        // sweep superseded-n copies (the ensureOcBucketed cleanup
+        // discipline), then tear down any partial build of THIS n
+        graft.operators.BucketedQueries.dropSupersededLayouts(
+          s, s"stats_orders_${tag}_n", s"stats_orders_${tag}_n$n")
+        if (fs.exists(p)) fs.delete(p, true)
         src.repartitionByRange(16, col("o_custkey"))
           .write.mode(SaveMode.Overwrite).parquet(dir)
         build(s, dir, Seq("o_custkey"))

@@ -180,4 +180,48 @@ class StatsIndexSpec extends SparkTestBase {
     assert(adm.admitted.size <= 2,
       s"range-clustered layout should admit ~1 file, got ${adm.admitted.size}")
   }
+
+  test("partial build (no _SUCCESS) is torn down and rebuilt, not served") {
+    // a JVM dying mid-build leaves a manifest dir without its commit
+    // marker; serving it could FALSELY PRUNE files that contain the
+    // probe key. The ensure path must treat no-_SUCCESS as no-build.
+    val d = "/root/testdata/sf0.01"
+    StatsIndex.statsPointLookup(spark, d).count() // ensure built
+    val n = graft.Tables.orders(spark, d).count()
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"stats_orders_${tag}_n$n")
+    val man = new org.apache.hadoop.fs.Path(s"$dir/_graft_stats")
+    val fs = man.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(man, "_SUCCESS")
+    // simulate the crash window: drop the marker AND a manifest row
+    // file, leaving a half-committed manifest on disk
+    fs.delete(marker, false)
+    fs.listStatus(man).filter(_.getPath.getName.startsWith("key="))
+      .headOption.foreach(st => fs.delete(st.getPath, true))
+    assert(!fs.exists(marker))
+    val lane = StatsIndex.statsPointLookup(spark, d)
+      .collect().map(_.toSeq).toSet
+    val plain = graft.Tables.orders(spark, d)
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(fs.exists(marker), "rebuild must recommit the manifest")
+    assert(lane == plain && lane.nonEmpty,
+      "post-crash lookup must rebuild, not serve the partial manifest")
+  }
+
+  test("superseded-n layouts are swept on rebuild; the kept name survives") {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(wh, "stats_orders_spec_n111")
+    val keep = new org.apache.hadoop.fs.Path(wh, "stats_orders_spec_n222")
+    fs.mkdirs(stale); fs.mkdirs(keep)
+    graft.operators.BucketedQueries.dropSupersededLayouts(
+      spark, "stats_orders_spec_n", "stats_orders_spec_n222")
+    assert(!fs.exists(stale), "superseded-n dir must be dropped")
+    assert(fs.exists(keep), "the current-n dir must survive")
+    fs.delete(keep, true)
+  }
 }
