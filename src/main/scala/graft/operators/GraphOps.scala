@@ -186,6 +186,16 @@ object GraphOps {
     try {
       val ids = keyed(idsIn, "doc_id").truncEager
       val edges = keyed(edgesOf(ids), "src").truncEager
+      // the teleport term is a per-graph CONSTANT — (15·(SCALE DIV n))
+      // DIV 100 in the same truncating arithmetic the SQL form used
+      // (all operands non-negative, so Scala / ≡ SQL DIV). Folding it
+      // to a literal lets the loop join insum back onto RANKS instead
+      // of ids — row-identical (ranks is one row per doc_id at every
+      // step by construction) — which carries p0 alongside p and FUSES
+      // the separate delta join away: 3 joins/step → 2, same single
+      // job per step (r20 opt round, guide §2.4).
+      val teleport =
+        if (nDocs <= 0) 0L else (15L * (SCALE / nDocs)) / 100L
       var ranks = ids.select(col("doc_id").as("rid"),
         expr(s"$SCALE DIV n_docs").as("p")).truncEager
       var it = 0
@@ -193,18 +203,17 @@ object GraphOps {
       while (!converged && it < maxIters) {
         val insum = edges.join(hinted(ranks), col("src") === col("rid"))
           .groupBy(col("dst")).agg(sum(expr("p DIV outdeg")).as("insum"))
-        val next = ids.join(hinted(insum), col("doc_id") === col("dst"), "left")
-          .select(col("doc_id").as("rid"),
-            (expr(s"(15 * ($SCALE DIV n_docs)) DIV 100") +
-              expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"))
+        val pair = ranks.select(col("rid"), col("p").as("p0"))
+          .join(hinted(insum), col("rid") === col("dst"), "left")
+          .select(col("rid"),
+            (lit(teleport) +
+              expr("(85 * coalesce(insum, 0)) DIV 100")).as("p"),
+            col("p0"))
           .truncLazy
         // the one scalar the driver sees per step; this action also
-        // materializes `next`'s checkpoint (no separate job)
-        val delta = next
-          .join(hinted(ranks.select(col("rid").as("rid0"), col("p").as("p0"))),
-            col("rid") === col("rid0"))
-          .agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
-        ranks = next
+        // materializes `pair`'s checkpoint (no separate job)
+        val delta = pair.agg(sum(abs(col("p") - col("p0")))).head().getLong(0)
+        ranks = pair.select(col("rid"), col("p"))
         it += 1
         converged = delta <= PR_EPS
       }

@@ -523,6 +523,7 @@ object PretrainOps {
   private[operators] val QM_LR = 8L        // step numerator (per-doc QM_LR/(n·cw))
   private[operators] val QM_EPS = 100L     // stop: Σ|Δw| ≤ EPS weight units
   private[operators] val QM_MAX = 40       // hard iteration bound
+  private[operators] val QM_PART_ROWS = 262144L // GD-loop rows/task (~32 MB)
   private[operators] val QM_FEAT_MOD = 17L // feature-trace sample modulus
 
   /** A LEARNED quality classifier trained in-engine — the CCNet/
@@ -642,14 +643,24 @@ object PretrainOps {
     * mirrors every negative-capable division with sign-adjusted
     * non-negative `//` so DuckDB builds that floor agree too. */
   private def qmStep(feats: DataFrame, w: Array[Long], n: Long, cw: Long): Long = {
-    val errSql =
-      s"(y * $QM_W - ${qmPSql(w)}) * (CASE WHEN y = 1 THEN ${cw}L ELSE 1L END)"
+    graft.plans.QmErr.register(feats.sparkSession)
     // err computed ONCE per row in a projection (the oracle's own
     // subquery shape): inlining the clamped-sigmoid into all 17
     // gradient sums made each step's generated code ~17× larger —
-    // the loop was codegen-compile-bound (19 s → ~6 s at sf0.01)
+    // the loop was codegen-compile-bound (19 s → ~6 s at sf0.01).
+    // r20 opt round, same bottleneck one level down: the SQL-string
+    // form inlined the 17 EVOLVING weights as primitive literals, so
+    // each of the QM_MAX steps generated textually new code and paid
+    // a fresh Janino compile (~160 ms/step over ~600 KB at sf0.1).
+    // graft.plans.QmErr takes the weights as ONE literal array<long>
+    // unpacked into a reference object — identical arithmetic, and
+    // the generated source is byte-identical across steps, so the
+    // codegen cache serves steps 2..QM_MAX (the KmArgmin pattern).
+    val errCol = call_function("graft_qm_err",
+      (0 until QM_F).map(i => col(s"x$i")) ++ Seq(col("y"),
+        typedlit(w.toSeq), lit(QM_W), lit(cw), lit(QM_FP)): _*)
     val scored = feats.select(
-      (0 until QM_F).map(i => col(s"x$i")) :+ expr(errSql).as("err"): _*)
+      (0 until QM_F).map(i => col(s"x$i")) :+ errCol.as("err"): _*)
     val aggs = (0 until QM_F).map(i => sum(expr(s"x$i * err")).as(s"g$i")) :+
       sum(col("err")).as(s"g$QM_F") // bias x = QM_FP: (Σ QM_FP·err) DIV QM_FP = Σ err exactly
     val r = scored.agg(aggs.head, aggs.tail: _*).head()
@@ -767,10 +778,19 @@ object PretrainOps {
     // gradient counts n0/n1 times (balanced logistic regression — the
     // unweighted loss just learns the base rate)
     val cw = math.max(1L, (n - n1) / math.max(1L, n1))
+    // scale-adaptive loop parallelism (guide §2.2): each GD step is one
+    // full scan of this table, and at ~17 longs/row QM_PART_ROWS rows
+    // ≈ 32 MB per task — so small corpora collapse to a few tasks per
+    // step instead of sessionParts near-empty ones (sf0.1: 32 → 1),
+    // while large corpora keep the checkpoint's own partitioning
+    // (coalesce never increases a partition count). Narrow over the
+    // already-materialized checkpoint: no shuffle, content unchanged.
+    val loopParts = math.max(1L, (n + QM_PART_ROWS - 1) / QM_PART_ROWS).toInt
+    val based = raw.coalesce(loopParts)
     // integer min-max standardization to [−FP, FP]: raw feature scales
     // differ 50× and plain GD crawls on that conditioning (measured:
     // AUC 0.60 unstandardized vs 0.74 standardized at the same budget)
-    val feats = raw.select(col("doc_id") +: col("y") +:
+    val feats = based.select(col("doc_id") +: col("y") +:
       (0 until QM_F).map { i =>
         val mn = st.getAs[Long](s"mn$i")
         val mx = st.getAs[Long](s"mx$i")
