@@ -225,7 +225,15 @@ object WodEtl {
         coalesce(max(when(col("segment_key") === "agg", col("segment_value"))), lit("")).as("warm_up"),
         coalesce(max(when(col("segment_key") === "sort", col("segment_value"))), lit("")).as("segment_a"),
         coalesce(max(when(col("segment_key") === "merge", col("segment_value"))), lit("")).as("segment_b"))
-    val names = sessionized(s, d)
+    // The LEFT join below makes the optimizer infer isnotnull(doc_id)
+    // on the `pivoted` side only, pushed all the way into its scan —
+    // which breaks canonical equality between this side's exchange and
+    // pivoted's (same scan→explode→shuffle prefix otherwise), so the
+    // whole sessionize pipeline ran TWICE. Adding the same (vacuously
+    // true — doc_id is the key) filter here re-enables AQE exchange
+    // reuse: one scan+explode+shuffle serves both join sides (r20 opt
+    // round, guide §2.4; plan evidence in plans/r20/etl_clean_records_*).
+    val names = sessionized(s, d).filter(col("doc_id").isNotNull)
       .groupBy("doc_id", "session_id")
       .agg(min_by(col("tok"), col("pos")).as("session"))
     names.join(pivoted, Seq("doc_id", "session_id"), "left")

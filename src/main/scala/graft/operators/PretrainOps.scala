@@ -155,7 +155,17 @@ object PretrainOps {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - (W - 1)),
           i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("h"))
-    val pairs = win.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+    // ONE exchange serves both h-keyed operations (guide §2.4): the
+    // (h, doc_id) aggregate's ClusteredDistribution is satisfied by
+    // hashpartitioning(h) (partition keys ⊂ clustering keys), and the
+    // df window needs exactly partitionBy(h) — so repartitioning the
+    // window stream by h once replaces the old groupBy(h, doc_id)
+    // exchange + window re-exchange pair. Map-side partial aggregation
+    // bought nothing here anyway: (h, doc_id) pairs are ~unique (a
+    // window repeats within one doc only on an in-doc duplicated
+    // 8-gram), so both old exchanges carried the same 15 MB at sf0.1.
+    val pairs = win.repartition(col("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
     val withDf = pairs.withColumn("df",
       count(lit(1)).over(Window.partitionBy("h")))
     withDf.groupBy("doc_id").agg(

@@ -314,6 +314,7 @@ object SimilarityOps {
   // sf0.1 → 23; ScaleGen replication duplicates points, which leaves
   // the trajectory identical, so sf1/sf3/sf10 fire at 23 too.
   private[operators] val KM_EPS = 8L * 64L * 5L
+  private[operators] val KM_PART_ROWS = 65536L // Lloyd-loop rows/task (~32 MB)
   private[operators] val KM_MAX = 25    // hard bound over the 23
   private[operators] val KM_QS = 10000L // coordinate quantization scale
   private val KM_OFF = 10000L           // shift: all coords positive, so
@@ -369,7 +370,17 @@ object SimilarityOps {
     * cluster (members, centroid L1 mass, converged depth). */
   def simKmeansConverged(s: SparkSession, d: String): DataFrame = {
     import DedupOps.TruncOps
-    val pts = kmPoints(s, d).truncEager // scanned once, reread per step
+    val pts0 = kmPoints(s, d).truncEager // scanned once, reread per step
+    // scale-adaptive loop parallelism (the quality-model GD loop's
+    // move, guide §2.2): every Lloyd step re-scans this table, and at
+    // ~64 longs/row KM_PART_ROWS rows ≈ 32 MB per task — small corpora
+    // collapse to one task per step instead of sessionParts near-empty
+    // ones; large corpora keep the checkpoint's own partitioning
+    // (coalesce never increases). The count is one cheap job over the
+    // just-materialized checkpoint, amortized across KM_MAX steps.
+    val nVec = pts0.count()
+    val pts = pts0.coalesce(
+      math.max(1L, (nVec + KM_PART_ROWS - 1) / KM_PART_ROWS).toInt)
     val (cents, it) = kmTrain(s, pts, KM_K, KM_MAX)
     val s2 = s
     import s2.implicits._
