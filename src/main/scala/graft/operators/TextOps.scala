@@ -260,8 +260,14 @@ object TextOps {
       .select(col("doc_id"), col("pos"), col("col").as("sent"),
         md5(col("col")).as("sent_h"))
       .truncEager
-    // df at distinct (doc, sentence) grain — the text_line_dedup lesson
-    val dfs = sents.groupBy("doc_id", "sent_h").agg(count(lit(1)).as("n_occ"))
+    // df at distinct (doc, sentence) grain — the text_line_dedup lesson.
+    // ONE exchange serves both grouping levels (guide §2.4, the
+    // dedup_span_windows move): hashpartitioning(sent_h) satisfies the
+    // (doc_id, sent_h) aggregate's ClusteredDistribution (partition
+    // keys ⊂ clustering keys) AND the sent_h-grain df aggregate, so the
+    // second exchange the chained groupBys planned is gone.
+    val dfs = sents.repartition(col("sent_h"))
+      .groupBy("doc_id", "sent_h").agg(count(lit(1)).as("n_occ"))
       .groupBy(col("sent_h").as("sent_k")).agg(count(lit(1)).as("df"))
     sents.join(dfs, col("sent_h") === col("sent_k"))
       .groupBy("doc_id")
