@@ -314,7 +314,13 @@ object SimilarityOps {
   // sf0.1 → 23; ScaleGen replication duplicates points, which leaves
   // the trajectory identical, so sf1/sf3/sf10 fire at 23 too.
   private[operators] val KM_EPS = 8L * 64L * 5L
-  private[operators] val KM_PART_ROWS = 65536L // Lloyd-loop rows/task (~32 MB)
+  // Lloyd-loop rows/task: sized by COMPUTE, not bytes — each row costs
+  // K×dim long ops in the argmin, so a 32 MB/task byte target (the GD
+  // loop's) throttled the sf10 assign stage to 8 tasks on 32 cores and
+  // cost 49% (measured 4.53 -> 6.75 s). 16 Ki rows/task keeps sf10 at
+  // ~31 tasks (full parallelism) while small corpora still collapse to
+  // one task per step.
+  private[operators] val KM_PART_ROWS = 16384L
   private[operators] val KM_MAX = 25    // hard bound over the 23
   private[operators] val KM_QS = 10000L // coordinate quantization scale
   private val KM_OFF = 10000L           // shift: all coords positive, so
