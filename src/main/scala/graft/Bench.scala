@@ -198,8 +198,13 @@ object Bench {
         .split("\\s+")(0).toDouble
     } catch { case _: Exception => -1.0 }
     val proto = s""""protocol":{"passes":$passes,"load1":$load1,"run_id":"$runId"}"""
+    // "cpus" rides the artifact (ADDITIVE, r20 verdict #2): the bench
+    // honors $SPARK_GRAFT_CPUS (master/shuffle partitions above), and
+    // carrying it in the JSON lets any consumer assert two runs really
+    // came from different core counts instead of inferring it from
+    // flat small-SF scaling ratios.
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","cpus":$cpus,""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,$proto,"queries":$qs,"sf":"$sfDir"}"""
     try {
@@ -215,7 +220,7 @@ object Bench {
     // both; the full per-query map also lives in `outFile`.
     println(json)
     val summary =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","cpus":$cpus,""" +
       s""""lanes":{"batch":${r4(total - streamTotal)},"streaming":${r4(streamTotal)}},""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,$proto,""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}"""

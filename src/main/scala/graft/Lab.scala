@@ -188,6 +188,13 @@ object Lab {
           .groupBy().agg(count(lit(1)).as("n"), sum("h").as("s"))
       }),
 
+      // ---- r21: text_clean_boilerplate A/B (r20 verdict #3) — the
+      // shared-exchange form (shipped in 8419a1c) vs the pre-8419a1c
+      // chained-groupBy form, timed in ONE session so the driver's
+      // cross-window regression reading can be reconciled ----
+      "tcb_shared" -> (() => operators.TextOps.queries("text_clean_boilerplate")(s, d)),
+      "tcb_chained" -> (() => operators.TextOps.textCleanBoilerplateChained(s, d)),
+
       // ---- q9 exchange-grain A/B (r15): the part filter already thins
       // lines to ~1 per order, so the (orderkey, nationkey) pre-agg may
       // get no map-side combine — measure all three forms ----

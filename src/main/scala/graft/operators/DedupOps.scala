@@ -547,54 +547,98 @@ object DedupOps {
     * the oracle-mirrored min-label loop as THE path (see
     * [[connectedComponentsStar]]'s scaladoc and the StarCcSpec round
     * measurements). */
+  // CC loop physical gears (r21, the prCore discipline applied to the
+  // min-label loop per the r20 verdict #5): rows/task for the loop's
+  // scans of the checkpointed tables, and the edge count past which
+  // the loop co-partitions instead of relying on AQE + broadcast.
+  private[operators] val CC_PART_ROWS = 65536L
+  private[operators] val CC_COPART_EDGES = 400000L
+
   private[operators] def connectedComponentsWithRounds(
       pairs0: DataFrame): (DataFrame, Int, Boolean) = {
     val pairs = pairs0.toDF("doc_a", "doc_b")
+    val s = pairs.sparkSession
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     // localCheckpoint truncates the candidate-generation lineage:
     // without it every iteration (and its convergence count) would
     // re-run the whole pair pipeline — O(rounds²) recomputes. On a
     // cluster this is a reliable-checkpoint (or cached) edge list,
     // same shape.
-    val edges = pairs
+    val edges0 = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .truncEager
-    // Seed with min(self, neighbors) straight from the edge list — the
-    // result identity-init + one propagation round would produce, for
-    // free (edges are symmetric, so every node appears as doc_a).
-    var reps = edges
-      .groupBy(col("doc_a").as("doc_id"))
-      .agg(min("doc_b").as("mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
-      .truncEager
-    // Convergence check without a per-round diff join: reps only ever
-    // DECREASE (min semilattice), so Σrep is strictly monotone until
-    // the fixpoint — equal consecutive sums ⟺ no rep changed. The sum
-    // is one cheap agg over the just-checkpointed (in-memory) table vs
-    // a join + count job per round. Decimal sum: overflow-proof at any
-    // node-id magnitude/count.
-    def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = repSum(reps)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < CC_MAX) {
-      val viaNeighbor = edges
-        .join(reps, edges("doc_b") === reps("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("rep"))
-      // lazy checkpoint: the repSum action below materializes it, so
-      // each round costs ONE job instead of checkpoint-job + agg-job
-      val next = reps.select("doc_id", "rep").union(viaNeighbor)
-        .groupBy("doc_id").agg(min("rep").as("rep"))
-        .truncLazy
-      val s = repSum(next)
-      reps = next
-      converged = s == prevSum
-      prevSum = s
-      rounds += 1
+    // one cheap count over the materialized checkpoint picks the gear
+    // (the qPagerankConverged shape). TWO physical gears, identical
+    // rows out (labels never depend on partitioning):
+    //  - small graphs: AQE + broadcast loop joins, shuffle partitions
+    //    scoped to 8, loop scans coalesced to compute-sized tasks —
+    //    at bench scale the wall is per-round fixed cost (32 near-empty
+    //    tasks per scan/shuffle), not work;
+    //  - large graphs: edges co-partitioned ONCE on the probe key
+    //    (doc_b) at a row-count-derived width, reps emerging from each
+    //    round's groupBy(doc_id) at the SAME width (checkpoint
+    //    preserves partitioning), shuffle-hash hints + AQE off — the
+    //    per-round label join then reuses both sides' partitioning and
+    //    each round's only exchange is the min() aggregate. No O(n)
+    //    label broadcast per round: the posture that survives 100×.
+    val nEdges = edges0.count()
+    val copart = nEdges > CC_COPART_EDGES
+    val loopParts =
+      if (!copart) 8
+      else math.max(8, math.min(sessionParts.toInt,
+        (nEdges / CC_PART_ROWS).toInt))
+    def hinted(df: DataFrame): DataFrame =
+      if (copart) df.hint("shuffle_hash") else df
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    if (copart) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges =
+        if (copart) edges0.repartition(loopParts, col("doc_b")).truncEager
+        else edges0.coalesce(
+          math.max(1L, math.min(sessionParts.toLong,
+            nEdges / CC_PART_ROWS)).toInt)
+      // Seed with min(self, neighbors) straight from the edge list — the
+      // result identity-init + one propagation round would produce, for
+      // free (edges are symmetric, so every node appears as doc_a).
+      var reps = edges
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("doc_b").as("mn"))
+        .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
+        .truncEager
+      // Convergence check without a per-round diff join: reps only ever
+      // DECREASE (min semilattice), so Σrep is strictly monotone until
+      // the fixpoint — equal consecutive sums ⟺ no rep changed. The sum
+      // is one cheap agg over the just-checkpointed (in-memory) table vs
+      // a join + count job per round. Decimal sum: overflow-proof at any
+      // node-id magnitude/count.
+      def repSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = repSum(reps)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < CC_MAX) {
+        val viaNeighbor = edges
+          .join(hinted(reps), edges("doc_b") === reps("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("rep"))
+        // lazy checkpoint: the repSum action below materializes it, so
+        // each round costs ONE job instead of checkpoint-job + agg-job
+        val next = reps.select("doc_id", "rep").union(viaNeighbor)
+          .groupBy("doc_id").agg(min("rep").as("rep"))
+          .truncLazy
+        val sm = repSum(next)
+        reps = next
+        converged = sm == prevSum
+        prevSum = sm
+        rounds += 1
+      }
+      (reps.select("doc_id", "rep"), rounds, converged)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    (reps.select("doc_id", "rep"), rounds, converged)
   }
 
   /** Hard round bound of the star loop: Kiveris et al. prove

@@ -586,18 +586,21 @@ object PretrainOps {
     * Ranking agreement vs the heuristic ensemble is spec-measured. */
   def pretrainQualityModel(s: SparkSession, d: String): DataFrame = {
     val (feats, n, cw) = qmFeatures(s, d)
-    val w = Array.fill(QM_F + 1)(0L)
-    var it = 0
-    var converged = false
-    while (!converged && it < QM_MAX) {
-      val delta = qmStep(feats, w, n, cw)
-      it += 1
-      converged = delta <= QM_EPS
-    }
-    feats.select(col("doc_id"), col("y").as("label"),
-      expr(qmPSql(w)).as("score_fp"), lit(it.toLong).as("n_iters"))
-      .select(col("doc_id"), col("label"), col("score_fp"),
-        (col("score_fp") >= QM_W / 2).cast("int").as("pred"), col("n_iters"))
+    val vecs = qmVectors(feats)
+    try {
+      val w = Array.fill(QM_F + 1)(0L)
+      var it = 0
+      var converged = false
+      while (!converged && it < QM_MAX) {
+        val delta = qmStep(vecs, w, n, cw)
+        it += 1
+        converged = delta <= QM_EPS
+      }
+      feats.select(col("doc_id"), col("y").as("label"),
+        expr(qmPSql(w)).as("score_fp"), lit(it.toLong).as("n_iters"))
+        .select(col("doc_id"), col("label"), col("score_fp"),
+          (col("score_fp") >= QM_W / 2).cast("int").as("pred"), col("n_iters"))
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Per-step weight trace of the SAME training loop — the diagnostic
@@ -611,11 +614,14 @@ object PretrainOps {
   def pretrainQualityModelTrace(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val (feats, n, cw) = qmFeatures(s, d)
-    val w = Array.fill(QM_F + 1)(0L)
-    val rows = (1 to QM_MAX).map { step =>
-      val delta = qmStep(feats, w, n, cw)
-      org.apache.spark.sql.Row.fromSeq(step.toLong +: w.toSeq :+ delta)
-    }
+    val vecs = qmVectors(feats)
+    val rows = try {
+      val w = Array.fill(QM_F + 1)(0L)
+      (1 to QM_MAX).map { step =>
+        val delta = qmStep(vecs, w, n, cw)
+        org.apache.spark.sql.Row.fromSeq(step.toLong +: w.toSeq :+ delta)
+      }
+    } finally vecs.unpersist(blocking = false)
     val schema = StructType(
       StructField("step", LongType, nullable = false) +:
         (0 to QM_F).map(i => StructField(s"w$i", LongType, nullable = false)) :+
@@ -647,39 +653,77 @@ object PretrainOps {
   private def qmPSql(w: Array[Long]): String =
     s"GREATEST(0L, LEAST(${QM_W}L, ${QM_W / 2}L + ((${qmZSql(w)}) DIV $QM_FP) DIV 4))"
 
-  /** One batch-GD step: ONE aggregate over `feats`, F+1 scalars to the
-    * driver, `w` updated in place; returns Σ|Δw|. All division here is
-    * Scala `/` / Spark `DIV` (truncation toward zero); the oracle
-    * mirrors every negative-capable division with sign-adjusted
-    * non-negative `//` so DuckDB builds that floor agree too. */
-  private def qmStep(feats: DataFrame, w: Array[Long], n: Long, cw: Long): Long = {
-    graft.plans.QmErr.register(feats.sparkSession)
-    // err computed ONCE per row in a projection (the oracle's own
-    // subquery shape): inlining the clamped-sigmoid into all 17
-    // gradient sums made each step's generated code ~17× larger —
-    // the loop was codegen-compile-bound (19 s → ~6 s at sf0.01).
-    // r20 opt round, same bottleneck one level down: the SQL-string
-    // form inlined the 17 EVOLVING weights as primitive literals, so
-    // each of the QM_MAX steps generated textually new code and paid
-    // a fresh Janino compile (~160 ms/step over ~600 KB at sf0.1).
-    // graft.plans.QmErr takes the weights as ONE literal array<long>
-    // unpacked into a reference object — identical arithmetic, and
-    // the generated source is byte-identical across steps, so the
-    // codegen cache serves steps 2..QM_MAX (the KmArgmin pattern).
-    val errCol = call_function("graft_qm_err",
-      (0 until QM_F).map(i => col(s"x$i")) ++ Seq(col("y"),
-        typedlit(w.toSeq), lit(QM_W), lit(cw), lit(QM_FP)): _*)
-    val scored = feats.select(
-      (0 until QM_F).map(i => col(s"x$i")) :+ errCol.as("err"): _*)
-    val aggs = (0 until QM_F).map(i => sum(expr(s"x$i * err")).as(s"g$i")) :+
-      sum(col("err")).as(s"g$QM_F") // bias x = QM_FP: (Σ QM_FP·err) DIV QM_FP = Σ err exactly
-    val r = scored.agg(aggs.head, aggs.tail: _*).head()
+  /** The standardized feature table lowered ONCE to a persisted RDD of
+    * primitive vectors [x0..x{F-1}, y] — the MLlib batch-GD
+    * architecture (LogisticRegression trains by treeAggregate over a
+    * persisted instance RDD for exactly this reason). The r20 round
+    * made each step's generated CODE cacheable (QmErr); what remained
+    * (r20 verdict #1, the top two batch lanes) was the OTHER per-step
+    * fixed cost: QM_MAX sequential driver-synchronous DataFrame
+    * aggregates, each paying a fresh Catalyst analyze/optimize/plan
+    * (the evolving weight literal makes every step's plan new), job
+    * scheduling, and WholeStageCodegen setup — pure latency that no
+    * data size amortizes at bench SFs and that 2×QM_MAX = 80 jobs per
+    * bench pass multiply. A GD step over this RDD is one
+    * treeAggregate over in-memory long[] rows: no per-step plan, no
+    * row decode, the same one-job-per-step barrier. MEMORY_AND_DISK:
+    * at 100 TB the vector table is (gate-domain docs)×17 longs and
+    * spills instead of OOMing; partitioning inherits qmFeatures'
+    * scale-adaptive coalesce. */
+  private[operators] def qmVectors(feats: DataFrame):
+      org.apache.spark.rdd.RDD[Array[Long]] = {
+    val f = QM_F
+    feats.select((0 until QM_F).map(i => col(s"x$i")) :+ col("y"): _*)
+      .rdd.map { r =>
+        val a = new Array[Long](f + 1)
+        var i = 0
+        while (i <= f) { a(i) = r.getLong(i); i += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One batch-GD step: ONE treeAggregate over the persisted vectors,
+    * F+1 gradient scalars to the driver, `w` updated in place; returns
+    * Σ|Δw|. Arithmetic BIT-IDENTICAL to the DataFrame-aggregate form
+    * it replaces (and to the oracle's unrolled CTEs): per row the same
+    * z/err tail (graft.plans.QmErr.err — the scalar shared with the
+    * r19/r20 SQL forms), per feature the same long product-sum (long
+    * addition is commutative, so partial-aggregation order cannot
+    * matter), and the same truncating divisions on the driver. All
+    * division here is Scala `/` / Spark `DIV` (truncation toward
+    * zero); the oracle mirrors every negative-capable division with
+    * sign-adjusted non-negative `//` so DuckDB builds agree too.
+    * (History of this step's forms, each fixing the next bottleneck
+    * down: r18 inlined sigmoid → 17× codegen blowup; r19 one err
+    * projection → per-step Janino recompiles; r20 QmErr reference-object
+    * weights → cached codegen; r21 no per-step Catalyst at all.) */
+  private[operators] def qmStep(vecs: org.apache.spark.rdd.RDD[Array[Long]],
+      w: Array[Long], n: Long, cw: Long): Long = {
+    val f = QM_F
+    val wW = QM_W
+    val fp = QM_FP
+    val cwl = cw
+    val wl = w.clone() // stable snapshot shipped inside the task closure
+    val g = vecs.treeAggregate(new Array[Long](f + 1))(
+      (acc, v) => {
+        var z = fp * wl(f)
+        var i = 0
+        while (i < f) { z += v(i) * wl(i); i += 1 }
+        val err = graft.plans.QmErr.err(z, v(f), wl, wW, cwl, fp)
+        i = 0
+        while (i < f) { acc(i) += v(i) * err; i += 1 }
+        acc(f) += err // bias x = QM_FP: (Σ QM_FP·err) DIV QM_FP = Σ err exactly
+        acc
+      },
+      (a, b) => { var i = 0; while (i <= f) { a(i) += b(i); i += 1 }; a })
     var delta = 0L
-    for (i <- 0 to QM_F) {
-      val g = if (i < QM_F) r.getLong(i) / QM_FP else r.getLong(i)
-      val dw = (QM_LR * g) / (n * cw)
+    var i = 0
+    while (i <= f) {
+      val gv = if (i < f) g(i) / QM_FP else g(i)
+      val dw = (QM_LR * gv) / (n * cw)
       w(i) += dw
       delta += math.abs(dw)
+      i += 1
     }
     delta
   }
@@ -735,7 +779,7 @@ object PretrainOps {
     * floor and trunc agree unconditionally — so no floating-point
     * rounding, `round()` version semantics, or double-representation
     * boundary can flip a per-doc row between engines. */
-  private def qmFeatures(s: SparkSession, d: String): (DataFrame, Long, Long) = {
+  private[operators] def qmFeatures(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import DedupOps.TruncOps
     val labeled = qmCounts(s, d).select(col("doc_id"), qmLabel.as("y"),
       expr(s"(nt - nd) * $QM_FP DIV nt").as(s"f$QM_B"),

@@ -51,6 +51,28 @@ object StreamOps {
     name
   }
 
+  /** Scope the shuffle-partition count (= state-store instance count
+    * for every stateful streaming operator) around a streaming query's
+    * START — the conf is read once at query start, so the session
+    * value is restored immediately after without affecting the running
+    * query. Default 8 (the stream_join lesson, r16: a stream-stream
+    * join keeps FOUR state stores per partition, and 32-partition
+    * micro-batches pay 128 store load/commit cycles of pure fixed
+    * overhead at bench scale — measured 12.1 s → ~3 s at 8). r21
+    * extends the same scoping to EVERY stateful lane (windowed agg,
+    * enrich agg, dedup, sessionize): each had been paying 32 store
+    * commits per micro-batch for state that is a few thousand rows.
+    * `spark.graft.streamStateParts` overrides — on a real cluster this
+    * is sized to the executor count, and state-partition count never
+    * changes results (keyed state is partition-location-agnostic). */
+  private def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val parts = s.conf.getOption("spark.graft.streamStateParts").getOrElse("8")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The file stream source requires a directory of data FILES; expose
     * the table through a temp dir (symlink, copy as fallback). The
     * driver's testdata is one parquet file per table, but scaled dirs
@@ -156,12 +178,14 @@ object StreamOps {
     // drop sinks left by earlier invocations in this session (warm-up +
     // repeated bench passes) so completed-mode tables don't accumulate
     val name = replaceOwnedView(s, "win_agg_")
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -244,14 +268,9 @@ object StreamOps {
       .withWatermark("event_time", "30 minutes")
       .as[Ev]
     // parquet sink: the session list is O(table) — see runToParquet.
-    // State partitions scoped to 8 (the stream_join lesson): the
-    // sessionizer keeps a state store per shuffle partition, and at
-    // bench scale 32 store load/commit cycles per micro-batch are pure
-    // fixed overhead; a cluster sizes this to executor count.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try runToParquet(s, sessionize(ds).toDF(), "ssess")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // State partitions scoped (see withStateParts): the sessionizer
+    // keeps a state store per shuffle partition.
+    withStateParts(s) { runToParquet(s, sessionize(ds).toDF(), "ssess") }
   }
 
   /** Exactly-once ingest dedup under at-least-once delivery: the event
@@ -290,8 +309,11 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("ts_s"), col("event_type"))
-    // parquet sink: the deduped stream is O(table) — see runToParquet
-    runToParquet(s, deduped, "sdedup")
+    // parquet sink: the deduped stream is O(table) — see runToParquet.
+    // State partitions scoped (r21): dropDuplicatesWithinWatermark
+    // keeps one store per shuffle partition, same fixed-cost shape as
+    // the join lanes.
+    withStateParts(s) { runToParquet(s, deduped, "sdedup") }
   }
 
   /** Streaming top-k: the hourly per-type counts come from the REAL
@@ -338,12 +360,14 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("n_name").as("nation"), col("n_events"), col("sum_value"))
     val name = replaceOwnedView(s, "enrich_")
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(s) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -398,20 +422,11 @@ object StreamOps {
         col("event_time").as("p_time"))
       .withWatermark("p_time", "1 hour")
     // a stream-stream join keeps FOUR state stores per partition (two
-    // sides × keyToNumValues/keyWithIndexToValue); at the session's 32
-    // shuffle partitions that is 128 store instances loading and
-    // committing per micro-batch — pure fixed overhead at bench scale
-    // (measured 12.1 s → ~3 s at 8). The shuffle-partition conf is
-    // read once at QUERY START, so scope the lower value to this start
-    // and restore after: on a real cluster you size state partitions
-    // to the executor count instead.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // sides × keyToNumValues/keyWithIndexToValue) — see withStateParts.
     // parquet sink: the matched-pair stream is O(table) — the last
     // unbounded-output lane still on the memory sink after the r18
     // rework (r19, per verdict). See runToParquet.
-    try runToParquet(s, joinViewsPurchases(views, purchases), "sjoin")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(s) { runToParquet(s, joinViewsPurchases(views, purchases), "sjoin") }
   }
 
   /** LEFT-OUTER stream-stream join with an EMISSION HORIZON — the
@@ -464,11 +479,7 @@ object StreamOps {
         coalesce(unix_micros(col("p_time")) - unix_micros(col("v_time")),
           lit(-1L)).as("gap_us"),
         unix_micros(col("p_time")).as("p_us"))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val result =
-      try runToParquet(s, joined, "sjoutr")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val result = withStateParts(s) { runToParquet(s, joined, "sjoutr") }
     // horizon from the batch table (the run is bounded; a live
     // deployment has no horizon — rows emit as the watermark advances).
     // min over the two joined sides: the engine's global watermark
@@ -524,11 +535,7 @@ object StreamOps {
           lit(-1L)).as("gap_us"),
         coalesce(unix_micros(col("p_time")), lit(Long.MaxValue)).as("p_us"),
         coalesce(unix_micros(col("v_time")), lit(Long.MaxValue)).as("v_us"))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val result =
-      try runToParquet(s, joined, "sjfull")
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val result = withStateParts(s) { runToParquet(s, joined, "sjfull") }
     val inner = col("view_id") =!= -1L && col("purchase_id") =!= -1L
     (joinHorizonUs(s, d) match {
       case Some(h) =>
@@ -556,10 +563,7 @@ object StreamOps {
       .select(col("user_id"), col("event_id"), col("event_time"))
       .unionByName(src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("event_time")))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try runToParquet(s, both, "sjfloor")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(s) { runToParquet(s, both, "sjfloor") }
   }
 
   private[graft] def probeInner(s: SparkSession, d: String): DataFrame = {
@@ -575,10 +579,7 @@ object StreamOps {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("event_time").as("p_time"))
       .withWatermark("p_time", "1 hour")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try runToParquet(s, joinViewsPurchases(views, purchases), "sjinner")
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(s) { runToParquet(s, joinViewsPurchases(views, purchases), "sjinner") }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

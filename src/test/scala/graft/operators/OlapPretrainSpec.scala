@@ -860,4 +860,45 @@ class QualityModelSpec extends graft.SparkTestBase {
     assert(fr.map(_.getAs[Long]("y")).distinct.length == 2,
       "sample carries both classes")
   }
+
+  test("RDD GD step matches a sequential driver-side replica bit for bit") {
+    // r21: the loop runs as treeAggregate over a persisted primitive-
+    // vector RDD instead of per-step DataFrame aggregates. Long adds
+    // commute, so partial-aggregation order cannot change the gradient
+    // sums — asserted here against an independent sequential fold over
+    // the same feature rows, for several steps of evolving weights.
+    val (feats, n, cw) = PretrainOps.qmFeatures(spark, d)
+    val f = PretrainOps.QM_F
+    val rows = feats
+      .select(((0 until f).map(i => col(s"x$i")) :+ col("y")): _*)
+      .collect()
+      .map(r => Array.tabulate(f + 1)(r.getLong))
+    val vecs = PretrainOps.qmVectors(feats)
+    try {
+      val w = Array.fill(f + 1)(0L)
+      val wRep = Array.fill(f + 1)(0L)
+      (1 to 5).foreach { step =>
+        val d1 = PretrainOps.qmStep(vecs, w, n, cw)
+        // sequential replica of the same step arithmetic
+        val g = Array.fill(f + 1)(0L)
+        rows.foreach { v =>
+          var z = PretrainOps.QM_FP * wRep(f)
+          (0 until f).foreach(i => z += v(i) * wRep(i))
+          val err = graft.plans.QmErr.err(
+            z, v(f), wRep, PretrainOps.QM_W, cw, PretrainOps.QM_FP)
+          (0 until f).foreach(i => g(i) += v(i) * err)
+          g(f) += err
+        }
+        var d2 = 0L
+        (0 to f).foreach { i =>
+          val gv = if (i < f) g(i) / PretrainOps.QM_FP else g(i)
+          val dw = (PretrainOps.QM_LR * gv) / (n * cw)
+          wRep(i) += dw
+          d2 += math.abs(dw)
+        }
+        assert(d1 == d2, s"step $step delta: rdd $d1 vs replica $d2")
+        assert(w.toSeq == wRep.toSeq, s"step $step weights diverge")
+      }
+    } finally vecs.unpersist(blocking = false)
+  }
 }
