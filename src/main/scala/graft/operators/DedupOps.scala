@@ -551,11 +551,21 @@ object DedupOps {
   // min-label loop per the r20 verdict #5): rows/task for the loop's
   // scans of the checkpointed tables, and the edge count past which
   // the loop co-partitions instead of relying on AQE + broadcast.
+  // The threshold is deliberately HIGH: unlike PageRank (3 joins/step
+  // × 20+ steps made per-step broadcasts the sf10 loser), the CC loop
+  // broadcasts its label vector once per round for a handful of
+  // rounds — measured at sf10 (1.8M edges, 500k labels ≈ 12 MB
+  // broadcast) the broadcast loop still beats copart 8.2 s vs 9.6 s.
+  // Copart exists for graphs whose label vector stops being a sane
+  // broadcast (hundreds of MB per round; hard cap 8 GB / 512M rows) —
+  // there the co-partitioned join is the only shape that survives,
+  // and gear equality is spec-proven (forceCopart below).
   private[operators] val CC_PART_ROWS = 65536L
-  private[operators] val CC_COPART_EDGES = 400000L
+  private[operators] val CC_COPART_EDGES = 64000000L
 
   private[operators] def connectedComponentsWithRounds(
-      pairs0: DataFrame): (DataFrame, Int, Boolean) = {
+      pairs0: DataFrame,
+      forceCopart: Option[Boolean] = None): (DataFrame, Int, Boolean) = {
     val pairs = pairs0.toDF("doc_a", "doc_b")
     val s = pairs.sparkSession
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -584,7 +594,7 @@ object DedupOps {
     //    each round's only exchange is the min() aggregate. No O(n)
     //    label broadcast per round: the posture that survives 100×.
     val nEdges = edges0.count()
-    val copart = nEdges > CC_COPART_EDGES
+    val copart = forceCopart.getOrElse(nEdges > CC_COPART_EDGES)
     val loopParts =
       if (!copart) 8
       else math.max(8, math.min(sessionParts.toInt,

@@ -23,6 +23,28 @@ class StarCcSpec extends SparkTestBase {
       repsOf(DedupOps.connectedComponents(realE)), "real-edge graph")
   }
 
+  test("min-label CC: the co-partitioned gear equals the broadcast gear row for row") {
+    // r21: the loop picks a physical gear from the edge count (AQE +
+    // broadcast below CC_COPART_EDGES, co-partitioned shuffle-hash with
+    // AQE off above). The threshold sits beyond any testable SF — the
+    // copart gear is the shape for graphs whose per-round label
+    // broadcast stops being sane — so gear equality is proven here by
+    // FORCING both gears over the same graphs. Labels and round counts
+    // must match exactly: partitioning can never change a min-lattice
+    // fixpoint or the Σrep convergence trajectory.
+    for ((name, pairs) <- Seq(
+        "near-dup" -> DedupOps.dedupMinhashLsh(spark, sf01).select("doc_a", "doc_b"),
+        "real-edge" -> GraphOps.realEdges(spark, sf01).select("src", "dst"))) {
+      val (rB, roundsB, convB) =
+        DedupOps.connectedComponentsWithRounds(pairs, forceCopart = Some(false))
+      val (rC, roundsC, convC) =
+        DedupOps.connectedComponentsWithRounds(pairs, forceCopart = Some(true))
+      assert(repsOf(rB) == repsOf(rC), s"$name: gear labels diverge")
+      assert(roundsB == roundsC && convB == convC,
+        s"$name: rounds $roundsB/$roundsC converged $convB/$convC")
+    }
+  }
+
   test("long chain: star CC converges in O(log n) rounds where the min-label bound cannot finish") {
     val n = 4000L
     // a path 0-1-2-…-4000: diameter n, one component rooted at 0
