@@ -179,8 +179,19 @@ object GraphOps {
         (nDocs / PR_COPART_DOCS).toInt * 8))
     def keyed(df: DataFrame, key: String): DataFrame =
       if (copart) df.repartition(loopParts, col(key)) else df
+    // small gear (r21, verdict #7): the loop joins' build sides (the
+    // rank vector / per-dst sums, ≤ PR_COPART_DOCS rows ≈ a few MB)
+    // were ALREADY becoming broadcasts — but only after AQE shuffled
+    // them to measure their size, so every step paid the exchange map
+    // stage + a replan it never needed. The explicit hint makes the
+    // join map-side from the static plan: per step, the only exchange
+    // left is the groupBy(dst). Row-identical (a join strategy cannot
+    // change join results); the gear bound keeps the broadcast small
+    // (measured sf0.1 same-window: 4.15→4.05 / 3.87→3.62 s — modest,
+    // the per-step wall is checkpoint+job fixed cost, but the plan
+    // sheds two exchanges per step).
     def hinted(df: DataFrame): DataFrame =
-      if (copart) df.hint("shuffle_hash") else df
+      if (copart) df.hint("shuffle_hash") else df.hint("broadcast")
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     if (copart) s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
