@@ -735,12 +735,20 @@ object PretrainOps {
     * Everything downstream of this table is integer arithmetic. */
   private[operators] def qmCounts(s: SparkSession, d: String): DataFrame = {
     graft.plans.GramStatsExpr.register(s)
+    graft.plans.QmBuckets.register(s)
+    // bk rides the SAME scan (r21, guide §2.4): the hashed bag-of-words
+    // counts used to be a second full document scan (explode to token
+    // instances → 10-column partial-agg shuffle → inner join back onto
+    // this side); graft_qm_buckets computes the identical counts inside
+    // this projection, so the whole per-doc feature row is one map-side
+    // pass and qmFeatures' join disappears.
     documents(s, d)
       .select(col("doc_id"),
         expr("graft_gram_stats(text, 1)").as("s1"),
         expr("graft_gram_stats(text, 2)").as("s2"),
         expr("graft_gram_stats(text, 3)").as("s3"),
-        TextOps.stopCount(split(col("text"), " ")).as("ns"))
+        TextOps.stopCount(split(col("text"), " ")).as("ns"),
+        expr(s"graft_qm_buckets(text, $QM_B)").as("bk"))
       .filter(col("s3.n_grams") >= 1)
       .select(col("doc_id"),
         col("s1.n_grams").as("nt"), col("s1.n_distinct").as("nd"),
@@ -748,7 +756,8 @@ object PretrainOps {
         col("ns"),
         col("s2.n_grams").as("g2"), col("s2.top_cnt").as("top2"),
         col("s2.dup_inst").as("dup2"),
-        col("s3.n_grams").as("g3"), col("s3.dup_inst").as("dup3"))
+        col("s3.n_grams").as("g3"), col("s3.dup_inst").as("dup3"),
+        col("bk"))
   }
 
   /** The gate verdict over raw counts as EXACT rational comparisons —
@@ -781,7 +790,7 @@ object PretrainOps {
     * boundary can flip a per-doc row between engines. */
   private[operators] def qmFeatures(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import DedupOps.TruncOps
-    val labeled = qmCounts(s, d).select(col("doc_id"), qmLabel.as("y"),
+    val labeled = qmCounts(s, d).select(col("doc_id") +: qmLabel.as("y") +: col("bk") +: Seq(
       expr(s"(nt - nd) * $QM_FP DIV nt").as(s"f$QM_B"),
       expr(s"tc * $QM_FP DIV nt").as(s"f${QM_B + 1}"),
       expr(s"LEAST(stl * 1000 DIV nt, $QM_FP)").as(s"f${QM_B + 2}"),
@@ -791,33 +800,33 @@ object PretrainOps {
       expr(s"dup2 * $QM_FP DIV g2").as(s"f${QM_B + 4}"),
       expr(s"top2 * $QM_FP DIV g2").as(s"f${QM_B + 5}"),
       expr(s"dup3 * $QM_FP DIV g3").as(s"f${QM_B + 6}"),
-      expr(s"LEAST(nt, 200) * $QM_FP DIV 200").as(s"f${QM_B + 7}"))
-    // the bag-of-words part: md5 bucket per token instance. Empty
-    // tokens filtered EXPLICITLY on both sides — string_split
+      expr(s"LEAST(nt, 200) * $QM_FP DIV 200").as(s"f${QM_B + 7}")): _*)
+    // the bag-of-words part: md5 bucket per token instance, computed by
+    // graft_qm_buckets INSIDE the qmCounts scan (r21 — the counts used
+    // to be a second full document scan: explode → filter(tok <> '') →
+    // 10-column partial-agg shuffle → inner join back; the expression
+    // is bit-identical per its scaladoc and the oracle still runs the
+    // declarative form, so the fusion is gate-checked end to end).
+    // Empty tokens filtered EXPLICITLY on both sides — string_split
     // empty-token semantics drifted across DuckDB versions, and this
     // lane (unlike the gram stats) has no green-gated named twin to
     // prove the driver build agrees.
-    // Domain edge (deliberate, mirrored in the oracle): the inner
-    // join below means a doc whose text yields ZERO nonempty tokens
+    // Domain edge (deliberate, mirrored in the oracle): the former
+    // inner join meant a doc whose text yields ZERO nonempty tokens
     // (all-whitespace) has no cnts row and drops out of the model /
     // features domain even if the gram-stats gate admitted it — the
-    // model domain is gate-domain ∩ {≥1 nonempty token}. Both engines
-    // apply the same filter+inner-join, so the gate stays green on
-    // any corpus; it only matters for corpora containing
-    // whitespace-only docs, which no feature could describe anyway.
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("qm:"), col("tok"))), 1, 8), 16, 10)
-          .cast("long") % QM_B).as("b"))
-    val cnts = toks.groupBy("doc_id").agg(
-      count(lit(1)).as("nt"),
-      (0 until QM_B).map(i =>
-        sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
-    val raw = labeled.join(cnts, "doc_id")
+    // model domain is gate-domain ∩ {≥1 nonempty token}, here the
+    // filter on the nonempty-token slot. Both engines apply the same
+    // domain rule, so the gate stays green on any corpus; it only
+    // matters for corpora containing whitespace-only docs, which no
+    // feature could describe anyway.
+    val ntSlot = QM_B + 1 // 1-based element_at: last slot = nonempty count
+    val raw = labeled
+      .filter(element_at(col("bk"), ntSlot) >= 1)
       .select(col("doc_id") +: col("y") +:
-        ((0 until QM_B).map(i => expr(s"c$i * $QM_FP DIV nt").as(s"x$i")) ++
+        ((0 until QM_B).map(i =>
+          expr(s"element_at(bk, ${i + 1}) * $QM_FP DIV element_at(bk, $ntSlot)")
+            .as(s"x$i")) ++
           (QM_B until QM_F).map(i => col(s"f$i").as(s"x$i"))): _*)
       .truncEager
     // standardization bounds + class counts: ONE aggregate over the
