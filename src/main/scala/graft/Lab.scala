@@ -195,6 +195,15 @@ object Lab {
       "tcb_shared" -> (() => operators.TextOps.queries("text_clean_boilerplate")(s, d)),
       "tcb_chained" -> (() => operators.TextOps.textCleanBoilerplateChained(s, d)),
 
+      // ---- r21: stream_join lane decomposition (the r18 attr_*
+      // discipline, now actually registered): source floor = both
+      // filtered sides scanned + parquet-sunk, NO join; inner = the
+      // stream-stream join without outer state. lane − inner ≈ outer
+      // hold/emit; inner − floor ≈ join state-store cost ----
+      "sj_floor" -> (() => streaming.StreamOps.probeSourceFloor(s, d)),
+      "sj_inner" -> (() => streaming.StreamOps.probeInner(s, d)),
+      "sj_full_lane" -> (() => streaming.StreamOps.queries("stream_join")(s, d)),
+
       // ---- q9 exchange-grain A/B (r15): the part filter already thins
       // lines to ~1 per order, so the (orderkey, nationkey) pre-agg may
       // get no map-side combine — measure all three forms ----

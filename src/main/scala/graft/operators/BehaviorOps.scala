@@ -212,7 +212,14 @@ object BehaviorOps {
     * every customer). Tiebreak o_custkey on every ordering keeps the
     * bucket split deterministic and the oracle's ntile bit-identical. */
   def qRfm(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
     val ref = orders(s, d).agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+    // checkpointed BEFORE the first ntileDist (r21, guide §2.4):
+    // repartitionByRange SAMPLES its child to pick range bounds, so an
+    // un-materialized cust meant the whole orders aggregate executed
+    // twice — once for the sampling pass, once for the real exchange.
+    // (ntileDist 2 and 3 never had the problem: their input is a
+    // narrow projection over the previous step's checkpoint.)
     val cust = orders(s, d)
       .groupBy("o_custkey")
       .agg(max(col("o_orderdate").cast("date")).as("last_date"),
@@ -221,6 +228,7 @@ object BehaviorOps {
       .crossJoin(broadcast(ref))
       .withColumn("recency_days", datediff(col("ref_date"), col("last_date")))
       .select("o_custkey", "recency_days", "freq", "monetary_cents")
+      .truncEager
     val scored = Seq[(String, Seq[Column])](
       ("r_score", Seq(col("recency_days").asc, col("o_custkey").asc)),
       ("f_score", Seq(col("freq").desc, col("o_custkey").asc)),

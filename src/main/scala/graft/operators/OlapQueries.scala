@@ -341,12 +341,20 @@ object OlapQueries {
     * [[qParetoDist]]; split out so the spec can assert the range
     * exchange on the pre-checkpoint plan (the checkpoint hides it
     * behind a Scan ExistingRDD in the final query's executed plan). */
-  private[graft] def paretoRanged(s: SparkSession, d: String): DataFrame =
+  private[graft] def paretoRanged(s: SparkSession, d: String): DataFrame = {
+    import DedupOps.TruncOps
+    // the aggregate is checkpointed BEFORE the range exchange (r21):
+    // repartitionByRange samples its child for range bounds, so the
+    // un-materialized form ran the whole orders aggregate twice —
+    // sampling pass + real exchange. The sample now reads the
+    // materialized 2-column table instead.
     orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cust_rev"))
+      .truncEager
       .repartitionByRange(col("cust_rev").desc, col("o_custkey"))
       .withColumn("pid", spark_partition_id())
+  }
 
   def qParetoDist(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -384,9 +384,14 @@ object PretrainOps {
   def pretrainSeqPack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import DedupOps.TruncOps
+    // the 2-column projection is checkpointed BEFORE the range exchange
+    // (r21): repartitionByRange samples its child for bounds, so the
+    // un-materialized form ran split()-per-doc twice — sampling pass +
+    // real exchange. The ranged checkpoint (below) still freezes pid.
     val ranged = documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .truncEager
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .truncEager
@@ -934,9 +939,13 @@ object PretrainOps {
     import org.apache.spark.sql.expressions.Window
     import DedupOps.TruncOps
     val all = Window.partitionBy()
+    // materialized ONCE (r21): nt feeds the quota aggregate, the range
+    // exchange AND that exchange's bound-sampling pass — un-checkpointed,
+    // the split()+md5 projection over the corpus executed three times.
     val nt = documents(s, d).select(col("lang"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       substring(md5(concat(lit("budget:"), col("doc_id"))), 1, 8).as("rk"))
+      .truncEager
     val quotas = nt.groupBy("lang").agg(sum("n_tokens").as("lt"))
       .withColumn("frac0", col("lt").cast("double") / sum("lt").over(all))
       .withColumn("w", sqrt(col("frac0")) / sum(sqrt(col("frac0"))).over(all))
